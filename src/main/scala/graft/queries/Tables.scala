@@ -21,7 +21,16 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = t(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = t(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = t(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame    = t(spark, d, "events")
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects. Read nanos as long (legacy conf) and
+    * convert with integral division — int64 nanos exceed double's 2^53
+    * mantissa, so a floating-point divide would corrupt timestamps. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, d, "events").withColumn(
+      "ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, d: String): DataFrame = t(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = t(spark, d, "embeddings")
 }
