@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.SingleFileSink
+import java.nio.file.Paths
+
+/** Source/sink round-trips S1/S5/S6/S7 (SURVEY.md §2.1): each query writes
+  * through the engine sink under test into the JVM temp dir, reads the
+  * artifact back, and returns it for the DuckDB oracle compare — so the
+  * sink's on-disk bytes, not just the in-memory plan, are what gets
+  * verified. Read-back schemas are explicit where inference would widen or
+  * narrow types (CSV int32 vs int64).
+  */
+object Sinks {
+  import Tables._
+
+  private def tmp(name: String): String =
+    Paths.get(sys.props("java.io.tmpdir"), s"graft_sink_$name").toString
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 — CSV source with header + inferSchema (ref extract_alchemer_data.py:8-9)
+    "s1_csv_roundtrip" -> ((s, d) => {
+      val out = tmp("s1_dir")
+      region(s, d).coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(out)
+      s.read.option("header", "true").option("inferSchema", "true").csv(out)
+        .orderBy("r_regionkey")
+    }),
+
+    // S5 — overwrite-mode table sink (ref utils.py:124-142). Parquet stands
+    // in for Delta; overwrite + schema-on-write semantics are what matter.
+    "s5_parquet_sink" -> ((s, d) => {
+      val out = tmp("s5_dir")
+      orders(s, d).filter(col("o_custkey") < 100)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("o_orderkey")
+    }),
+
+    // S6 — single-file JSON export with part-file move (ref utils.py:226-252)
+    "s6_json_single_file" -> ((s, d) => {
+      val dest = tmp("s6.json")
+      SingleFileSink.json(
+        nation(s, d).select("n_nationkey", "n_name"), dest)
+      s.read.schema(StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType)))).json(dest)
+        .orderBy("n_nationkey")
+    }),
+
+    // S7 — single-file CSV export with header (ref write_to_volume.py:15-16)
+    "s7_csv_single_file" -> ((s, d) => {
+      val dest = tmp("s7.csv")
+      SingleFileSink.csv(
+        supplier(s, d).select("s_suppkey", "s_name"), dest)
+      s.read.schema(StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType))))
+        .option("header", "true").csv(dest)
+        .orderBy("s_suppkey")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_csv_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "s5_parquet_sink" ->
+      "SELECT * FROM orders WHERE o_custkey < 100 ORDER BY o_orderkey",
+    "s6_json_single_file" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+    "s7_csv_single_file" ->
+      "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey"
+  )
+}
