@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the scale brief:
+  *  - [[bruteForceTopK]]: broadcast the (small) probe set against the full
+  *    table — one scan, no shuffle of the big side, exact results. Right
+  *    up to ~thousands of probes; the big table is never self-joined.
+  *  - [[lshTopK]]: random-hyperplane LSH — bucket both sides by a
+  *    signature over md5-derived deterministic hyperplanes and search only
+  *    same-bucket candidates. The 100 TB path: candidate count per probe
+  *    is bounded by bucket size, and the bucket join shuffles by signature.
+  *
+  * All arithmetic is double-precision with a single left-fold order so the
+  * scores are bit-reproducible (and match the DuckDB oracle exactly).
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** Cosine similarity of two double arrays (cast first if float). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Precompute the L2 norm once per row (avoids recomputing per pair). */
+  def withNorm(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("__vd", v).withColumn("__norm", sqrt(dot(v, v)))
+  }
+
+  /** Exact top-k neighbours for each probe: broadcast probes × full scan.
+    * Scores are rounded to 6dp BEFORE ranking so rank ties break on vec_id
+    * deterministically. Excludes self-matches. */
+  def bruteForceTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, k: Int): DataFrame = {
+    val base = withNorm(emb, vecCol)
+    val probes = base.filter(probePred).select(
+      col(idCol).as("probe_id"), col("__vd").as("__pd"), col("__norm").as("__pn"))
+    val scored = base.join(broadcast(probes), col("probe_id") =!= col(idCol))
+      .withColumn("score_r",
+        round(dot(col("__pd"), col("__vd")) / (col("__pn") * col("__norm")), 6))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score_r").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("vec_id_n"), col("rank"), col("score_r"))
+  }
+
+  /** Deterministic ±1 hyperplane matrix derived from md5 — no RNG, fully
+    * reproducible across runs/engines. planes × dims. */
+  def hyperplaneSigns(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims) { (p, i) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane$p:dim$i".getBytes("UTF-8"))
+      if ((hex(0) & 1) == 1) 1.0 else -1.0
+    }
+
+  /** LSH signature column: one bit per hyperplane (sign of the projection). */
+  def lshSignature(vecCol: Column, signs: Array[Array[Double]]): Column = {
+    val v = vecCol.cast("array<double>")
+    signs.zipWithIndex.map { case (plane, p) =>
+      val proj = aggregate(
+        zip_with(v, typedlit(plane.toSeq), (x, s) => x * s), lit(0.0), _ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates = same LSH bucket. Returns the same
+    * shape as [[bruteForceTopK]]; recall depends on bucket granularity. */
+  def lshTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, k: Int, planes: Int = 8): DataFrame = {
+    val dims = 64
+    val signs = hyperplaneSigns(planes, dims)
+    val base = withNorm(emb, vecCol)
+      .withColumn("__sig", lshSignature(col(vecCol), signs))
+    val probes = base.filter(probePred).select(
+      col(idCol).as("probe_id"), col("__sig").as("__psig"),
+      col("__vd").as("__pd"), col("__norm").as("__pn"))
+    // Bucket join: shuffle by signature, candidates bounded per bucket.
+    val scored = base.join(probes,
+        col("__psig") === col("__sig") && col("probe_id") =!= col(idCol))
+      .withColumn("score_r",
+        round(dot(col("__pd"), col("__vd")) / (col("__pn") * col("__norm")), 6))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score_r").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("vec_id_n"), col("rank"), col("score_r"))
+  }
+
+  /** Embedding-cosine near-dup pairs with key blocking: only same-block
+    * pairs are compared (block col = e.g. a cluster/label/LSH signature),
+    * never all-pairs. Returns (a, b, score_r) with a < b, score ≥ minScore. */
+  def cosineNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, minScore: Double): DataFrame = {
+    val base = withNorm(emb, vecCol)
+    val a = base.select(col(blockCol).as("blk"), col(idCol).as("a"),
+      col("__vd").as("__va"), col("__norm").as("__na"))
+    val b = base.select(col(blockCol).as("blk"), col(idCol).as("b"),
+      col("__vd").as("__vb"), col("__norm").as("__nb"))
+    a.join(b, "blk").filter(col("a") < col("b"))
+      .withColumn("score_r",
+        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .filter(col("score_r") >= minScore)
+      .select(col("a"), col("b"), col("score_r"))
+  }
+}

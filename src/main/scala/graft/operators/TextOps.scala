@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis primitives for large-scale training-data
+  * pipelines: tokenization, shingling, minhash signatures, simhash,
+  * fingerprints, stopword stats. Everything is built from codegen'd
+  * built-in expressions (no UDFs), so whole-stage codegen applies and the
+  * operators run at scan speed on a 1000-executor cluster.
+  *
+  * Determinism: all hashing is md5-based (content-defined, engine-portable)
+  * rather than JVM/murmur-seeded, so results are reproducible across
+  * engines and runs — a requirement for auditable dedup at 100 TB.
+  */
+object TextOps {
+
+  /** Tiny English stopword list for language-ID heuristics. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Lowercase word tokens; punctuation folds to whitespace. */
+  def tokens(text: Column): Column =
+    filter(
+      split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +"),
+      w => w =!= "")
+
+  /** BPE-ish regex tokens: alpha runs and digit runs separately. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+"), lit(0))
+
+  /** Distinct k-word shingles; empty array when the doc is shorter than k. */
+  def shingles(words: Column, k: Int): Column =
+    when(size(words) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(words) - (k - 1)),
+        i => concat_ws(" ", slice(words, i, lit(k))))))
+
+  /** One minhash signature: lexicographic min of seed-salted md5 over the
+    * shingle set. String-min is portable across engines (ASCII hex). */
+  def minhashSig(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(s"h$seed:"), s))))
+
+  /** LSH band keys: md5 of the concatenated signature rows in each band.
+    * numHashes must be divisible by bands. */
+  def bandKeys(sigs: Seq[Column], bands: Int): Column = {
+    require(sigs.size % bands == 0, "numHashes must divide into bands")
+    val rows = sigs.size / bands
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", sigs.slice(b * rows, (b + 1) * rows): _*))
+    }: _*)
+  }
+
+  /** 32-bit word hash from the md5 hex prefix (portable, deterministic). */
+  private def wordHash32(w: Column): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+
+  /** 32-bit simhash over the token multiset: per bit, sum ±1 contributions
+    * across words, set the bit when the sum is positive. Expression-only —
+    * fine at this fan-out (32 folds/row); a 100 TB run would fuse the 32
+    * folds into one mapPartitions pass. */
+  def simhash32(words: Column): Column =
+    (0 until 32).map { j =>
+      val bitSum = aggregate(
+        words, lit(0L),
+        (acc, w) => acc +
+          (shiftright(wordHash32(w), j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Content fingerprint: md5 of the alphanumeric-only lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** Count of tokens that appear in the given vocabulary. */
+  def vocabHits(words: Column, vocab: Seq[String]): Column =
+    size(filter(words, w => w.isin(vocab: _*)))
+}

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** LLM training-data pipeline operators as oracle-checked queries:
+  * deduplication (exact, hash-group, minhash LSH, n-gram Jaccard,
+  * embedding-cosine), similarity search (brute-force + LSH top-k),
+  * multimodal binary plumbing, and text analysis (tokens, quality,
+  * language-ID, fingerprints, simhash).
+  *
+  * Ratio-valued outputs are carried as exact integer numerators and
+  * denominators, and similarity scores as bit-reproducible double folds
+  * rounded before ranking — both so the DuckDB hash compare is stable.
+  */
+object LlmOps {
+  import Tables._
+
+  private val stop = TextOps.EnglishStopwords
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: deterministic keep-first-by-id per key
+    "dd_exact_rownum" -> ((s, d) =>
+      Dedup.exactKeepFirst(documents(s, d), Seq("lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+
+    // Exact dedup via hash-groupBy on a content-prefix fingerprint
+    "dd_exact_hash" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(substring(col("text"), 1, 50)).as("fp50"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy("keep_id")),
+
+    // MinHash + banded LSH near-dup, Jaccard-verified (integer inter/union)
+    "dd_minhash_neardup" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(documents(s, d), "doc_id", "text")
+        .orderBy("a", "b")),
+
+    // n-gram Jaccard pairs with exact-prefix blocking
+    "dd_ngram_jaccard" -> ((s, d) =>
+      Dedup.prefixBlockedJaccardPairs(documents(s, d), "doc_id", "text")
+        .orderBy("a", "b")),
+
+    // Embedding-cosine near-dup pairs, label-blocked
+    "dd_cosine_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(
+        embeddings(s, d), "vec_id", "embedding", "label", 0.35)
+        .orderBy("a", "b")),
+
+    // Brute-force cosine top-5 for the first 10 probe vectors
+    "sim_topk_brute" -> ((s, d) =>
+      Similarity.bruteForceTopK(
+        embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
+        .orderBy("probe_id", "rank")),
+
+    // LSH-bucketed approximate top-5 — the 100 TB scale path. Not ANSI-SQL
+    // expressible (md5-derived hyperplanes), so no oracle: driver records
+    // the weaker rows-only check; recall is unit-tested in SimilaritySpec.
+    "sim_topk_lsh" -> ((s, d) =>
+      Similarity.lshTopK(
+        embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
+        .orderBy("probe_id", "rank")),
+
+    // Token counting: whitespace tokens, BPE-ish regex tokens, char stats
+    "ta_token_stats" -> ((s, d) => {
+      val w = TextOps.tokens(col("text"))
+      documents(s, d).select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        size(TextOps.regexTokens(col("text"))).cast("long").as("n_regex_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("token_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: integer counts + a thresholded label
+    "ta_quality" -> ((s, d) => {
+      val w = TextOps.tokens(col("text"))
+      val nTok = size(w).cast("long")
+      val nUniq = size(array_distinct(w)).cast("long")
+      val nStop = TextOps.vocabHits(w, stop).cast("long")
+      documents(s, d).select(
+        col("doc_id"),
+        nTok.as("n_tokens"), nUniq.as("n_uniq"), nStop.as("n_stop"),
+        when(nTok < 20, "too_short")
+          .when(nStop * 20 < nTok, "low_stopword")
+          .when(nUniq * 4 < nTok, "repetitive")
+          .otherwise("ok").as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic: stopword density vs the labelled lang
+    "ta_langid" -> ((s, d) => {
+      val w = TextOps.tokens(col("text"))
+      documents(s, d).select(
+        col("doc_id"),
+        when(TextOps.vocabHits(w, stop) * 10 >= size(w), "en")
+          .otherwise("other").as("pred_lang"),
+        col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: content + prefix hashes
+    "ta_fingerprint" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        md5(substring(col("text"), 1, 50)).as("fp50"))
+        .orderBy("doc_id")),
+
+    // 32-bit simhash signature over the token multiset
+    "ta_simhash" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        TextOps.simhash32(TextOps.tokens(col("text"))).as("simhash"))
+        .orderBy("doc_id")),
+
+    // Multimodal: binary payload + typed meta, features via column ops
+    "mm_binary_features" -> ((s, d) =>
+      Multimodal.toAssets(documents(s, d)).select(
+        col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.mime").as("mime"),
+        md5(col("content")).as("content_md5"),
+        lower(hex(expr("substring(content, 1, 8)"))).as("head_hex"))
+        .orderBy("doc_id"))
+  )
+
+  private val wordsCte =
+    "SELECT doc_id, list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^a-z0-9 ]', ' ', 'g')), ' +'), x -> x <> '') AS ws FROM documents"
+
+  def oracleSql: Map[String, String] = Map(
+    "dd_exact_rownum" ->
+      "SELECT doc_id, lang, source FROM documents QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1 ORDER BY doc_id",
+    "dd_exact_hash" ->
+      "SELECT md5(substring(text, 1, 50)) AS fp50, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1 ORDER BY keep_id",
+    "dd_minhash_neardup" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [] ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) END AS shingles FROM w), " +
+        "s AS (SELECT doc_id, shingles, [" +
+        (0 until 8).map(h => s"list_aggregate(list_transform(shingles, x -> md5('h$h:' || x)), 'min')").mkString(", ") +
+        "] AS sigs FROM sh WHERE len(shingles) > 0), " +
+        "bandrows AS (SELECT doc_id, b AS band_idx, md5(sigs[2*b+1] || '|' || sigs[2*b+2]) AS band_hash FROM s, unnest([0,1,2,3]) t(b)), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bandrows x JOIN bandrows y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id) " +
+        "SELECT c.a, c.b, CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter, " +
+        "CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_union " +
+        "FROM cand c JOIN s sa ON c.a = sa.doc_id JOIN s sb ON c.b = sb.doc_id " +
+        "WHERE len(list_intersect(sa.shingles, sb.shingles)) * 2 >= len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) " +
+        "ORDER BY a, b"),
+    "dd_ngram_jaccard" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "base AS (SELECT d.doc_id, md5(substring(d.text, 1, 50)) AS blk, " +
+        "CASE WHEN len(w.ws) < 2 THEN [] ELSE list_distinct(list_transform(range(1, len(w.ws)), i -> array_to_string(w.ws[i:i+1], ' '))) END AS sh " +
+        "FROM documents d JOIN w ON d.doc_id = w.doc_id) " +
+        "SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter, " +
+        "CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union " +
+        "FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id ORDER BY a, b"),
+    "dd_cosine_neardup" ->
+      ("WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, label, v, sqrt(list_reduce(list_transform(range(1, 65), i -> v[i]*v[i]), (p,q) -> p+q)) AS nm FROM e) " +
+        "SELECT a.vec_id AS a, b.vec_id AS b, " +
+        "round(list_reduce(list_transform(range(1, 65), i -> a.v[i]*b.v[i]), (p,q) -> p+q) / (a.nm * b.nm), 6) AS score_r " +
+        "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "WHERE round(list_reduce(list_transform(range(1, 65), i -> a.v[i]*b.v[i]), (p,q) -> p+q) / (a.nm * b.nm), 6) >= 0.35 " +
+        "ORDER BY a, b"),
+    "sim_topk_brute" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(range(1, 65), i -> v[i]*v[i]), (p,q) -> p+q)) AS nm FROM e), " +
+        "scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id_n, " +
+        "round(list_reduce(list_transform(range(1, 65), i -> p.v[i]*c.v[i]), (p2,q2) -> p2+q2) / (p.nm * c.nm), 6) AS score_r " +
+        "FROM n p JOIN n c ON p.vec_id < 10 AND c.vec_id <> p.vec_id) " +
+        "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
+        "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
+    "ta_token_stats" ->
+      ("WITH w AS (" + wordsCte + ") " +
+        "SELECT d.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens, " +
+        "CAST(len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+')) AS BIGINT) AS n_regex_tokens, " +
+        "CAST(length(d.text) AS BIGINT) AS n_chars, " +
+        "CAST(list_sum(list_transform(w.ws, x -> length(x))) AS BIGINT) AS token_chars " +
+        "FROM documents d JOIN w ON d.doc_id = w.doc_id ORDER BY d.doc_id"),
+    "ta_quality" ->
+      ("WITH w AS (" + wordsCte + ") " +
+        "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq, " +
+        "CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stop, " +
+        "CASE WHEN len(ws) < 20 THEN 'too_short' " +
+        "WHEN len(list_filter(ws, x -> x IN ('the','a','of','and','in','to','is'))) * 20 < len(ws) THEN 'low_stopword' " +
+        "WHEN len(list_distinct(ws)) * 4 < len(ws) THEN 'repetitive' " +
+        "ELSE 'ok' END AS quality FROM w ORDER BY doc_id"),
+    "ta_langid" ->
+      ("WITH w AS (" + wordsCte + ") " +
+        "SELECT d.doc_id, CASE WHEN len(list_filter(w.ws, x -> x IN ('the','a','of','and','in','to','is'))) * 10 >= len(w.ws) " +
+        "THEN 'en' ELSE 'other' END AS pred_lang, d.lang " +
+        "FROM documents d JOIN w ON d.doc_id = w.doc_id ORDER BY d.doc_id"),
+    "ta_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp, md5(substring(text, 1, 50)) AS fp50 FROM documents ORDER BY doc_id",
+    "ta_simhash" ->
+      ("WITH w AS (" + wordsCte + ") " +
+        "SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j -> " +
+        "CASE WHEN list_sum(list_transform(ws, x -> ((CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) >> j) & 1) * 2 - 1)) > 0 " +
+        "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash FROM w ORDER BY doc_id"),
+    "mm_binary_features" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, 'text/plain' AS mime, " +
+        "md5(text) AS content_md5, lower(hex(substring(text, 1, 8)::BLOB)) AS head_hex " +
+        "FROM documents ORDER BY doc_id")
+  )
+}

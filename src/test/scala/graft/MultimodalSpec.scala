@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "hello world", "en"),
+    (2L, "bonjour", "fr")
+  ).toDF("doc_id", "text", "lang")
+
+  test("toAssets produces binary payload with typed metadata") {
+    val assets = Multimodal.toAssets(docs)
+    val r = assets.filter(col("doc_id") === 1).collect()(0)
+    assert(new String(r.getAs[Array[Byte]]("content"), "UTF-8") == "hello world")
+    val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[String]("mime") == "text/plain")
+    assert(meta.getAs[Long]("n_bytes") == 11L)
+  }
+
+  test("decodeFeatures maps partitions to deterministic features") {
+    val feats = Multimodal.decodeFeatures(Multimodal.toAssets(docs))
+      .collect().sortBy(_.doc_id)
+    assert(feats(0).n_bytes == 11L)
+    // md5("hello world")
+    assert(feats(0).content_md5 == "5eb63bbbe01eeed093cb22bb8f5acdc3")
+    assert(feats(0).head_hex == "68656c6c6f20776f") // "hello wo"
+  }
+
+  test("sampleBytes slices payload without decode") {
+    val s = Multimodal.sampleBytes(Multimodal.toAssets(docs), 0, 5)
+      .filter(col("doc_id") === 1).collect()(0)
+    assert(new String(s.getAs[Array[Byte]]("sample"), "UTF-8") == "hello")
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-vectors plus planted near-duplicates. */
+  private def fixture = {
+    val base = (0L until 40L).map { id =>
+      val v = Array.tabulate(64) { i =>
+        (math.sin(id * 64 + i) * 100).toFloat
+      }
+      (id, v)
+    }
+    // plant near-dups of vectors 0..4 at ids 100..104 (tiny perturbation)
+    val dups = (0L until 5L).map { id =>
+      val v = base(id.toInt)._2.clone()
+      v(0) = v(0) + 0.01f
+      (id + 100L, v)
+    }
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK finds planted near-duplicates at rank 1") {
+    val out = Similarity.bruteForceTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 3)
+      .filter(col("rank") === 1).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("vec_id_n") == r.getAs[Long]("probe_id") + 100L)
+      assert(r.getAs[Double]("score_r") > 0.999)
+    }
+  }
+
+  test("lshTopK recalls planted near-duplicates (same bucket, cos≈1)") {
+    val out = Similarity.lshTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 3)
+      .filter(col("rank") === 1).collect()
+    // a near-identical vector lands in the same bucket for every plane
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("vec_id_n") == r.getAs[Long]("probe_id") + 100L)
+    }
+  }
+
+  test("lshTopK candidate set is bucket-bounded (subset of brute scores)") {
+    val brute = Similarity.bruteForceTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 40)
+      .select("probe_id", "vec_id_n", "score_r")
+    val lsh = Similarity.lshTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 40)
+      .select("probe_id", "vec_id_n", "score_r")
+    // every LSH-scored pair must carry the exact brute-force score
+    assert(lsh.except(brute).count() == 0)
+  }
+}
