@@ -1,0 +1,221 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.operators.ColumnOps
+
+/** Silver transform (ref transform_alchemer_data.py:13-235): scrubbing,
+  * type casts, likert scoring, categorical recodes, validity flag.
+  *
+  * Differences from the reference, by design:
+  *  - The likert Python UDF becomes a native map-literal lookup
+  *    (ref utils.py:159-181) — stays inside whole-stage codegen.
+  *  - The ~40 stacked withColumn Projects collapse into a few selects.
+  *  - Casts that the reference relies on returning null for junk input
+  *    use try_cast (Spark 4 defaults to ANSI mode, which would throw).
+  *  - Each recode applies only when its column exists, mirroring the
+  *    reference's per-column try/except tolerance (transform_alchemer_data
+  *    .py:28-33) uniformly, so the transform composes on partial schemas.
+  */
+object Silver {
+
+  private val TimestampFmt = "MM/dd/yyyy h:mm:ss a"
+
+  def transform(bronze: DataFrame, cfg: SurveyConfig): DataFrame = {
+    val steps: Seq[DataFrame => DataFrame] = Seq(
+      repairHeaderMojibake,
+      scrubStringValues,
+      nullPhraseScrub(_, cfg),
+      nanScrub,
+      timestamps,
+      likertScores(_, cfg),
+      recodes,
+      validityFlag,
+      dropConfigured(_, cfg))
+    steps.foldLeft(bronze)((df, step) => step(df))
+  }
+
+  /** ref transform_alchemer_data.py:13-14 */
+  private def repairHeaderMojibake(df: DataFrame): DataFrame =
+    ColumnOps.normalizeHeaders(df)
+
+  /** Mojibake repair across every string column in one projection
+    * (ref transform_alchemer_data.py:20-23). */
+  private def scrubStringValues(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == StringType)
+        regexp_replace(regexp_replace(col(f.name), "â€™", "'"), "Ã", "i")
+          .as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+
+  /** Null-phrase scrubber over configured open-text columns
+    * (ref transform_alchemer_data.py:28-33, utils.py:184-187). */
+  private def nullPhraseScrub(df: DataFrame, cfg: SurveyConfig): DataFrame = {
+    val present = cfg.openTextFields.filter(df.columns.contains)
+    present.foldLeft(df) { (acc, c) =>
+      val normalized = trim(regexp_replace(lower(col(c)), "[^\\w\\s]", ""))
+      acc.withColumn(c,
+        when(normalized.isin(cfg.nullPhrases: _*), lit(null))
+          .otherwise(col(c)))
+    }
+  }
+
+  /** Literal "nan" → null over every column in one projection
+    * (ref transform_alchemer_data.py:38-39). */
+  private def nanScrub(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == StringType)
+        when(col(f.name) === "nan", lit(null)).otherwise(col(f.name)).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+
+  /** Timestamp casts + duration columns (ref transform_alchemer_data.py:44-56).
+    * try_to_timestamp stands in for the reference's LEGACY-policy lenient
+    * parse: malformed input yields null instead of an ANSI error. */
+  private def timestamps(df: DataFrame): DataFrame = {
+    if (!df.columns.contains("Time Started") ||
+      !df.columns.contains("Survey Date Submitted")) df
+    else df
+      .withColumn("Time Started",
+        expr(s"try_to_timestamp(`Time Started`, '$TimestampFmt')"))
+      .withColumn("Survey Date Submitted",
+        expr(s"try_to_timestamp(`Survey Date Submitted`, '$TimestampFmt')"))
+      .withColumn("Time Difference",
+        unix_timestamp(col("Survey Date Submitted")) -
+          unix_timestamp(col("Time Started")))
+      .withColumn("Time Difference (Minutes)",
+        round(col("Time Difference") / 60))
+  }
+
+  /** Likert scoring as a native map lookup (replaces the Python UDF,
+    * ref utils.py:159-181, applied transform_alchemer_data.py:62-75):
+    * unknown or null responses score 0, matching mapping.get(x, 0). */
+  private def likertScores(df: DataFrame, cfg: SurveyConfig): DataFrame = {
+    val present = cfg.likertColumns.filter(df.columns.contains)
+    if (present.isEmpty) return df
+    val mapLit = map(SurveyConfig.LikertMapping.toSeq
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val scored = df.withColumns(present.map { c =>
+      c -> coalesce(element_at(mapLit, col(c)), lit(0))
+    }.toMap)
+    // per-domain means (ref transform_alchemer_data.py:67-69)
+    val withDomains = cfg.likertColumnsDict
+      .filter { case (_, cols) => cols.forall(scored.columns.contains) }
+      .foldLeft(scored) { case (acc, (scoreCol, cols)) =>
+        acc.withColumn(scoreCol,
+          round(cols.map(col).reduce(_ + _) / lit(cols.size), 2))
+      }
+    // grand mean over every likert column (ref transform_alchemer_data.py:72-75)
+    if (present.size == cfg.likertColumns.size)
+      withDomains.withColumn("5DW Score: Everything",
+        round(present.map(col).reduce(_ + _) / lit(present.size), 2))
+    else withDomains
+  }
+
+  private def whenPresent(df: DataFrame, c: String)(
+      f: DataFrame => DataFrame): DataFrame =
+    if (df.columns.contains(c)) f(df) else df
+
+  /** Categorical recodes (ref transform_alchemer_data.py:80-196). */
+  private def recodes(df0: DataFrame): DataFrame = {
+    var df = df0
+    // Race/Ethnicity with Hispanic override (80-90)
+    if (df.columns.contains("Race/Ethnicity") && df.columns.contains("Hispanic or Latinx"))
+      df = df.withColumn("Race/Ethnicity",
+        when(col("Hispanic or Latinx") === "Yes", "Hispanic or Latinx")
+          .otherwise(
+            when(col("Race/Ethnicity") === "Some other race (please write it in here)", "Other race")
+              .when(col("Race/Ethnicity") === "I prefer not to answer this question", "Unknown")
+              .when(col("Race/Ethnicity").isNull, "Unknown")
+              .otherwise(col("Race/Ethnicity"))))
+    // Gender (95-104)
+    df = whenPresent(df, "Gender")(_.withColumn("Gender",
+      when(col("Gender").isNull || col("Gender") === "Prefer not to say", "Unknown")
+        .when(col("Gender") === "Write In", "Other")
+        .otherwise(col("Gender"))))
+    // CM Name blank → Unknown (112-119)
+    df = whenPresent(df, "CM Name")(_.withColumn("CM Name",
+      when(col("CM Name").isNull || trim(col("CM Name")) === "", "Unknown")
+        .otherwise(col("CM Name"))))
+    // Current living situation (124-132)
+    df = whenPresent(df, "Current living situation")(
+      _.withColumn("Current living situation",
+        when(col("Current living situation").isNull ||
+          trim(col("Current living situation")) === "" ||
+          col("Current living situation") === "Prefer not to say", "Unknown")
+          .otherwise(col("Current living situation"))))
+    // prefer-not-to-answer batch (137-148)
+    val preferNot = Seq(
+      "How many years lived in Kingston",
+      "Why are you interested in this project?",
+      "In a typical month, how difficult is it for your household to pay for usual household expenses?",
+      "Hispanic or Latinx")
+    preferNot.foreach { c =>
+      df = whenPresent(df, c)(_.withColumn(c,
+        when(col(c).isNull || trim(col(c)) === "" ||
+          col(c) === "I prefer not to answer this question", "Unknown")
+          .otherwise(col(c))))
+    }
+    // zip truncation (153-162)
+    df = whenPresent(df, "IP Address - Zip Code")(
+      _.withColumn("IP Address - Zip Code",
+        when(col("IP Address - Zip Code").isNull ||
+          expr("try_cast(substring(`IP Address - Zip Code`, 1, 5) AS int)") === 0,
+          "Unknown")
+          .otherwise(col("IP Address - Zip Code").substr(1, 5))))
+    // Age bands (167-178); the reference compares the raw (string) column
+    // numerically — non-ANSI casts junk to null, here made explicit
+    df = whenPresent(df, "Age")(df => {
+      val age = expr("try_cast(`Age` AS double)")
+      df.withColumn("Age",
+        when(age <= 0, "Unknown")
+          .when(age < 10, "Less than 10 years old")
+          .when(age < 18, "10 to 17 years old")
+          .when(age < 30, "18 to 29 years old")
+          .when(age < 45, "30 to 44 years old")
+          .when(age < 60, "45 to 59 years old")
+          .when(age < 75, "60 to 74 years old")
+          .when(age < 120, "75 years and older")
+          .otherwise("Unknown"))
+    })
+    // Household Income collapse (183-196)
+    df = whenPresent(df, "Household Income")(_.withColumn("Household Income",
+      when(col("Household Income").isNull ||
+        col("Household Income") === "I prefer not to answer this question", "Unknown")
+        .when(col("Household Income") === "Less than $20,000" ||
+          col("Household Income") === "$20,000 to $49,999", "Less than $50,000")
+        .otherwise(col("Household Income"))))
+    df
+  }
+
+  /** Is_Invalid 7-branch precedence chain (ref transform_alchemer_data
+    * .py:201-224). Branch ORDER is semantics: a null "Survey Completed?"
+    * fails every equality/inequality branch null-safely and falls through.
+    */
+  private def validityFlag(df: DataFrame): DataFrame = {
+    val needed = Seq("Alchemer Admin Comments", "Survey Completed?",
+      "Survey Link Used", "IP Address - Country")
+    if (!needed.forall(df.columns.contains)) return df
+    df.withColumn("Is_Invalid",
+      when(upper(col("Alchemer Admin Comments")) === "OK" ||
+        upper(col("Alchemer Admin Comments")) === "VALID", "Valid")
+        .when(col("Survey Completed?") === "Partial",
+          "Survey status is partially completed")
+        .when(col("Survey Completed?") === "Disqualified",
+          "Disqualified in Alchemer")
+        .when(col("Survey Completed?") =!= "Complete",
+          concat(lit("Survey status is "), col("Survey Completed?")))
+        .when(col("Survey Link Used") === "Test link" ||
+          col("Survey Link Used") === "Test",
+          "Survey was submitted via test link")
+        .when(col("IP Address - Country") =!= "United States",
+          "IP address outside USA")
+        .otherwise("Valid"))
+  }
+
+  /** ref transform_alchemer_data.py:229-230 */
+  private def dropConfigured(df: DataFrame, cfg: SurveyConfig): DataFrame =
+    df.drop(cfg.colsToDelete :+ "Time Difference": _*)
+}
