@@ -124,6 +124,60 @@ object Dedup {
         col("n_union").cast("long").as("n_union"))
   }
 
+  /** 32-bit simhash signatures over the token multiset, one mapPartitions
+    * pass (same kernel rationale as [[withShinglesAndSigs]]). Per word the
+    * hash is the first 8 md5 hex chars as an unsigned 32-bit value —
+    * portable and identical to the SQL-oracle formulation; per bit, ±1
+    * contributions sum across words and the bit sets when positive. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("sig", LongType)))
+    val rows = df.select(col(idCol).cast("long"), col(textCol)).rdd
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val text = if (r.isNullAt(1)) "" else r.getString(1)
+          val counts = new Array[Long](32)
+          tokenize(text).foreach { w =>
+            val h = java.lang.Long.parseLong(md5Hex(md, w).substring(0, 8), 16)
+            var j = 0
+            while (j < 32) {
+              counts(j) += ((h >> j) & 1L) * 2 - 1
+              j += 1
+            }
+          }
+          var sig = 0L
+          var j = 0
+          while (j < 32) {
+            if (counts(j) > 0) sig |= 1L << j
+            j += 1
+          }
+          Row(r.getLong(0), sig)
+        }
+      }
+    spark.createDataFrame(rows, outSchema).withColumnRenamed("id", idCol)
+  }
+
+  /** SimHash near-dup: docs bucket by the high half of their 32-bit
+    * simhash signature (same shuffle-by-bucket shape as minhash LSH), and
+    * same-bucket pairs within the given Hamming distance are emitted. */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol)
+      .withColumn("bucket", shiftright(col("sig"), 16))
+      .persist()
+    sigs.count()
+    val a = sigs.select(col("bucket"), col(idCol).as("a"), col("sig").as("siga"))
+    val b = sigs.select(col("bucket"), col(idCol).as("b"), col("sig").as("sigb"))
+    a.join(b, "bucket").filter(col("a") < col("b"))
+      .withColumn("hamming",
+        bit_count(expr("siga ^ sigb")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** n-gram Jaccard near-dup with cheap exact-prefix blocking: candidates
     * share md5(prefix) buckets, then exact shingle Jaccard verifies. */
   def prefixBlockedJaccardPairs(

@@ -51,23 +51,6 @@ object TextOps {
     }: _*)
   }
 
-  /** 32-bit word hash from the md5 hex prefix (portable, deterministic). */
-  private def wordHash32(w: Column): Column =
-    conv(substring(md5(w), 1, 8), 16, 10).cast("long")
-
-  /** 32-bit simhash over the token multiset: per bit, sum ±1 contributions
-    * across words, set the bit when the sum is positive. Expression-only —
-    * fine at this fan-out (32 folds/row); a 100 TB run would fuse the 32
-    * folds into one mapPartitions pass. */
-  def simhash32(words: Column): Column =
-    (0 until 32).map { j =>
-      val bitSum = aggregate(
-        words, lit(0L),
-        (acc, w) => acc +
-          (shiftright(wordHash32(w), j).bitwiseAND(lit(1L)) * 2 - 1))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   /** Content fingerprint: md5 of the alphanumeric-only lowercase text. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))

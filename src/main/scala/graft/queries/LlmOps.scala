@@ -37,6 +37,11 @@ object LlmOps {
       Dedup.minhashNearDupPairs(documents(s, d), "doc_id", "text")
         .orderBy("a", "b")),
 
+    // SimHash near-dup: bucket by signature high bits, Hamming-filter pairs
+    "dd_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(documents(s, d), "doc_id", "text")
+        .orderBy("a", "b")),
+
     // n-gram Jaccard pairs with exact-prefix blocking
     "dd_ngram_jaccard" -> ((s, d) =>
       Dedup.prefixBlockedJaccardPairs(documents(s, d), "doc_id", "text")
@@ -111,9 +116,8 @@ object LlmOps {
 
     // 32-bit simhash signature over the token multiset
     "ta_simhash" -> ((s, d) =>
-      documents(s, d).select(
-        col("doc_id"),
-        TextOps.simhash32(TextOps.tokens(col("text"))).as("simhash"))
+      Dedup.simhashSignatures(documents(s, d), "doc_id", "text")
+        .withColumnRenamed("sig", "simhash")
         .orderBy("doc_id")),
 
     // Multimodal: binary payload + typed meta, features via column ops
@@ -148,6 +152,14 @@ object LlmOps {
         "FROM cand c JOIN s sa ON c.a = sa.doc_id JOIN s sb ON c.b = sb.doc_id " +
         "WHERE len(list_intersect(sa.shingles, sb.shingles)) * 2 >= len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) " +
         "ORDER BY a, b"),
+    "dd_simhash_neardup" ->
+      ("WITH w AS (" + wordsCte + "), sig AS (" +
+        "SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j -> " +
+        "CASE WHEN list_sum(list_transform(ws, x -> ((CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) >> j) & 1) * 2 - 1)) > 0 " +
+        "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sig FROM w) " +
+        "SELECT a.doc_id AS a, b.doc_id AS b, CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming " +
+        "FROM sig a JOIN sig b ON (a.sig >> 16) = (b.sig >> 16) AND a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY a, b"),
     "dd_ngram_jaccard" ->
       ("WITH w AS (" + wordsCte + "), " +
         "base AS (SELECT d.doc_id, md5(substring(d.text, 1, 50)) AS blk, " +
