@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming extension over the `events` stream shape
+  * (TESTDATA.md): event-time windowed aggregation with watermarking, and
+  * custom per-key state via mapGroupsWithState.
+  *
+  * The reference pipeline is batch-only (SURVEY.md §2.9) — these operators
+  * are the streaming growth path the fixtures leave room for: the same
+  * transforms run identically on `readStream` sources at cluster scale,
+  * with state bounded by the watermark.
+  */
+object EventStream {
+
+  /** Tumbling-window counts + value sums per event type. Late events
+    * beyond the watermark are dropped; state is bounded accordingly. */
+  def windowedTypeCounts(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  case class UserActivity(user_id: Long, n_events: Long, max_value: Double)
+
+  /** Running per-user activity via explicit mapGroupsWithState state. A
+    * production sessionizer would add an event-time timeout keyed to the
+    * watermark so abandoned keys expire; a processing-time timeout is
+    * deliberately NOT used — it keeps the trigger loop firing empty
+    * batches, which also makes tests' processAllAvailable never settle. */
+  def runningUserActivity(
+      events: Dataset[(Long, Double)]): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, Double)],
+         state: GroupState[UserActivity]) =>
+          val prev = state.getOption.getOrElse(UserActivity(user, 0L, Double.MinValue))
+          val (n, mx) = batch.foldLeft((prev.n_events, prev.max_value)) {
+            case ((c, m), (_, v)) => (c + 1, math.max(m, v))
+          }
+          val next = UserActivity(user, n, mx)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Batch-mode equivalence anchor: the windowed aggregation above, run on
+    * a static frame, must equal this (used by the spec as the oracle). */
+  def windowedTypeCountsBatch(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+}

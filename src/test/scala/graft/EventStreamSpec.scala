@@ -1,0 +1,63 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed counts with watermark match the batch equivalence anchor") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val query = EventStream.windowedTypeCounts(events, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2026-01-01 10:05:00"), "click", 1.0),
+        (ts("2026-01-01 10:40:00"), "click", 2.0),
+        (ts("2026-01-01 10:50:00"), "view", 5.0))
+      query.processAllAvailable()
+      // advance the watermark past 11:10 so the 10:00 window closes
+      input.addData((ts("2026-01-01 12:30:00"), "click", 9.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("win_counts")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val batch = EventStream.windowedTypeCountsBatch(
+        Seq(
+          (ts("2026-01-01 10:05:00"), "click", 1.0),
+          (ts("2026-01-01 10:40:00"), "click", 2.0),
+          (ts("2026-01-01 10:50:00"), "view", 5.0)
+        ).toDF("ts", "event_type", "value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(batch.subsetOf(streamed))
+      assert(streamed.contains((ts("2026-01-01 10:00:00"), "click", 2L, 3.0)))
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user activity across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val query = EventStream.runningUserActivity(input.toDS())
+      .writeStream.format("memory").queryName("user_activity")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L, 2.0), (1L, 7.0), (2L, 3.0))
+      query.processAllAvailable()
+      input.addData((1L, 4.0))
+      query.processAllAvailable()
+      val rows = spark.table("user_activity")
+        .as[EventStream.UserActivity].collect()
+        .groupBy(_.user_id).map { case (k, v) => k -> v.last }
+      assert(rows(1L).n_events == 3L && rows(1L).max_value == 7.0)
+      assert(rows(2L).n_events == 1L && rows(2L).max_value == 3.0)
+    } finally query.stop()
+  }
+}
