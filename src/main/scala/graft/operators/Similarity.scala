@@ -98,6 +98,45 @@ object Similarity {
       .select(col("probe_id"), col(idCol).as("vec_id_n"), col("rank"), col("score_r"))
   }
 
+  /** IVF-style approximate top-k: vectors partition into coarse cells
+    * (nearest centroid by cosine), probes search only their `nprobe`
+    * closest cells. At 100 TB the big side shuffles once by cell id and
+    * each probe touches a bounded candidate set — the classic
+    * inverted-file trade. Centroids here are the first `centroids` vectors
+    * (deterministic stand-in for a k-means codebook; swap in trained
+    * centroids without changing the plan shape). */
+  def ivfTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, k: Int, centroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val base = withNorm(emb, vecCol)
+    val cents = base.filter(col(idCol) < centroids).select(
+      col(idCol).as("cent_id"), col("__vd").as("__cd"), col("__norm").as("__cn"))
+    def cellAssign(df: DataFrame, keep: Int): DataFrame = {
+      val scored = df.join(broadcast(cents), lit(true))
+        .withColumn("__csim",
+          dot(col("__vd"), col("__cd")) / (col("__norm") * col("__cn")))
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("__csim").desc, col("cent_id").asc)
+      scored.withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") <= keep)
+        .drop("__cd", "__cn", "__csim", "__crank")
+    }
+    val assigned = cellAssign(base, 1)
+      .select(col(idCol), col("cent_id"), col("__vd"), col("__norm"))
+    val probes = cellAssign(base.filter(probePred), nprobe).select(
+      col(idCol).as("probe_id"), col("cent_id"),
+      col("__vd").as("__pd"), col("__norm").as("__pn"))
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("probe_id") =!= col(idCol))
+      .withColumn("score_r",
+        round(dot(col("__pd"), col("__vd")) / (col("__pn") * col("__norm")), 6))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score_r").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("vec_id_n"), col("rank"), col("score_r"))
+  }
+
   /** Embedding-cosine near-dup pairs with key blocking: only same-block
     * pairs are compared (block col = e.g. a cluster/label/LSH signature),
     * never all-pairs. Returns (a, b, score_r) with a < b, score ≥ minScore. */

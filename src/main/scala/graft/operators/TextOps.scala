@@ -55,6 +55,17 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
 
+  /** Rolling polynomial fingerprint over the token stream (Rabin-Karp
+    * shape): acc ← (acc·131 + h(word)) mod (2³¹−1), with h = the first 7
+    * md5 hex digits (28 bits). Every intermediate stays < 2⁴⁰, so the fold
+    * never overflows a long even under ANSI mode, and the same arithmetic
+    * runs verbatim in the SQL oracle. Order-sensitive by construction —
+    * reordered tokens change the fingerprint, unlike the set-style md5. */
+  def rollingFingerprint(words: Column): Column =
+    aggregate(words, lit(0L),
+      (acc, w) => (acc * 131 +
+        conv(substring(md5(w), 1, 7), 16, 10).cast("long")) % 2147483647L)
+
   /** Count of tokens that appear in the given vocabulary. */
   def vocabHits(words: Column, vocab: Seq[String]): Column =
     size(filter(words, w => w.isin(vocab: _*)))

@@ -178,6 +178,14 @@ object Functions {
         date_format(col("o_orderdate"), "MM/dd/yyyy").as("order_dt"))
         .orderBy("o_orderkey")),
 
+    // F18 — abs (ref merge_census.py:112)
+    "f18_abs" -> ((s, d) =>
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        abs(col("l_discount") - col("l_tax")).as("rate_gap"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // F19 — n-ary fold row-wise mean (ref transform_alchemer_data.py:67-75)
     "f19_rowwise_mean" -> ((s, d) => {
       val cols = Seq(col("l_quantity"), col("l_linenumber").cast("double"),
@@ -265,6 +273,8 @@ object Functions {
       "SELECT event_id, CAST(epoch(date_trunc('second', ts)) - epoch(date_trunc('day', ts)) AS BIGINT) AS secs_into_day FROM events ORDER BY event_id",
     "f16_date_format" ->
       "SELECT o_orderkey, strftime(o_orderdate, '%m/%d/%Y') AS order_dt FROM orders ORDER BY o_orderkey",
+    "f18_abs" ->
+      "SELECT l_orderkey, l_linenumber, abs(l_quantity - 25) AS qty_dev, abs(l_discount - l_tax) AS rate_gap FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "f19_rowwise_mean" ->
       "SELECT l_orderkey, l_linenumber, round((l_quantity + CAST(l_linenumber AS DOUBLE) + CAST(l_partkey % 10 AS DOUBLE)) / 3, 2) AS row_mean FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "f20_cast" ->

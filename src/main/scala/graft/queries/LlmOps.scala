@@ -67,6 +67,15 @@ object LlmOps {
         embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
         .orderBy("probe_id", "rank")),
 
+    // IVF-cell approximate top-5 — the inverted-file scale path. Like
+    // sim_topk_lsh, not ANSI-SQL expressible (cell assignment is a
+    // ranked argmin), so driver records the rows-only check; recall is
+    // unit-tested in SimilaritySpec.
+    "sim_topk_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(
+        embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
+        .orderBy("probe_id", "rank")),
+
     // Token counting: whitespace tokens, BPE-ish regex tokens, char stats
     "ta_token_stats" -> ((s, d) => {
       val w = TextOps.tokens(col("text"))
@@ -106,12 +115,13 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
-    // Document fingerprinting: content + prefix hashes
+    // Document fingerprinting: content hash, prefix hash, rolling hash
     "ta_fingerprint" -> ((s, d) =>
       documents(s, d).select(
         col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"),
-        md5(substring(col("text"), 1, 50)).as("fp50"))
+        md5(substring(col("text"), 1, 50)).as("fp50"),
+        TextOps.rollingFingerprint(TextOps.tokens(col("text"))).as("rolling_fp"))
         .orderBy("doc_id")),
 
     // 32-bit simhash signature over the token multiset
@@ -207,7 +217,11 @@ object LlmOps {
         "THEN 'en' ELSE 'other' END AS pred_lang, d.lang " +
         "FROM documents d JOIN w ON d.doc_id = w.doc_id ORDER BY d.doc_id"),
     "ta_fingerprint" ->
-      "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp, md5(substring(text, 1, 50)) AS fp50 FROM documents ORDER BY doc_id",
+      ("WITH w AS (" + wordsCte + ") " +
+        "SELECT d.doc_id, md5(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) AS fp, " +
+        "md5(substring(d.text, 1, 50)) AS fp50, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w.ws, x -> CAST('0x' || substr(md5(x), 1, 7) AS BIGINT))), (acc, h) -> (acc * 131 + h) % 2147483647) AS rolling_fp " +
+        "FROM documents d JOIN w ON d.doc_id = w.doc_id ORDER BY d.doc_id"),
     "ta_simhash" ->
       ("WITH w AS (" + wordsCte + ") " +
         "SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j -> " +

@@ -45,6 +45,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK recalls planted near-duplicates through cell routing") {
+    val out = Similarity.ivfTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 3,
+      centroids = 8, nprobe = 2)
+      .filter(col("rank") === 1).collect()
+    // the perturbed twin lands in the same coarse cell as its original
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("vec_id_n") == r.getAs[Long]("probe_id") + 100L)
+    }
+  }
+
   test("lshTopK candidate set is bucket-bounded (subset of brute scores)") {
     val brute = Similarity.bruteForceTopK(
       fixture, "vec_id", "embedding", col("vec_id") < 5, 40)

@@ -17,6 +17,7 @@ class SparkEntrySpec extends SparkSpec {
 
   test("non-oracled queries are the documented SQL-inexpressible ones only") {
     val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(unoracled == Set("sim_topk_lsh"), s"unexpected unoracled: $unoracled")
+    assert(unoracled == Set("sim_topk_lsh", "sim_topk_ivf"),
+      s"unexpected unoracled: $unoracled")
   }
 }
