@@ -1,0 +1,41 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for graft's native expressions.
+  *
+  * Two entry points with the same registry payload:
+  *  - `spark.sql.extensions=graft.expressions.GraftExtensions` installs the
+  *    functions at session build time (the deployment path);
+  *  - [[GraftFunctions.register]] installs them idempotently on a live
+  *    session (the library path — Similarity calls it internally).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val all: Seq[FunctionDescription] = Seq((
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_dot takes exactly 2 arguments")
+      DotProduct(children.head, children(1))
+    }))
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, info, builder)
+    }
+  }
+}

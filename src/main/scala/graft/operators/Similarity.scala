@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Dot product via the native codegen expression [[graft.expressions
+    * .DotProduct]] — same left-to-right double fold as the composable
+    * `aggregate(zip_with(...))` form (bit-identical results, so the DuckDB
+    * oracle parity is preserved) but without interpreted per-element
+    * lambda dispatch. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    call_function("graft_dot", a, b)
 
   /** Cosine similarity of two double arrays (cast first if float). */
   def cosine(a: Column, b: Column): Column = {
@@ -32,6 +37,7 @@ object Similarity {
 
   /** Precompute the L2 norm once per row (avoids recomputing per pair). */
   def withNorm(df: DataFrame, vecCol: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val v = col(vecCol).cast("array<double>")
     df.withColumn("__vd", v).withColumn("__norm", sqrt(dot(v, v)))
   }
