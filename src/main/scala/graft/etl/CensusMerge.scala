@@ -121,12 +121,14 @@ object CensusMerge {
         concat(round(col("% Difference"), 1).cast("string"), lit("%")))
       .withColumnRenamed("Census %", "% of Population (Census)")
 
-    // data-last-updated stamp from silver's max submit date (129-137)
-    val maxDate = silver.agg(max(col("Survey Date Submitted")).as("m"))
-      .first().get(0)
-    df = df.withColumn("Data Last Updated",
-      if (maxDate == null) lit(null).cast("string")
-      else date_format(lit(maxDate), "MM/dd/yyyy"))
+    // data-last-updated stamp from silver's max submit date (129-137).
+    // A broadcast cross-join of the 1-row aggregate instead of a driver
+    // .first(): the stamp stays inside the lazy plan (no extra blocking
+    // job), and at scale the max() reduces map-side before the broadcast.
+    val maxDate = silver.agg(
+      date_format(max(col("Survey Date Submitted")), "MM/dd/yyyy")
+        .as("Data Last Updated"))
+    df = df.crossJoin(broadcast(maxDate))
 
     // final ordering via row_number with nulls-last display order (144-153)
     val ow = Window.partitionBy("Demographic")

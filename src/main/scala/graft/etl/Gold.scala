@@ -45,13 +45,33 @@ object Gold {
     "Demographic", "Category", "# of Survey Responses",
     "% of Survey Responses", "Total Responses")
 
-  /** Union of all demographic rollups (ref rollup_alchemer_data.py:29-41).
-    * unionByName rather than positional union: the frames are built with
-    * identical schemas, and by-name makes that a checked invariant. */
+  /** All-demographic rollup (ref rollup_alchemer_data.py:29-41) in a
+    * SINGLE pass. The reference (and `processDemographic`) scans the valid
+    * set once per demographic — 6 full scans + 6 shuffles. Here each row
+    * explodes into its 6 (demographic, category) pairs, one groupBy
+    * aggregates them all, and one window partitioned by demographic
+    * computes the excluding-Unknown totals: one scan, one shuffle on
+    * (demographic, category), one tiny window over ≤ #categories rows per
+    * demographic — the shape that survives a 100 TB valid set. Row content
+    * is identical to unioning `processDemographic` over cfg.demographics. */
   def rollup(valid: DataFrame, cfg: SurveyConfig): DataFrame = {
-    val frames = cfg.demographics.map { case (c, name) =>
-      processDemographic(valid, c, name)
-    }
-    frames.reduce(_ unionByName _).select(FinalColumns.map(col): _*)
+    val pairs = array(cfg.demographics.map { case (c, name) =>
+      struct(lit(name).as("Demographic"), col(c).cast("string").as("Category"))
+    }: _*)
+    val counts = valid
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.Demographic").as("Demographic"),
+        col("p.Category").as("Category"))
+      .agg(count(lit(1)).as("count"))
+    val w = Window.partitionBy("Demographic")
+    val totalExcl = sum(when(col("Category") =!= "Unknown", col("count"))).over(w)
+    counts
+      .withColumn("Total Responses",
+        when(col("Category") =!= "Unknown", totalExcl.cast("string"))
+          .otherwise(lit("")))
+      .withColumn("% of Survey Responses",
+        format_string("%.2f%%", col("count") / totalExcl * 100))
+      .withColumnRenamed("count", "# of Survey Responses")
+      .select(FinalColumns.map(col): _*)
   }
 }
