@@ -41,11 +41,15 @@ object Silver {
     ColumnOps.normalizeHeaders(df)
 
   /** Mojibake repair across every string column in one projection
-    * (ref transform_alchemer_data.py:20-23). */
+    * (ref transform_alchemer_data.py:20-23). Both patterns are literal,
+    * so StringReplace/StringTranslate (plain UTF8String scans inside
+    * whole-stage codegen) replace the reference's regex calls — same
+    * result, no regex engine in the hot path. At 100 TB this scrub runs
+    * on every string cell; it must cost like memcmp, not like a matcher. */
   private def scrubStringValues(df: DataFrame): DataFrame =
     df.select(df.schema.fields.map { f =>
       if (f.dataType == StringType)
-        regexp_replace(regexp_replace(col(f.name), "â€™", "'"), "Ã", "i")
+        translate(replace(col(f.name), lit("â€™"), lit("'")), "Ã", "i")
           .as(f.name)
       else col(f.name)
     }.toSeq: _*)
