@@ -19,11 +19,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Functions.queries ++
       graft.queries.Sinks.queries ++ graft.queries.LlmOps.queries ++
-      graft.queries.EtlQueries.queries ++ graft.queries.Analytics.queries
+      graft.queries.EtlQueries.queries ++ graft.queries.Analytics.queries ++
+      graft.queries.TimeSeriesQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++ graft.queries.Functions.oracleSql ++
       graft.queries.Sinks.oracleSql ++ graft.queries.LlmOps.oracleSql ++
-      graft.queries.EtlQueries.oracleSql ++ graft.queries.Analytics.oracleSql
+      graft.queries.EtlQueries.oracleSql ++ graft.queries.Analytics.oracleSql ++
+      graft.queries.TimeSeriesQueries.oracleSql
 }

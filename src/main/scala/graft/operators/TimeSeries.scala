@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators the reference's engine family ships but Spark SQL
+  * lacks as built-ins: as-of join and gap sessionization. Both are
+  * expressed as one hash-partition on the entity key plus a linear
+  * within-partition window pass — never a range self-join, whose
+  * within-key quadratic blowup is exactly what dies first at 100 TB.
+  * Skewed keys (one user with millions of events) are the remaining
+  * hazard; both operators keep per-row state O(1) so a hot key costs one
+  * task's linear scan, not memory.
+  */
+object TimeSeries {
+
+  /** As-of join: for each left row, the most recent right row of the same
+    * key with `right.ts <= left.ts` (ties included; deterministic via the
+    * `tieBreak` column — among equal timestamps the highest tie-break
+    * wins).
+    *
+    * Implementation: tag and union the two sides (cheap, narrow), then one
+    * running `last(..., ignoreNulls)` window per key ordered by
+    * (ts, side, tieBreak) with right rows sorting before left rows at
+    * equal timestamps. One shuffle on `key`, one sort, zero row
+    * amplification — the classic distributed as-of shape.
+    *
+    * Right columns are carried through the window as one struct; pass the
+    * columns the caller needs in `rightCols` so everything rides a single
+    * window expression.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, tieBreak: String,
+      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    val carried = struct(rightCols.map(col): _*)
+    val l = left.select(
+      (Seq(col(key), col(ts), col(tieBreak).as("__tie"), lit(1).as("__side"),
+        lit(null).cast(
+          right.select(carried).schema.head.dataType).as("__carry")) ++
+        leftCols.map(col)): _*)
+    val r = right.select(
+      (Seq(col(key), col(ts), col(tieBreak).as("__tie"), lit(0).as("__side"),
+        carried.as("__carry")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__match", last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((Seq(col(key), col(ts)) ++ leftCols.map(col) ++
+        rightCols.map(c => col(s"__match.$c").as(s"asof_$c"))): _*)
+  }
+
+  /** Gap sessionization: a new session starts when the gap to the previous
+    * event of the same key exceeds `gapSeconds`. Session ids are
+    * (key, session_seq) with session_seq a running sum of session-start
+    * flags — one shuffle on `key`, two linear window passes.
+    */
+  def sessionize(events: DataFrame, key: String, ts: String,
+      tieBreak: String, gapSeconds: Long): DataFrame = {
+    val order = Window.partitionBy(key).orderBy(col(ts).asc, col(tieBreak).asc)
+    // gap math in integer epoch-micros: second-truncated unix_timestamp
+    // would mis-classify gaps that straddle the threshold by <1s
+    val gap = unix_micros(col(ts)) -
+      unix_micros(lag(col(ts), 1).over(order))
+    val isNew = when(gap.isNull || gap > gapSeconds * 1000000L, 1).otherwise(0)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_seq",
+        sum(col("__new")).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+
+  /** Per-session rollup on top of [[sessionize]]: bounds, size, value sum.
+    * The groupBy reuses the sessionize partitioning key prefix, so AQE
+    * plans it without a second full shuffle of the raw events. */
+  def sessionStats(sessions: DataFrame, key: String, ts: String,
+      valueCol: String): DataFrame =
+    sessions.groupBy(col(key), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(ts)).as("session_start"),
+        max(col(ts)).as("session_end"),
+        round(sum(col(valueCol)), 2).as("session_value"))
+}

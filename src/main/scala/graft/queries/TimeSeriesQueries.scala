@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+
+/** Oracle-checked entries for the time-series operators (as-of join,
+  * sessionization) over the `events` fixture. Timestamps cross the
+  * engine boundary as integer epoch-micros — exact on both sides, no
+  * timestamp-encoding comparison hazards.
+  */
+object TimeSeriesQueries {
+  import Tables._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Each purchase matched to the user's most recent prior view/click
+    "ts_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      TimeSeries.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type").isin("view", "click")),
+        key = "user_id", ts = "ts", tieBreak = "event_id",
+        leftCols = Seq("event_id", "value"),
+        rightCols = Seq("event_id", "event_type"))
+        .select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"),
+          col("asof_event_id"), col("asof_event_type"))
+        .orderBy("event_id")
+    }),
+
+    // 30-minute-gap sessions per user, rolled up to per-session stats
+    "ts_sessionize" -> ((s, d) => {
+      val sess = TimeSeries.sessionize(
+        events(s, d), key = "user_id", ts = "ts",
+        tieBreak = "event_id", gapSeconds = 1800L)
+      TimeSeries.sessionStats(sess, "user_id", "ts", "value")
+        .select(
+          col("user_id"), col("session_seq"), col("n_events"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("session_value"))
+        .orderBy("user_id", "session_seq")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_asof_join" ->
+      ("""WITH tagged AS (
+        |  SELECT user_id, ts, event_id AS tie, 1 AS side,
+        |    CAST(NULL AS BIGINT) AS r_event_id, CAST(NULL AS VARCHAR) AS r_event_type,
+        |    event_id, value
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0, event_id, event_type,
+        |    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), w AS (
+        |  SELECT *,
+        |    last_value(r_event_id IGNORE NULLS) OVER win AS asof_event_id,
+        |    last_value(r_event_type IGNORE NULLS) OVER win AS asof_event_type
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, tie
+        |    ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |  asof_event_id, asof_event_type
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin),
+    "ts_sessionize" ->
+      ("""WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM g
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        |  round(sum(value), 2) AS session_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin)
+  )
+}
