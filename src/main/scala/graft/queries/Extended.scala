@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational breadth a complete engine's users reach for beyond the
+  * reference's own surface: semi/anti joins (existence filters without
+  * row duplication), ROLLUP grouping sets (one-pass subtotal hierarchies),
+  * pivot (conditional-aggregation histograms) and grouped exact
+  * percentiles. All single-shuffle shapes; semi/anti keep the build side
+  * as a broadcast when small.
+  */
+object Extended {
+  import Tables._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Existence filter: customers with ≥1 open order. left_semi carries no
+    // right columns and never duplicates left rows — the scalable form of
+    // "WHERE EXISTS" (a join+distinct would shuffle and dedup).
+    "j3_left_semi" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Negative existence: customers who never placed a high-value order.
+    "j4_left_anti" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Subtotal hierarchy in ONE aggregation pass over the fact table:
+    // (status, priority), (status), () — Spark expands grouping sets
+    // before the single shuffle, no per-level rescan.
+    "an_rollup_sets" -> ((s, d) =>
+      orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+        .orderBy(
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Language × source histogram as a pivot — compiles to conditional
+    // aggregation: one shuffle on the groupBy key, each pivot value one
+    // count(CASE WHEN) column. Explicit value list keeps it one pass
+    // (value discovery would need a distinct pre-scan).
+    "ta_pivot_hist" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(col("lang"))
+        .pivot("source", Seq("src0", "src1", "src2", "src3"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("lang")),
+
+    // Grouped exact percentiles of event value — single-shuffle sort-based
+    // aggregate; at 100 TB swap `percentile` for `percentile_approx`
+    // (t-digest sketch, mergeable map-side) at the cost of exactness.
+    "an_group_percentile" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "j3_left_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O') " +
+        "ORDER BY c_custkey"),
+    "j4_left_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) " +
+        "ORDER BY c_custkey"),
+    "an_rollup_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
+    "ta_pivot_hist" ->
+      ("SELECT lang, " +
+        "count(*) FILTER (source = 'src0') AS src0, " +
+        "count(*) FILTER (source = 'src1') AS src1, " +
+        "count(*) FILTER (source = 'src2') AS src2, " +
+        "count(*) FILTER (source = 'src3') AS src3 " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "an_group_percentile" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, " +
+        "round(quantile_cont(value, 0.9), 4) AS p90, count(*) AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type")
+  )
+}
