@@ -53,6 +53,21 @@ object EventStream {
       }
   }
 
+  /** Streaming ingest dedup: drop events whose `event_id` was already seen
+    * within the watermark horizon. This is the streaming face of the batch
+    * exact-dedup operators (graft.operators.Dedup): at-least-once sources
+    * (Kafka replays, retried micro-batches) re-emit rows, and
+    * `dropDuplicatesWithinWatermark` suppresses them with state BOUNDED by
+    * the watermark — the unbounded-state `dropDuplicates` would OOM on an
+    * infinite stream. Exactly the pattern a streaming training-data
+    * ingest needs in front of the batch near-dup stages. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Batch-mode equivalence anchor: the windowed aggregation above, run on
     * a static frame, must equal this (used by the spec as the oracle). */
   def windowedTypeCountsBatch(events: DataFrame, windowLength: String = "1 hour"): DataFrame =

@@ -60,4 +60,27 @@ class EventStreamSpec extends SparkSpec {
       assert(rows(2L).n_events == 1L && rows(2L).max_value == 3.0)
     } finally query.stop()
   }
+
+  test("dropDuplicatesWithinWatermark suppresses replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val query = EventStream.dedupWithinWatermark(events, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts("2026-01-01 10:00:00"), 1.0),
+        (2L, ts("2026-01-01 10:01:00"), 2.0))
+      query.processAllAvailable()
+      // replay id 1 (at-least-once source) + one genuinely new event
+      input.addData(
+        (1L, ts("2026-01-01 10:00:00"), 1.0),
+        (3L, ts("2026-01-01 10:02:00"), 3.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
 }
