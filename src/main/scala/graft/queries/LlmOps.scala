@@ -138,7 +138,28 @@ object LlmOps {
         col("meta.mime").as("mime"),
         md5(col("content")).as("content_md5"),
         lower(hex(expr("substring(content, 1, 8)"))).as("head_hex"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Composite curation pipeline: language gate → length/quality gate →
+    // exact content dedup (keep lowest id) → per-source corpus stats.
+    // Every stage is a narrow filter or a single keyed shuffle; this is
+    // the batch path a 100 TB corpus takes before the near-dup stages.
+    "llm_curate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gated = documents(s, d)
+        .filter(col("lang") === "en" && col("n_chars").between(50, 5000))
+        .withColumn("fp", md5(col("text")))
+      val kept = gated
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+      kept.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(col("n_chars")), 2).as("avg_chars"))
+        .orderBy("source")
+    })
   )
 
   private val wordsCte =
@@ -230,6 +251,16 @@ object LlmOps {
     "mm_binary_features" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, 'text/plain' AS mime, " +
         "md5(text) AS content_md5, lower(hex(substring(text, 1, 8)::BLOB)) AS head_hex " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+    "llm_curate" ->
+      ("WITH gated AS (" +
+        "SELECT source, n_chars, md5(text) AS fp, doc_id FROM documents " +
+        "WHERE lang = 'en' AND n_chars BETWEEN 50 AND 5000" +
+        "), kept AS (" +
+        "SELECT * FROM gated QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1" +
+        ") SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "round(avg(n_chars), 2) AS avg_chars " +
+        "FROM kept GROUP BY source ORDER BY source")
   )
 }
