@@ -130,11 +130,12 @@ object CensusMerge {
         .as("Data Last Updated"))
     df = df.crossJoin(broadcast(maxDate))
 
-    // final ordering via row_number with nulls-last display order (144-153)
-    val ow = Window.partitionBy("Demographic")
-      .orderBy(col("Display Order").asc_nulls_last, col("Category").asc)
-    df.withColumn("row_num", row_number().over(ow))
-      .orderBy("Demographic", "row_num")
-      .drop("row_num", "Display Order")
+    // Final ordering (144-153). The reference materializes a per-
+    // demographic row_number and sorts by it; sorting directly on the
+    // same key triple is row-identical and saves the window pass — one
+    // global range-partitioned sort instead of shuffle+sort+sort.
+    df.orderBy(col("Demographic").asc,
+        col("Display Order").asc_nulls_last, col("Category").asc)
+      .drop("Display Order")
   }
 }
