@@ -65,6 +65,16 @@ object Dedup {
     else (0 to words.length - k).map(i => words.slice(i, i + k).mkString(" "))
       .distinct.toArray
 
+  /** The text kernels are CPU-bound (~100 µs/doc); when the source is
+    * under-partitioned (single-row-group local files → one split) the
+    * kernel would run on one core. Rebalancing the narrow (id, text)
+    * projection is cheap relative to the kernel it parallelizes; on a
+    * cluster input with splits ≥ cores this is a no-op. */
+  private def widened(rdd: org.apache.spark.rdd.RDD[Row]): org.apache.spark.rdd.RDD[Row] = {
+    val target = rdd.sparkContext.defaultParallelism
+    if (rdd.getNumPartitions < target) rdd.repartition(target) else rdd
+  }
+
   /** Per-doc shingles + banded minhash keys, one mapPartitions pass.
     * Signature h = min md5("h<h>:" + shingle); band b = md5(sig_2b|sig_2b+1). */
   def withShinglesAndSigs(
@@ -75,7 +85,7 @@ object Dedup {
       StructField("id", LongType),
       StructField("shingles", ArrayType(StringType)),
       StructField("bandkeys", ArrayType(StringType))))
-    val rows = df.select(col(idCol).cast("long"), col(textCol)).rdd
+    val rows = widened(df.select(col(idCol).cast("long"), col(textCol)).rdd)
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { r =>
@@ -133,7 +143,7 @@ object Dedup {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("id", LongType), StructField("sig", LongType)))
-    val rows = df.select(col(idCol).cast("long"), col(textCol)).rdd
+    val rows = widened(df.select(col(idCol).cast("long"), col(textCol)).rdd)
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
