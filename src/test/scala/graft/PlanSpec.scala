@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Plan-shape regression tests: the scale properties SCALE.md documents,
+  * pinned as executable invariants. A change that un-pushes a filter,
+  * drops a broadcast, or introduces a cartesian product fails here long
+  * before it fails on a cluster.
+  */
+class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, d)
+    df.queryExecution.executedPlan
+  }
+
+  test("filter queries push predicates into the parquet scan") {
+    val plan = planOf("p03_filter_eq").toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"filter not pushed to scan:\n$plan")
+  }
+
+  test("star-schema revenue query broadcasts its dimension joins") {
+    val bhj = collectWithSubqueries(planOf("an_revenue_by_region")) {
+      case j: BroadcastHashJoinExec => j
+    }
+    // nation and region are explicitly broadcast; orders/customer may
+    // auto-broadcast at this fixture scale, so assert a lower bound
+    assert(bhj.size >= 2, "expected nation+region broadcast joins")
+  }
+
+  test("near-dup candidate generation never plans a cartesian product") {
+    Seq("dd_minhash_neardup", "dd_simhash_neardup", "dd_ngram_jaccard",
+      "dd_cosine_neardup").foreach { q =>
+      val cart = collectWithSubqueries(planOf(q)) {
+        case c: CartesianProductExec => c
+      }
+      assert(cart.isEmpty, s"$q plans a cartesian product")
+    }
+  }
+
+  test("single-pass rollup aggregates with exactly one pre-window shuffle pair") {
+    val shuffles = collectWithSubqueries(planOf("etl_rollup")) {
+      case e: ShuffleExchangeExec => e
+    }
+    // fixture rebalance + groupBy exchange + per-demographic window
+    // exchange + final sort: anything beyond that is a regression
+    assert(shuffles.size <= 4,
+      s"rollup gained extra shuffles: ${shuffles.size}")
+  }
+}
