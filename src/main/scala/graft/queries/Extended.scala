@@ -32,6 +32,25 @@ object Extended {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    // Set intersection — plans as a left-semi over distinct sets, one
+    // shuffle per side on the compared columns.
+    "o4_intersect" -> ((s, d) => {
+      val c = customer(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey").distinct()
+        .intersect(
+          c.filter(col("c_mktsegment") === "MACHINERY").select("c_nationkey").distinct())
+        .orderBy("c_nationkey")
+    }),
+
+    // Set difference — left-anti over distinct sets.
+    "o5_except" -> ((s, d) =>
+      customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_nationkey").distinct()
+        .except(
+          supplier(s, d).filter(col("s_acctbal") > 9000)
+            .select(col("s_nationkey").as("c_nationkey")).distinct())
+        .orderBy("c_nationkey")),
+
     // Subtotal hierarchy in ONE aggregation pass over the fact table:
     // (status, priority), (status), () — Spark expands grouping sets
     // before the single shuffle, no per-level rescan.
@@ -79,6 +98,16 @@ object Extended {
       ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) " +
         "ORDER BY c_custkey"),
+    "o4_intersect" ->
+      ("SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "INTERSECT " +
+        "SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY' " +
+        "ORDER BY c_nationkey"),
+    "o5_except" ->
+      ("SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "EXCEPT " +
+        "SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000 " +
+        "ORDER BY c_nationkey"),
     "an_rollup_sets" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
