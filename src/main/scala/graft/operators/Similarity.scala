@@ -70,12 +70,15 @@ object Similarity {
       if ((hex(0) & 1) == 1) 1.0 else -1.0
     }
 
-  /** LSH signature column: one bit per hyperplane (sign of the projection). */
+  /** LSH signature column: one bit per hyperplane (sign of the projection).
+    * Each projection is the codegen'd dot product against the literal
+    * plane vector — same left-fold as the interpreted
+    * `aggregate(zip_with(...))` form, minus per-element lambda dispatch
+    * (this runs planes× per row on the full table). */
   def lshSignature(vecCol: Column, signs: Array[Array[Double]]): Column = {
     val v = vecCol.cast("array<double>")
     signs.zipWithIndex.map { case (plane, p) =>
-      val proj = aggregate(
-        zip_with(v, typedlit(plane.toSeq), (x, s) => x * s), lit(0.0), _ + _)
+      val proj = dot(v, typedlit(plane.toSeq))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
