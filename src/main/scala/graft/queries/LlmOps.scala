@@ -59,18 +59,20 @@ object LlmOps {
         embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
         .orderBy("probe_id", "rank")),
 
-    // LSH-bucketed approximate top-5 — the 100 TB scale path. Not ANSI-SQL
-    // expressible (md5-derived hyperplanes), so no oracle: driver records
-    // the weaker rows-only check; recall is unit-tested in SimilaritySpec.
+    // LSH-bucketed approximate top-5 — the 100 TB scale path. Oracle-
+    // checked: the deterministic ±1 hyperplane matrix is embedded in the
+    // oracle SQL as literals, so DuckDB replays the exact same signature
+    // derivation (same left-fold projection order). Recall vs brute force
+    // is additionally unit-tested in SimilaritySpec.
     "sim_topk_lsh" -> ((s, d) =>
       Similarity.lshTopK(
         embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
         .orderBy("probe_id", "rank")),
 
-    // IVF-cell approximate top-5 — the inverted-file scale path. Like
-    // sim_topk_lsh, not ANSI-SQL expressible (cell assignment is a
-    // ranked argmin), so driver records the rows-only check; recall is
-    // unit-tested in SimilaritySpec.
+    // IVF-cell approximate top-5 — the inverted-file scale path. Oracle-
+    // checked: the deterministic codebook (first 16 vectors) and ranked
+    // cell assignment replay in SQL; recall is unit-tested in
+    // SimilaritySpec.
     "sim_topk_ivf" -> ((s, d) =>
       Similarity.ivfTopK(
         embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
@@ -165,6 +167,22 @@ object LlmOps {
   private val wordsCte =
     "SELECT doc_id, list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^a-z0-9 ]', ' ', 'g')), ' +'), x -> x <> '') AS ws FROM documents"
 
+  /** Left-fold dot product of two DuckDB double lists — the same
+    * accumulation order as graft_dot, so doubles match bit-for-bit. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i]*$b[i]), (p9,q9) -> p9+q9)"
+
+  /** The LSH signature expression with the deterministic ±1 hyperplane
+    * matrix (Similarity.hyperplaneSigns) embedded as literals, replaying
+    * Similarity.lshSignature exactly. */
+  private def duckLshSig(planes: Int, dims: Int): String =
+    graft.operators.Similarity.hyperplaneSigns(planes, dims).zipWithIndex
+      .map { case (plane, p) =>
+        val lit = plane.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"CASE WHEN ${duckDot("v", s"($lit)")} >= 0 THEN ${1L << p} ELSE 0 END"
+      }
+      .mkString("(", " + ", ")")
+
   def oracleSql: Map[String, String] = Map(
     "dd_exact_rownum" ->
       "SELECT doc_id, lang, source FROM documents QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1 ORDER BY doc_id",
@@ -214,6 +232,33 @@ object LlmOps {
         "scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id_n, " +
         "round(list_reduce(list_transform(range(1, 65), i -> p.v[i]*c.v[i]), (p2,q2) -> p2+q2) / (p.nm * c.nm), 6) AS score_r " +
         "FROM n p JOIN n c ON p.vec_id < 10 AND c.vec_id <> p.vec_id) " +
+        "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
+        "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
+    "sim_topk_lsh" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm, " +
+        duckLshSig(8, 64) + " AS sig FROM e), " +
+        "scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id_n, " +
+        "round(" + duckDot("p.v", "c.v") + " / (p.nm * c.nm), 6) AS score_r " +
+        "FROM n p JOIN n c ON p.vec_id < 10 AND p.sig = c.sig AND c.vec_id <> p.vec_id) " +
+        "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
+        "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
+    "sim_topk_ivf" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
+        "cents AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
+        // cell assignment: rank centroids by cosine, keep top `keep`
+        "assigned AS (SELECT vec_id, cent_id, v, nm FROM (" +
+        "SELECT n.vec_id, cents.cent_id, n.v, n.nm, " +
+        "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "cents.cv") + " / (n.nm * cents.cn) DESC, cents.cent_id ASC) AS cr " +
+        "FROM n, cents) WHERE cr <= 1), " +
+        "probes AS (SELECT vec_id AS probe_id, cent_id, v AS pv, nm AS pn FROM (" +
+        "SELECT n.vec_id, cents.cent_id, n.v, n.nm, " +
+        "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "cents.cv") + " / (n.nm * cents.cn) DESC, cents.cent_id ASC) AS cr " +
+        "FROM n, cents WHERE n.vec_id < 10) WHERE cr <= 4), " +
+        "scored AS (SELECT probes.probe_id, assigned.vec_id AS vec_id_n, " +
+        "round(" + duckDot("probes.pv", "assigned.v") + " / (probes.pn * assigned.nm), 6) AS score_r " +
+        "FROM assigned JOIN probes ON assigned.cent_id = probes.cent_id AND probes.probe_id <> assigned.vec_id) " +
         "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
         "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
     "ta_token_stats" ->
