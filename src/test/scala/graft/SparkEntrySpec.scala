@@ -15,9 +15,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
-  test("non-oracled queries are the documented SQL-inexpressible ones only") {
+  test("every query is oracle-checked") {
     val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(unoracled == Set("sim_topk_lsh", "sim_topk_ivf"),
-      s"unexpected unoracled: $unoracled")
+    assert(unoracled.isEmpty, s"unexpected unoracled: $unoracled")
   }
 }
