@@ -145,6 +145,19 @@ class SurveyPipelineSpec extends SparkSpec {
     assert(byCat("Unknown").getAs[String]("% of Survey Responses") == "33.33%")
   }
 
+  test("silver composes on partial schemas: absent columns skip their recodes") {
+    // only three survey columns present — every other recode/validity step
+    // must no-op instead of failing on missing columns (the reference's
+    // per-column try/except tolerance, Silver.whenPresent)
+    val partial = Seq(("1", "17", "Prefer not to say"))
+      .toDF("Response ID", "Age", "Gender")
+    val out = Silver.transform(partial, SurveyConfig.kingston)
+    val r = out.select("Age", "Gender").collect().head
+    assert(r.getString(0) === "10 to 17 years old")
+    assert(r.getString(1) === "Unknown")
+    assert(!out.columns.contains("Is_Invalid")) // validity inputs absent
+  }
+
   test("export discovers and writes city tables as single json+csv files") {
     val dir = java.nio.file.Files.createTempDirectory("gold").toString
     Seq(("Gender", "Male", 2L)).toDF("Demographic", "Category", "n")
