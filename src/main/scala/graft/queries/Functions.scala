@@ -205,6 +205,20 @@ object Functions {
         col("l_discount").cast("float").as("disc_f"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // F21 (extension) — semi-structured extraction: parse the JSON props
+    // column per row and aggregate the extracted field. get_json_object is
+    // codegen'd; at 100 TB prefer from_json with an explicit schema once
+    // the shape is known (single parse, typed struct, pruned fields).
+    "f21_json_extract" -> ((s, d) =>
+      events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     // U1 — likert dict lookup as a native map-literal + coalesce default-0;
     // replaces the reference's Python UDF (ref utils.py:159-181) with a
     // codegen-friendly expression — no JVM↔Python boundary.
@@ -284,6 +298,11 @@ object Functions {
         "WHEN o_orderpriority = '3-MEDIUM' THEN 0 WHEN o_orderpriority = '4-NOT SPECIFIED' THEN -1 " +
         "WHEN o_orderpriority = '5-LOW' THEN -2 ELSE 0 END AS likert FROM orders ORDER BY o_orderkey"),
     "u2_mojibake_repair" ->
-      "SELECT c_custkey, regexp_replace(regexp_replace(c_name || 'â€™s Ã', 'â€™', '''', 'g'), 'Ã', 'i', 'g') AS repaired FROM customer ORDER BY c_custkey"
+      "SELECT c_custkey, regexp_replace(regexp_replace(c_name || 'â€™s Ã', 'â€™', '''', 'g'), 'Ã', 'i', 'g') AS repaired FROM customer ORDER BY c_custkey",
+    "f21_json_extract" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "max(CAST(props->>'$.k' AS BIGINT)) AS max_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type")
   )
 }
