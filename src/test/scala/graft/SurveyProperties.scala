@@ -73,6 +73,20 @@ object SurveyProperties extends Properties("survey") {
       sums.forall(_ == n)
     }
 
+  property("single-pass rollup equals the per-demographic union") =
+    forAll(genRows) { rows =>
+      val s = silverOf(rows)
+      val (valid, _) = Gold.validSplit(s)
+      val singlePass = Gold.rollup(valid, cfg)
+        .collect().map(_.toSeq).toSet
+      val perDem = cfg.demographics
+        .map { case (c, n) => Gold.processDemographic(valid, c, n) }
+        .map(_.select(Gold.FinalColumns.map(col): _*))
+        .reduce(_ unionByName _)
+        .collect().map(_.toSeq).toSet
+      singlePass == perDem
+    }
+
   property("% of survey responses sums to ~100 over non-Unknown categories") =
     forAll(genRows) { rows =>
       val s = silverOf(rows)
