@@ -219,6 +219,22 @@ object Functions {
           max(col("k")).as("max_k"))
         .orderBy("event_type")),
 
+    // F22 (extension) — the typed JSON path: from_json with an explicit
+    // schema parses once into a struct (fields pruned at parse time),
+    // where f21's get_json_object re-parses per extraction. Same result,
+    // production plan shape.
+    "f22_from_json" -> ((s, d) =>
+      events(s, d)
+        .withColumn("p",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("p.k")).as("sum_k"),
+          max(col("p.k")).as("max_k"))
+        .orderBy("event_type")),
+
     // U1 — likert dict lookup as a native map-literal + coalesce default-0;
     // replaces the reference's Python UDF (ref utils.py:159-181) with a
     // codegen-friendly expression — no JVM↔Python boundary.
@@ -300,6 +316,11 @@ object Functions {
     "u2_mojibake_repair" ->
       "SELECT c_custkey, regexp_replace(regexp_replace(c_name || 'â€™s Ã', 'â€™', '''', 'g'), 'Ã', 'i', 'g') AS repaired FROM customer ORDER BY c_custkey",
     "f21_json_extract" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "max(CAST(props->>'$.k' AS BIGINT)) AS max_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "f22_from_json" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, " +
         "max(CAST(props->>'$.k' AS BIGINT)) AS max_k " +
