@@ -70,4 +70,42 @@ object Multimodal {
       col("doc_id"),
       expr(s"substring(content, ${offset + 1}, $len)").as("sample"),
       col("meta.n_bytes").as("n_bytes"))
+
+  /** Frame sampling as 1-to-N: `n` evenly spaced fixed-width slices per
+    * asset, one output row per frame — the output shape of real video
+    * frame extraction. Offsets are computed as columns and exploded;
+    * slicing never decodes, so the whole operator is a narrow map (the
+    * explode amplifies rows, never shuffles). */
+  def sampleFrames(assets: DataFrame, n: Int, frameLen: Int = 16): DataFrame = {
+    val offsets = sequence(
+      lit(0), lit(n - 1)).cast("array<int>") // frame indices 0..n-1
+    assets
+      .withColumn("frame_idx", explode(offsets))
+      .withColumn("__off",
+        (col("frame_idx").cast("long") *
+          greatest(col("meta.n_bytes") / n, lit(1L))).cast("int"))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        expr(s"substring(content, __off + 1, $frameLen)").as("frame_bytes"))
+  }
+
+  case class ResizedAsset(doc_id: Long, content: Array[Byte],
+      mime: String, n_bytes: Long)
+
+  /** Resize stub with the production signature: batched per-partition
+    * transform of payload bytes that also EVOLVES the metadata (new size,
+    * derived mime) — the part a column-level slice can't model. The byte
+    * transform itself (truncate) stands in for a codec re-encode. */
+  def resizeAssets(assets: DataFrame, maxBytes: Int): Dataset[ResizedAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("doc_id", "content", "meta.mime")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes, mime) =>
+          val out = if (bytes.length <= maxBytes) bytes else bytes.take(maxBytes)
+          ResizedAsset(id, out, mime + ";resized", out.length.toLong)
+        }
+      }
+  }
 }

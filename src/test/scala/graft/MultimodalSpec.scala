@@ -34,4 +34,24 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("doc_id") === 1).collect()(0)
     assert(new String(s.getAs[Array[Byte]]("sample"), "UTF-8") == "hello")
   }
+
+  test("sampleFrames explodes n evenly spaced slices per asset") {
+    val frames = Multimodal.sampleFrames(Multimodal.toAssets(docs), n = 3, frameLen = 4)
+      .filter(col("doc_id") === 1).orderBy("frame_idx").collect()
+    assert(frames.length == 3)
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2))
+    // n_bytes=11: even spacing floor(i*11/3) → offsets 0, 3, 7
+    assert(frames.map(f =>
+      new String(f.getAs[Array[Byte]]("frame_bytes"), "UTF-8")).toSeq ==
+      Seq("hell", "lo w", "orld"))
+  }
+
+  test("resizeAssets truncates payloads and evolves metadata") {
+    val out = Multimodal.resizeAssets(Multimodal.toAssets(docs), maxBytes = 5)
+      .collect().sortBy(_.doc_id)
+    assert(new String(out(0).content, "UTF-8") == "hello")
+    assert(out(0).n_bytes == 5L)
+    assert(out(0).mime == "text/plain;resized")
+    assert(out(1).n_bytes == 5L) // "bonjo"
+  }
 }
