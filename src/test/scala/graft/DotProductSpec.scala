@@ -43,4 +43,28 @@ class DotProductSpec extends SparkSpec {
       .collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("extensions deployment path installs graft_dot at session build") {
+    import org.apache.spark.sql.SparkSession
+    // spark.sql.extensions instantiates the class reflectively via its
+    // zero-arg constructor — pin that contract...
+    val ext = classOf[graft.expressions.GraftExtensions]
+      .getDeclaredConstructor().newInstance()
+    // ...and drive the same injection machinery through the public
+    // withExtensions builder on a genuinely new SparkSession.
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val fresh = SparkSession.builder().master("local[2]")
+        .withExtensions(ext).getOrCreate()
+      val r = fresh.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect()(0).getDouble(0)
+      assert(r == 11.0)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
 }
