@@ -75,12 +75,29 @@ object Dedup {
     if (rdd.getNumPartitions < target) rdd.repartition(target) else rdd
   }
 
+  /** Deterministic 60-bit permutation constants for minhash: one per hash
+    * function, md5-derived so both engines (and the oracle SQL, which
+    * embeds them as literals) agree byte-for-byte. */
+  private[graft] def permConstants(numHashes: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numHashes)(p =>
+      java.lang.Long.parseLong(md5Hex(md, s"perm$p").substring(0, 15), 16))
+  }
+
   /** Per-doc shingles + banded minhash keys, one mapPartitions pass.
-    * Signature h = min md5("h<h>:" + shingle); band b = md5(sig_2b|sig_2b+1). */
+    *
+    * Each shingle is content-hashed ONCE (md5 → 60-bit long); the
+    * `numHashes` signatures derive by XOR with per-function constants and
+    * a min-fold. At 100 TB the shingle hash is the dominant CPU line of
+    * near-dup — one digest per shingle instead of one per (shingle, hash
+    * fn) is an 8× cut with the same LSH guarantees (xor by a constant is
+    * a bijection, so min-over-xored-hashes is a valid minhash family).
+    * Band key b = md5(sig_2b "|" sig_2b+1). */
   def withShinglesAndSigs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame = {
     val spark = df.sparkSession
+    val perms = permConstants(numHashes)
     val outSchema = StructType(Seq(
       StructField("id", LongType),
       StructField("shingles", ArrayType(StringType)),
@@ -93,11 +110,20 @@ object Dedup {
           val sh = shingle(tokenize(text), k)
           if (sh.isEmpty) None
           else {
+            val hashes = sh.map(s =>
+              java.lang.Long.parseLong(md5Hex(md, s).substring(0, 15), 16))
             val sigs = Array.tabulate(numHashes) { h =>
-              sh.iterator.map(s => md5Hex(md, s"h$h:" + s)).min
+              var m = Long.MaxValue
+              var i = 0
+              while (i < hashes.length) {
+                val v = hashes(i) ^ perms(h)
+                if (v < m) m = v
+                i += 1
+              }
+              m
             }
             val bands = Array.tabulate(numHashes / 2) { b =>
-              md5Hex(md, sigs(2 * b) + "|" + sigs(2 * b + 1))
+              md5Hex(md, sigs(2 * b).toString + "|" + sigs(2 * b + 1).toString)
             }
             Some(Row(r.getLong(0), sh.toSeq, bands.toSeq))
           }

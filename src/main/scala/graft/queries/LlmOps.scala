@@ -191,10 +191,13 @@ object LlmOps {
     "dd_minhash_neardup" ->
       ("WITH w AS (" + wordsCte + "), " +
         "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [] ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) END AS shingles FROM w), " +
-        "s AS (SELECT doc_id, shingles, [" +
-        (0 until 8).map(h => s"list_aggregate(list_transform(shingles, x -> md5('h$h:' || x)), 'min')").mkString(", ") +
+        "s AS (SELECT doc_id, shingles, " +
+        "list_transform(shingles, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hashes, [" +
+        graft.operators.Dedup.permConstants(8)
+          .map(c => s"list_aggregate(list_transform(hashes, h -> xor(h, $c)), 'min')")
+          .mkString(", ") +
         "] AS sigs FROM sh WHERE len(shingles) > 0), " +
-        "bandrows AS (SELECT doc_id, b AS band_idx, md5(sigs[2*b+1] || '|' || sigs[2*b+2]) AS band_hash FROM s, unnest([0,1,2,3]) t(b)), " +
+        "bandrows AS (SELECT doc_id, b AS band_idx, md5(CAST(sigs[2*b+1] AS VARCHAR) || '|' || CAST(sigs[2*b+2] AS VARCHAR)) AS band_hash FROM s, unnest([0,1,2,3]) t(b)), " +
         "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bandrows x JOIN bandrows y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id) " +
         "SELECT c.a, c.b, CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter, " +
         "CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_union " +
