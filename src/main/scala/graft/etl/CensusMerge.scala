@@ -30,10 +30,13 @@ object CensusMerge {
 
     // census-only rows: fill totals from a non-null peer in the same
     // demographic (merge_census.py:29-39). The reference orders this window
-    // by the partition key itself, making "first non-null" depend on
-    // arbitrary row order; ordering by Census_Category instead is a
-    // deterministic refinement of the same semantics.
+    // by the partition key itself, which makes every row a frame peer — the
+    // fill may come from ANYWHERE in the partition. Keep that semantics with
+    // an explicit full-partition frame (the default RANGE frame would stop
+    // at the current row and miss donors that sort later), and order by
+    // Census_Category so WHICH donor wins is deterministic.
     val w = Window.partitionBy("Census_Demographic").orderBy("Census_Category")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val censusOnly = col("Rollup_Demographic").isNull && col("Rollup_Category").isNull
     df = df
       .withColumn("Total Responses",

@@ -188,7 +188,7 @@ object EtlQueries {
         |), f1 AS (
         |  SELECT c_dem, c_cat, census_pct_raw, display_order, r_dem, r_cat,
         |    CASE WHEN r_dem IS NULL AND r_cat IS NULL THEN
-        |      first_value(total_resp IGNORE NULLS) OVER (PARTITION BY c_dem ORDER BY c_cat)
+        |      first_value(total_resp IGNORE NULLS) OVER (PARTITION BY c_dem ORDER BY c_cat ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |    ELSE total_resp END AS total_f,
         |    CASE WHEN r_dem IS NULL AND r_cat IS NULL THEN 0 ELSE n_resp END AS n_resp_f,
         |    CASE WHEN r_dem IS NULL AND r_cat IS NULL THEN '0' ELSE pct_resp END AS pct_f,
