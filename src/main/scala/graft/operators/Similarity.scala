@@ -109,27 +109,41 @@ object Similarity {
 
   /** IVF-style approximate top-k: vectors partition into coarse cells
     * (nearest centroid by cosine), probes search only their `nprobe`
-    * closest cells. At 100 TB the big side shuffles once by cell id and
-    * each probe touches a bounded candidate set — the classic
-    * inverted-file trade. Centroids here are the first `centroids` vectors
-    * (deterministic stand-in for a k-means codebook; swap in trained
-    * centroids without changing the plan shape). */
+    * closest cells. The codebook (`centroids` vectors) is tiny — pulled to
+    * the driver once and inlined as literals, so cell assignment is a
+    * NARROW per-row expression: build `array<struct<negsim, cent_id>>`,
+    * `sort_array` (ascending negsim = cosine desc, ties cent_id asc — the
+    * exact ordering the oracle's row_number replays), `slice` the best
+    * `keep`, `explode`. No row amplification, no argmax shuffle; the only
+    * exchange in the whole job is above the probe join. At 100 TB that is
+    * the difference between a map stage and shuffling a 16×-amplified
+    * corpus. Centroids default to the first `centroids` vectors; pass
+    * [[trainCodebook]]'s output for a k-means codebook — the plan shape is
+    * identical either way. */
   def ivfTopK(
       emb: DataFrame, idCol: String, vecCol: String,
-      probePred: Column, k: Int, centroids: Int = 16, nprobe: Int = 4): DataFrame = {
+      probePred: Column, k: Int, centroids: Int = 16, nprobe: Int = 4,
+      codebookOpt: Option[Array[(Long, Seq[Double], Double)]] = None): DataFrame = {
     val base = withNorm(emb, vecCol)
-    val cents = base.filter(col(idCol) < centroids).select(
-      col(idCol).as("cent_id"), col("__vd").as("__cd"), col("__norm").as("__cn"))
-    def cellAssign(df: DataFrame, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(cents), lit(true))
-        .withColumn("__csim",
-          dot(col("__vd"), col("__cd")) / (col("__norm") * col("__cn")))
-      val w = Window.partitionBy(idCol)
-        .orderBy(col("__csim").desc, col("cent_id").asc)
-      scored.withColumn("__crank", row_number().over(w))
-        .filter(col("__crank") <= keep)
-        .drop("__cd", "__cn", "__csim", "__crank")
+    val codebook: Array[(Long, Seq[Double], Double)] = codebookOpt.getOrElse {
+      // one tiny driver fetch (centroids × dims doubles) — a model
+      // artifact, not data; same role as the literal hyperplanes in LSH
+      base.filter(col(idCol) < centroids)
+        .select(col(idCol).cast("long"), col("__vd"), col("__norm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1)
     }
+    require(codebook.nonEmpty, "ivfTopK: empty codebook")
+    val cellsRanked: Column = sort_array(array(codebook.map {
+      case (cid, vec, nrm) =>
+        val sim = dot(col("__vd"), typedlit(vec)) / (col("__norm") * lit(nrm))
+        struct((-sim).as("negsim"), lit(cid).as("cent_id"))
+    }: _*))
+    def cellAssign(df: DataFrame, keep: Int): DataFrame =
+      df.withColumn("__cand", explode(slice(cellsRanked, 1, keep)))
+        .withColumn("cent_id", col("__cand.cent_id"))
+        .drop("__cand")
     val assigned = cellAssign(base, 1)
       .select(col(idCol), col("cent_id"), col("__vd"), col("__norm"))
     val probes = cellAssign(base.filter(probePred), nprobe).select(

@@ -44,6 +44,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("ivf cell assignment is narrow: no shuffle below or beside the probe join") {
+    val plan = planOf("sim_topk_ivf")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "expected broadcast probe join")
+    // the old crossjoin×16 + row_number argmax put 2+ shuffles (and a
+    // nested-loop join) BELOW the probe join; the narrow argmax leaves
+    // only the top-k window + final sort — both above it
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2,
+      s"ivf gained shuffles below the probe join: ${shuffles.size}")
+    val nlj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nlj.isEmpty, "cell assignment regressed to a crossjoin")
+  }
+
   test("single-pass rollup aggregates with exactly one pre-window shuffle pair") {
     val shuffles = collectWithSubqueries(planOf("etl_rollup")) {
       case e: ShuffleExchangeExec => e
