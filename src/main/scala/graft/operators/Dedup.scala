@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -138,8 +138,12 @@ object Dedup {
   def minhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 8): DataFrame = {
-    val docs = withShinglesAndSigs(df, idCol, textCol, k, numHashes).persist()
-    docs.count() // materialize once; every branch below reuses the cache
+    // No materialization inside the operator: caching the shingle arrays
+    // (larger than the corpus) would spill the whole input to executor
+    // disk at 100 TB. The three consumers below recompute the narrow
+    // kernel; at scale, checkpoint withShinglesAndSigs' output to parquet
+    // OUTSIDE this function if the kernel dominates (SCALE.md §dedup).
+    val docs = withShinglesAndSigs(df, idCol, textCol, k, numHashes)
     val banded = docs.select(
       col(idCol), posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
     // Shuffle key is (band_idx, band_hash): same-bucket docs co-locate, so
@@ -195,36 +199,105 @@ object Dedup {
     spark.createDataFrame(rows, outSchema).withColumnRenamed("id", idCol)
   }
 
-  /** SimHash near-dup: docs bucket by the high half of their 32-bit
-    * simhash signature (same shuffle-by-bucket shape as minhash LSH), and
-    * same-bucket pairs within the given Hamming distance are emitted. */
-  def simhashNearDupPairs(
-      df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
-      .withColumn("bucket", shiftright(col("sig"), 16))
-      .persist()
-    sigs.count()
-    val a = sigs.select(col("bucket"), col(idCol).as("a"), col("sig").as("siga"))
-    val b = sigs.select(col("bucket"), col(idCol).as("b"), col("sig").as("sigb"))
-    a.join(b, "bucket").filter(col("a") < col("b"))
-      .withColumn("hamming",
-        bit_count(expr("siga ^ sigb")).cast("int"))
+  /** 64-bit simhash signatures, same one-pass kernel as
+    * [[simhashSignatures]]: bits 0..31 hash from the first 8 md5 hex
+    * chars of each word, bits 32..63 from the next 8 (two 32-bit parses —
+    * both engines stay in signed-64 range, unlike a single 16-hex-char
+    * parse). 64 bits is the standard fingerprint width (Manku et al.,
+    * WWW'07): at web scale, 32 bits collide too often for Hamming
+    * thresholds to mean anything. */
+  def simhashSignatures64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("sig", LongType)))
+    val rows = widened(df.select(col(idCol).cast("long"), col(textCol)).rdd)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val text = if (r.isNullAt(1)) "" else r.getString(1)
+          val counts = new Array[Long](64)
+          tokenize(text).foreach { w =>
+            val hex = md5Hex(md, w)
+            val lo = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+            val hi = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+            var j = 0
+            while (j < 32) {
+              counts(j) += ((lo >> j) & 1L) * 2 - 1
+              counts(j + 32) += ((hi >> j) & 1L) * 2 - 1
+              j += 1
+            }
+          }
+          var sig = 0L
+          var j = 0
+          while (j < 64) {
+            if (counts(j) > 0) sig |= 1L << j
+            j += 1
+          }
+          Row(r.getLong(0), sig)
+        }
+      }
+    spark.createDataFrame(rows, outSchema).withColumnRenamed("id", idCol)
+  }
+
+  /** Pigeonhole candidate generation + exact Hamming verify over 64-bit
+    * signatures (`sigs` must have columns (idCol, sig)).
+    *
+    * The signature splits into B = maxHamming + 3 contiguous blocks; a
+    * pair within Hamming distance maxHamming has ≥ 3 clean blocks, so it
+    * matches EXACTLY on at least one of the C(B, 3) three-block key
+    * tables — candidate generation is lossless for the threshold (that is
+    * why the oracle can be brute-force all-pairs). Each key packs three
+    * ≤16-bit block values into one long; docs shuffle by (table, key), an
+    * O(n·C(B,3)) narrow emit, and only same-key docs pair up. Bucket
+    * cardinality is 2^(3·64/B) (~2^32 for maxHamming=3) — bounded
+    * in-bucket quadratics at any corpus size, unlike bucketing on a
+    * single 16-bit slice. */
+  def simhashPairsFromSigs(
+      sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming + 3 <= 16,
+      s"maxHamming out of range: $maxHamming")
+    val nBlocks = maxHamming + 3
+    val base = 64 / nBlocks
+    val widths = Array.tabulate(nBlocks)(i => if (i < 64 % nBlocks) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(i: Int): Column =
+      shiftrightunsigned(col("sig"), offsets(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1))
+    val keys = array((0 until nBlocks).combinations(3).map { c =>
+      block(c(0))
+        .bitwiseOR(shiftleft(block(c(1)), 16))
+        .bitwiseOR(shiftleft(block(c(2)), 32))
+    }.toSeq: _*)
+    val keyed = sigs.select(
+      col(idCol), col("sig"), posexplode(keys).as(Seq("tbl", "key")))
+    val x = keyed.select(col("tbl"), col("key"), col(idCol).as("a"), col("sig").as("siga"))
+    val y = keyed.select(col("tbl"), col("key"), col(idCol).as("b"), col("sig").as("sigb"))
+    x.join(y, Seq("tbl", "key")).filter(col("a") < col("b"))
+      .select("a", "b", "siga", "sigb").distinct()
+      .withColumn("hamming", bit_count(expr("siga ^ sigb")).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
   }
+
+  /** SimHash near-dup over 64-bit signatures with pigeonhole banding —
+    * full recall at the Hamming threshold, bounded buckets (see
+    * [[simhashPairsFromSigs]]). */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(simhashSignatures64(df, idCol, textCol), idCol, maxHamming)
 
   /** n-gram Jaccard near-dup with cheap exact-prefix blocking: candidates
     * share md5(prefix) buckets, then exact shingle Jaccard verifies. */
   def prefixBlockedJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       prefixLen: Int = 50, k: Int = 2): DataFrame = {
+    // no persist: same rationale as minhashNearDupPairs — never cache a
+    // corpus-sized intermediate inside the operator
     val base = withShinglesAndSigs(df, idCol, textCol, k, numHashes = 2)
       .drop("bandkeys")
       .join(df.select(col(idCol),
         md5(substring(col(textCol), 1, prefixLen)).as("blk")), idCol)
-      .persist()
-    base.count()
     val a = base.select(col("blk"), col(idCol).as("a"), col("shingles").as("sha"))
     val b = base.select(col("blk"), col(idCol).as("b"), col("shingles").as("shb"))
     a.join(b, "blk").filter(col("a") < col("b"))

@@ -37,7 +37,9 @@ object LlmOps {
       Dedup.minhashNearDupPairs(documents(s, d), "doc_id", "text")
         .orderBy("a", "b")),
 
-    // SimHash near-dup: bucket by signature high bits, Hamming-filter pairs
+    // SimHash near-dup: 64-bit signatures, pigeonhole-banded candidates
+    // (lossless at the Hamming threshold), exact Hamming verify. The
+    // oracle is brute-force all-pairs, so it checks recall independently.
     "dd_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDupPairs(documents(s, d), "doc_id", "text")
         .orderBy("a", "b")),
@@ -132,6 +134,15 @@ object LlmOps {
         .withColumnRenamed("sig", "simhash")
         .orderBy("doc_id")),
 
+    // 64-bit simhash, exposed as two unsigned 32-bit halves (the oracle
+    // can't build a signed 64-bit literal without shift overflow)
+    "ta_simhash64" -> ((s, d) =>
+      Dedup.simhashSignatures64(documents(s, d), "doc_id", "text")
+        .select(col("doc_id"),
+          shiftrightunsigned(col("sig"), 32).as("sig_hi"),
+          col("sig").bitwiseAND(lit(0xFFFFFFFFL)).as("sig_lo"))
+        .orderBy("doc_id")),
+
     // Multimodal: binary payload + typed meta, features via column ops
     "mm_binary_features" -> ((s, d) =>
       Multimodal.toAssets(documents(s, d)).select(
@@ -172,6 +183,14 @@ object LlmOps {
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> $a[i]*$b[i]), (p9,q9) -> p9+q9)"
 
+  /** 32 simhash bits from 8 md5 hex chars starting at `from` (1-based):
+    * per bit j, ±1 word contributions sum and the bit sets when positive —
+    * replays one half of Dedup.simhashSignatures64. */
+  private def duckSimhash32(from: String): String =
+    "CAST(list_sum(list_transform(range(0, 32), j -> " +
+      s"CASE WHEN list_sum(list_transform(ws, x -> ((CAST('0x' || substr(md5(x), $from, 8) AS BIGINT) >> j) & 1) * 2 - 1)) > 0 " +
+      "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"
+
   /** The LSH signature expression with the deterministic ±1 hyperplane
     * matrix (Similarity.hyperplaneSigns) embedded as literals, replaying
     * Similarity.lshSignature exactly. */
@@ -204,19 +223,24 @@ object LlmOps {
         "FROM cand c JOIN s sa ON c.a = sa.doc_id JOIN s sb ON c.b = sb.doc_id " +
         "WHERE len(list_intersect(sa.shingles, sb.shingles)) * 2 >= len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) " +
         "ORDER BY a, b"),
+    // brute-force all-pairs oracle: pigeonhole banding is lossless at the
+    // Hamming threshold, so the oracle checks RECALL independently rather
+    // than replaying the bucketing (a replayed oracle would mask misses)
     "dd_simhash_neardup" ->
       ("WITH w AS (" + wordsCte + "), sig AS (" +
-        "SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j -> " +
-        "CASE WHEN list_sum(list_transform(ws, x -> ((CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) >> j) & 1) * 2 - 1)) > 0 " +
-        "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sig FROM w) " +
-        "SELECT a.doc_id AS a, b.doc_id AS b, CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming " +
-        "FROM sig a JOIN sig b ON (a.sig >> 16) = (b.sig >> 16) AND a.doc_id < b.doc_id " +
-        "WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY a, b"),
+        "SELECT doc_id, " + duckSimhash32("1") + " AS lo, " +
+        duckSimhash32("9") + " AS hi FROM w) " +
+        "SELECT a.doc_id AS a, b.doc_id AS b, " +
+        "CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming " +
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3 ORDER BY a, b"),
     "dd_ngram_jaccard" ->
       ("WITH w AS (" + wordsCte + "), " +
         "base AS (SELECT d.doc_id, md5(substring(d.text, 1, 50)) AS blk, " +
-        "CASE WHEN len(w.ws) < 2 THEN [] ELSE list_distinct(list_transform(range(1, len(w.ws)), i -> array_to_string(w.ws[i:i+1], ' '))) END AS sh " +
-        "FROM documents d JOIN w ON d.doc_id = w.doc_id) " +
+        "list_distinct(list_transform(range(1, len(w.ws)), i -> array_to_string(w.ws[i:i+1], ' '))) AS sh " +
+        // sub-k-token docs have no shingles and are dropped on the Spark
+        // side (withShinglesAndSigs emits nothing); exclude them here too
+        "FROM documents d JOIN w ON d.doc_id = w.doc_id WHERE len(w.ws) >= 2) " +
         "SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, " +
         "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter, " +
         "CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union " +
@@ -296,6 +320,10 @@ object LlmOps {
         "SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j -> " +
         "CASE WHEN list_sum(list_transform(ws, x -> ((CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) >> j) & 1) * 2 - 1)) > 0 " +
         "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash FROM w ORDER BY doc_id"),
+    "ta_simhash64" ->
+      ("WITH w AS (" + wordsCte + ") " +
+        "SELECT doc_id, " + duckSimhash32("9") + " AS sig_hi, " +
+        duckSimhash32("1") + " AS sig_lo FROM w ORDER BY doc_id"),
     "mm_binary_features" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, 'text/plain' AS mime, " +
         "md5(text) AS content_md5, lower(hex(substring(text, 1, 8)::BLOB)) AS head_hex " +

@@ -36,4 +36,41 @@ class DedupSpec extends SparkSpec {
     assert(pairs.length == 1)
     assert(pairs(0).getAs[Long]("n_inter") == pairs(0).getAs[Long]("n_union"))
   }
+
+  test("simhash pigeonhole finds pairs differing only in high bits " +
+    "(regression: single high-slice bucketing missed these)") {
+    val base = 0x0123456789abcdefL
+    val sigs = Seq(
+      (1L, base),
+      (2L, base ^ (1L << 63) ^ (1L << 48)), // hamming 2, high half only
+      (3L, base ^ (1L << 0) ^ (1L << 31) ^ (1L << 63)), // hamming 3, spread
+      (4L, base ^ 0x0f0f0f0fL) // hamming 16 — beyond threshold
+    ).toDF("doc_id", "sig")
+    val pairs = Dedup.simhashPairsFromSigs(sigs, "doc_id", 3)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    // (2,3): xor = bit48 ^ bit0 ^ bit31 -> hamming 3, also within threshold
+    assert(pairs == Set((1L, 2L, 2), (1L, 3L, 3), (2L, 3L, 3)))
+  }
+
+  test("simhash pigeonhole recall equals brute force on random signatures") {
+    val rnd = new scala.util.Random(7)
+    val baseSigs = Seq.tabulate(120)(i => (i.toLong, rnd.nextLong()))
+    // plant near-dups at Hamming 1..3, flip positions anywhere in 64 bits
+    val planted = (0 until 24).map { i =>
+      val (_, sig) = baseSigs(i * 5)
+      val flips = 1 + i % 3
+      val flipped = (0 until flips).foldLeft(sig)((s, _) =>
+        s ^ (1L << rnd.nextInt(64)))
+      (1000L + i, flipped)
+    }
+    val all = baseSigs ++ planted
+    val expected = (for {
+      (a, sa) <- all; (b, sb) <- all
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
+    assert(expected.nonEmpty, "fixture must plant at least one near pair")
+    val got = Dedup.simhashPairsFromSigs(all.toDF("doc_id", "sig"), "doc_id", 3)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got == expected)
+  }
 }
