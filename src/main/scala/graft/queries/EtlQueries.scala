@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.etl.{Gold, Silver, SurveyConfig, SurveyFixture}
+import graft.etl.{Bronze, Gold, Silver, SurveyConfig, SurveyFixture}
 
 /** End-to-end survey-pipeline queries (SURVEY.md §2.10): the synthetic
   * survey frame (SurveyFixture) flows through the real Silver transform and
@@ -41,7 +41,40 @@ object EtlQueries {
       (SurveyConfig.kingston.demographics.map(_._1) ++
         Seq("Is_Invalid", "Survey Date Submitted")).map(col): _*)
 
+  /** Checked-in survey CSV fixtures (FIXTURES.md §B). Absolute path: the
+    * bronze stage is driven by files, not the sf parquet dir, and both the
+    * Spark side and the DuckDB oracle must resolve them regardless of cwd. */
+  private val FixtureDir = "/root/repo/src/test/resources/fixtures"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bronze ingest (ref extract_alchemer_data.py:8-58): union-by-name of
+    // the online/offline CSV extracts with "Offline #" id prefixing and
+    // the validated Q5: Gender -> Gender rename. all-string read so the
+    // DuckDB oracle (read_csv all_varchar) sees identical types.
+    "etl_bronze" -> ((s, _) => {
+      def read(name: String) =
+        s.read.option("header", "true").csv(s"$FixtureDir/$name")
+      val renames = read("config_renames.csv").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      Bronze.ingest(read("survey_online.csv"), read("survey_offline.csv"),
+        SurveyConfig.kingston.copy(colsToRename = renames))
+        .select(
+          col("Response ID").as("resp_id"),
+          col("Time Started").as("time_started"), // online-only: null-padded
+          col("Survey Completed?").as("completed"),
+          col("Survey Link Used").as("link"),
+          col("Alchemer Admin Comments").as("admin"),
+          col("IP Address - Country").as("country"),
+          col("Age").as("age"),
+          col("Gender").as("gender"), // renamed from "Q5: Gender"
+          col("Race/Ethnicity").as("race"),
+          col("Household Income").as("income"),
+          col("Survey Language").as("language"),
+          col("CM Name").as("cm"),
+          col("Internal Notes").as("internal_notes")) // online-only
+        .orderBy("resp_id")
+    }),
+
     // Silver recodes + Is_Invalid precedence over every branch
     "etl_silver_flags" -> ((s, d) =>
       silver(s, d).select(
@@ -224,7 +257,28 @@ object EtlQueries {
         |  (SELECT strftime(max(o_orderdate + INTERVAL 25 MINUTE), '%m/%d/%Y') FROM orders) AS last_updated
         |FROM f6 ORDER BY demographic, display_order NULLS LAST, category""".stripMargin
 
+  /** Bronze oracle: DuckDB replays the union-by-name + "Offline #" prefix
+    * over the same checked-in CSVs (all_varchar ≡ Spark's no-inferSchema
+    * all-string read; empty CSV fields are NULL in both engines). */
+  private val bronzeSql: String =
+    s"""WITH online AS (
+      |  SELECT * FROM read_csv('$FixtureDir/survey_online.csv', header=true, all_varchar=true)
+      |), offline AS (
+      |  SELECT * REPLACE ('Offline #' || "Response ID" AS "Response ID")
+      |  FROM read_csv('$FixtureDir/survey_offline.csv', header=true, all_varchar=true)
+      |), merged AS (
+      |  SELECT * FROM online UNION ALL BY NAME SELECT * FROM offline
+      |)
+      |SELECT "Response ID" AS resp_id, "Time Started" AS time_started,
+      |  "Survey Completed?" AS completed, "Survey Link Used" AS link,
+      |  "Alchemer Admin Comments" AS admin, "IP Address - Country" AS country,
+      |  "Age" AS age, "Q5: Gender" AS gender, "Race/Ethnicity" AS race,
+      |  "Household Income" AS income, "Survey Language" AS language,
+      |  "CM Name" AS cm, "Internal Notes" AS internal_notes
+      |FROM merged ORDER BY resp_id""".stripMargin.replaceAll("\\s+", " ")
+
   def oracleSql: Map[String, String] = Map(
+    "etl_bronze" -> bronzeSql,
     "etl_census_merge" -> censusMergeSql.replaceAll("\\s+", " "),
     "etl_silver_flags" ->
       (silverCte +
