@@ -18,17 +18,33 @@ object Bench {
     // full fresh re-execution. Plans are rebuilt from scratch for the
     // timed run, so all scans/shuffles/aggregations re-execute — only
     // JVM-level compilation is warm, which is the steady state a
-    // long-lived cluster session runs in.
+    // long-lived cluster session runs in ("warm":true marks the method).
     val results = SparkEntry.queries.map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warm-up of $name failed: ${e.getMessage}")
+      }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] timed run of $name failed: ${e.getMessage}")
+          -1L
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","warm":true,"queries":$qs,"sf":"$sfDir"}"""
+    // stdout for the driver's log capture AND a file: the driver keeps only
+    // the log *tail*, which has truncated long JSON lines before.
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -83,13 +83,21 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Embedding width, from one row of the (already-loaded) table — a tiny
+    * driver fetch, same role as pulling the IVF codebook: hyperplanes are a
+    * model artifact sized to the data, not a hardcoded guess. */
+  def embeddingDims(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol))).head().getInt(0)
+
   /** Approximate top-k: candidates = same LSH bucket. Returns the same
-    * shape as [[bruteForceTopK]]; recall depends on bucket granularity. */
+    * shape as [[bruteForceTopK]]; recall depends on bucket granularity.
+    * `dims <= 0` derives the hyperplane width from the data (one-row
+    * probe); passing it explicitly avoids the probe job on hot paths. */
   def lshTopK(
       emb: DataFrame, idCol: String, vecCol: String,
-      probePred: Column, k: Int, planes: Int = 8): DataFrame = {
-    val dims = 64
-    val signs = hyperplaneSigns(planes, dims)
+      probePred: Column, k: Int, planes: Int = 8, dims: Int = 0): DataFrame = {
+    val d = if (dims > 0) dims else embeddingDims(emb, vecCol)
+    val signs = hyperplaneSigns(planes, d)
     val base = withNorm(emb, vecCol)
       .withColumn("__sig", lshSignature(col(vecCol), signs))
     val probes = base.filter(probePred).select(

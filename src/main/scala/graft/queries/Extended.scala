@@ -86,6 +86,22 @@ object Extended {
           round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.9)"), 4).as("p90"),
           count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // The 100 TB path, oracle-anchored: percentile_approx buffers a
+    // bounded sketch (mergeable map-side partial → no per-group value
+    // buffering, unlike exact `percentile`). Accuracy 1e6 makes the rank
+    // error < 1 row below 1M rows/group, so the sketch provably returns
+    // the element at rank ceil(q·n) — which is what the oracle replays
+    // with an explicit row_number, keeping the check tolerance-free. At
+    // real scale, lower the accuracy: the plan shape is identical.
+    "an_group_percentile_approx" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile_approx(value, 0.5, 1000000)"), 4).as("p50a"),
+          round(expr("percentile_approx(value, 0.9, 1000000)"), 4).as("p90a"),
+          count(lit(1)).as("n"))
         .orderBy("event_type"))
   )
 
@@ -123,6 +139,16 @@ object Extended {
     "an_group_percentile" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, " +
         "round(quantile_cont(value, 0.9), 4) AS p90, count(*) AS n " +
-        "FROM events GROUP BY event_type ORDER BY event_type")
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    // replays rank = ceil(q*n) explicitly (convention-proof vs
+    // quantile_disc's interpolation choice)
+    "an_group_percentile_approx" ->
+      ("WITH r AS (SELECT event_type, value, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM events) " +
+        "SELECT event_type, " +
+        "round(max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN value END), 4) AS p50a, " +
+        "round(max(CASE WHEN rn = CAST(ceil(0.9*n) AS BIGINT) THEN value END), 4) AS p90a, " +
+        "count(*) AS n FROM r GROUP BY event_type ORDER BY event_type")
   )
 }
