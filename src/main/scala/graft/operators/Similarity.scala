@@ -62,11 +62,14 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane matrix derived from md5 — no RNG, fully
-    * reproducible across runs/engines. planes × dims. */
-  def hyperplaneSigns(planes: Int, dims: Int): Array[Array[Double]] =
+    * reproducible across runs/engines. planes × dims. `table` seeds an
+    * independent matrix per LSH table (table 0 keeps the original seed so
+    * single-table results are unchanged). */
+  def hyperplaneSigns(planes: Int, dims: Int, table: Int = 0): Array[Array[Double]] =
     Array.tabulate(planes, dims) { (p, i) =>
+      val seed = if (table == 0) s"plane$p:dim$i" else s"t$table:plane$p:dim$i"
       val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"plane$p:dim$i".getBytes("UTF-8"))
+        .digest(seed.getBytes("UTF-8"))
       if ((hex(0) & 1) == 1) 1.0 else -1.0
     }
 
@@ -89,25 +92,39 @@ object Similarity {
   def embeddingDims(emb: DataFrame, vecCol: String): Int =
     emb.select(size(col(vecCol))).head().getInt(0)
 
-  /** Approximate top-k: candidates = same LSH bucket. Returns the same
-    * shape as [[bruteForceTopK]]; recall depends on bucket granularity.
+  /** Approximate top-k: candidates = same LSH bucket in ANY of `tables`
+    * independent signature tables (multi-table LSH — the standard recall
+    * repair for hyperplane signatures: one table's recall decays with
+    * planes, L tables union their candidate sets). Returns the same shape
+    * as [[bruteForceTopK]].
+    *
+    * Scale shape: the big side explodes to n·tables narrow rows (a map),
+    * probes broadcast, so candidate generation is shuffle-free; the only
+    * exchanges are the distinct on (probe, candidate, score) triples —
+    * cross-table dedup over NARROW columns, never vectors — and the
+    * final per-probe rank.
+    *
     * `dims <= 0` derives the hyperplane width from the data (one-row
     * probe); passing it explicitly avoids the probe job on hot paths. */
   def lshTopK(
       emb: DataFrame, idCol: String, vecCol: String,
-      probePred: Column, k: Int, planes: Int = 8, dims: Int = 0): DataFrame = {
+      probePred: Column, k: Int, planes: Int = 8, dims: Int = 0,
+      tables: Int = 1): DataFrame = {
     val d = if (dims > 0) dims else embeddingDims(emb, vecCol)
-    val signs = hyperplaneSigns(planes, d)
-    val base = withNorm(emb, vecCol)
-      .withColumn("__sig", lshSignature(col(vecCol), signs))
-    val probes = base.filter(probePred).select(
-      col(idCol).as("probe_id"), col("__sig").as("__psig"),
-      col("__vd").as("__pd"), col("__norm").as("__pn"))
-    // Bucket join: shuffle by signature, candidates bounded per bucket.
-    val scored = base.join(probes,
-        col("__psig") === col("__sig") && col("probe_id") =!= col(idCol))
+    val sigCols = Array.tabulate(tables)(t =>
+      lshSignature(col(vecCol), hyperplaneSigns(planes, d, t)))
+    val banded = withNorm(emb, vecCol).select(
+      col(idCol), col("__vd"), col("__norm"),
+      posexplode(array(sigCols.toSeq: _*)).as(Seq("__tbl", "__sig")))
+    val probes = banded.filter(probePred).select(
+      col(idCol).as("probe_id"), col("__vd").as("__pd"),
+      col("__norm").as("__pn"), col("__tbl"), col("__sig"))
+    val scored = banded.join(broadcast(probes), Seq("__tbl", "__sig"))
+      .filter(col("probe_id") =!= col(idCol))
       .withColumn("score_r",
         round(dot(col("__pd"), col("__vd")) / (col("__pn") * col("__norm")), 6))
+      .select(col("probe_id"), col(idCol), col("score_r"))
+      .distinct()
     val w = Window.partitionBy("probe_id")
       .orderBy(col("score_r").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))

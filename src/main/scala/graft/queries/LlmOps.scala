@@ -61,14 +61,17 @@ object LlmOps {
         embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
         .orderBy("probe_id", "rank")),
 
-    // LSH-bucketed approximate top-5 — the 100 TB scale path. Oracle-
-    // checked: the deterministic ±1 hyperplane matrix is embedded in the
-    // oracle SQL as literals, so DuckDB replays the exact same signature
-    // derivation (same left-fold projection order). Recall vs brute force
-    // is additionally unit-tested in SimilaritySpec.
+    // Multi-table LSH approximate top-5 — the 100 TB scale path: 4
+    // independent hyperplane tables union their candidate buckets
+    // (single-table recall decays with plane count; L tables is the
+    // standard repair). Oracle-checked: all 4 deterministic ±1 matrices
+    // are embedded in the oracle SQL as literals, so DuckDB replays the
+    // exact same signature derivations (same left-fold projection order).
+    // Recall vs brute force is additionally unit-tested in SimilaritySpec.
     "sim_topk_lsh" -> ((s, d) =>
       Similarity.lshTopK(
-        embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
+        embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5,
+        planes = 8, dims = 64, tables = 4)
         .orderBy("probe_id", "rank")),
 
     // IVF-cell approximate top-5 — the inverted-file scale path. Oracle-
@@ -192,10 +195,10 @@ object LlmOps {
       "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"
 
   /** The LSH signature expression with the deterministic ±1 hyperplane
-    * matrix (Similarity.hyperplaneSigns) embedded as literals, replaying
-    * Similarity.lshSignature exactly. */
-  private def duckLshSig(planes: Int, dims: Int): String =
-    graft.operators.Similarity.hyperplaneSigns(planes, dims).zipWithIndex
+    * matrix (Similarity.hyperplaneSigns, table-seeded) embedded as
+    * literals, replaying Similarity.lshSignature exactly. */
+  private def duckLshSig(planes: Int, dims: Int, table: Int = 0): String =
+    graft.operators.Similarity.hyperplaneSigns(planes, dims, table).zipWithIndex
       .map { case (plane, p) =>
         val lit = plane.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
         s"CASE WHEN ${duckDot("v", s"($lit)")} >= 0 THEN ${1L << p} ELSE 0 END"
@@ -264,10 +267,12 @@ object LlmOps {
     "sim_topk_lsh" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm, " +
-        duckLshSig(8, 64) + " AS sig FROM e), " +
-        "scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id_n, " +
+        (0 until 4).map(t => duckLshSig(8, 64, t) + s" AS sig$t").mkString(", ") +
+        " FROM e), " +
+        "scored AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS vec_id_n, " +
         "round(" + duckDot("p.v", "c.v") + " / (p.nm * c.nm), 6) AS score_r " +
-        "FROM n p JOIN n c ON p.vec_id < 10 AND p.sig = c.sig AND c.vec_id <> p.vec_id) " +
+        "FROM n p JOIN n c ON p.vec_id < 10 AND c.vec_id <> p.vec_id AND (" +
+        (0 until 4).map(t => s"p.sig$t = c.sig$t").mkString(" OR ") + ")) " +
         "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
         "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
     "sim_topk_ivf" ->

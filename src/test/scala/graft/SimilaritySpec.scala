@@ -57,6 +57,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-table LSH recall dominates single-table recall") {
+    // k=40 returns every candidate, so the result IS the candidate set
+    def pairs(tables: Int) = Similarity.lshTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 40, tables = tables)
+      .select("probe_id", "vec_id_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairs(1)
+    val four = pairs(4)
+    // the union of L tables' buckets can only grow the candidate set…
+    assert(one.subsetOf(four))
+    // …and on this fixture it strictly does — the single-table miss set
+    // is exactly what multi-table LSH exists to recover
+    assert(four.size > one.size)
+  }
+
   test("lshTopK candidate set is bucket-bounded (subset of brute scores)") {
     val brute = Similarity.bruteForceTopK(
       fixture, "vec_id", "embedding", col("vec_id") < 5, 40)
