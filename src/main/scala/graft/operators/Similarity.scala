@@ -132,6 +132,65 @@ object Similarity {
       .select(col("probe_id"), col(idCol).as("vec_id_n"), col("rank"), col("score_r"))
   }
 
+  /** Fixed-point scale for codebook means: integer sums are associative,
+    * so the distributed mean is bit-identical regardless of partition
+    * merge order (same trick as the exact-cents int64 revenue sums). */
+  private val MeanScale = 1048576L // 2^20
+
+  /** K-means codebook by Lloyd's iterations, all DataFrame ops — no MLlib.
+    *
+    * Deterministic and engine-replayable by construction, so an external
+    * SQL oracle can replay training exactly:
+    *  - init = the first `centroids` vectors by id (no RNG);
+    *  - assignment = the same narrow broadcast-literal argmax
+    *    [[ivfTopK]] uses (cosine desc, ties cent_id asc), a map-only stage;
+    *  - the new centroid mean is computed in FIXED POINT: per dimension,
+    *    sum(floor(x·2^20)) as long → exact, order-independent — then one
+    *    double division. Float sums would be partition-order-dependent.
+    *  - a cell that loses all members drops out (mirrored by the oracle).
+    *
+    * Each iteration is one narrow assign + one (centroids·dims)-row
+    * aggregate pulled to the driver — the codebook is a model artifact,
+    * never corpus-sized. Returns (cent_id, vector, norm) for
+    * [[ivfTopK]]'s `codebookOpt`. */
+  def trainCodebook(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Int = 16, iters: Int = 2): Array[(Long, Seq[Double], Double)] = {
+    val base = withNorm(emb, vecCol)
+    def leftFoldNorm(v: Seq[Double]): Double =
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    var cb: Array[(Long, Seq[Double], Double)] = base
+      .filter(col(idCol) < centroids)
+      .select(col(idCol).cast("long"), col("__vd"), col("__norm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    for (_ <- 0 until iters) {
+      val ranked = sort_array(array(cb.map { case (cid, vec, nrm) =>
+        val sim = dot(col("__vd"), typedlit(vec)) / (col("__norm") * lit(nrm))
+        struct((-sim).as("negsim"), lit(cid).as("cent_id"))
+      }.toSeq: _*))
+      val assigned = base
+        .withColumn("cent_id", element_at(ranked, 1).getField("cent_id"))
+      val sums = assigned
+        .select(col("cent_id"), posexplode(col("__vd")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos")
+        .agg(sum(floor(col("x") * MeanScale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      cb = sums
+        .groupBy(_.getAs[Long]("cent_id"))
+        .map { case (cid, rows) =>
+          val vec = rows.sortBy(_.getAs[Int]("pos")).map { r =>
+            r.getAs[Long]("s").toDouble / r.getAs[Long]("n") / MeanScale.toDouble
+          }.toSeq
+          (cid, vec, leftFoldNorm(vec))
+        }
+        .toArray.sortBy(_._1)
+    }
+    cb
+  }
+
   /** IVF-style approximate top-k: vectors partition into coarse cells
     * (nearest centroid by cosine), probes search only their `nprobe`
     * closest cells. The codebook (`centroids` vectors) is tiny — pulled to

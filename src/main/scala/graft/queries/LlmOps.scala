@@ -83,6 +83,19 @@ object LlmOps {
         embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
         .orderBy("probe_id", "rank")),
 
+    // IVF with a TRAINED codebook: 2 Lloyd iterations in DataFrame ops
+    // (deterministic first-16 init, fixed-point centroid means — exact
+    // integer sums, so the distributed mean is partition-order-proof).
+    // Oracle-checked end to end: DuckDB replays BOTH training iterations
+    // unrolled and the probe search on the resulting codebook.
+    "sim_topk_ivf_trained" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cb = Similarity.trainCodebook(emb, "vec_id", "embedding", 16, 2)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5,
+        codebookOpt = Some(cb))
+        .orderBy("probe_id", "rank")
+    }),
+
     // Token counting: whitespace tokens, BPE-ish regex tokens, char stats
     "ta_token_stats" -> ((s, d) => {
       val w = TextOps.tokens(col("text"))
@@ -205,6 +218,20 @@ object LlmOps {
       }
       .mkString("(", " + ", ")")
 
+  /** One unrolled Lloyd iteration: assign by cosine (ties cent_id asc),
+    * then per-dimension fixed-point mean — replays
+    * Similarity.trainCodebook exactly (same integer sums, same division
+    * order). `prev` names the incoming centroid CTE; emits a$i/m$i/c${i}l
+    * and the c$i centroid CTE. */
+  private def duckLloydIter(i: Int, prev: String): String =
+    s"a$i AS (SELECT vec_id, v, cent_id FROM (SELECT n.vec_id, n.v, $prev.cent_id, " +
+      s"row_number() OVER (PARTITION BY n.vec_id ORDER BY ${duckDot("n.v", s"$prev.cv")}/(n.nm*$prev.cn) DESC, $prev.cent_id ASC) AS cr " +
+      s"FROM n, $prev) WHERE cr = 1), " +
+      s"m$i AS (SELECT cent_id, i, CAST(sum(CAST(floor(v[i]*1048576) AS BIGINT)) AS DOUBLE)/count(*)/1048576.0 AS m " +
+      s"FROM a$i, range(1,65) t(i) GROUP BY cent_id, i), " +
+      s"c${i}l AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM m$i GROUP BY cent_id), " +
+      s"c$i AS (SELECT cent_id, cv, sqrt(${duckDot("cv", "cv")}) AS cn FROM c${i}l)"
+
   def oracleSql: Map[String, String] = Map(
     "dd_exact_rownum" ->
       "SELECT doc_id, lang, source FROM documents QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1 ORDER BY doc_id",
@@ -288,6 +315,24 @@ object LlmOps {
         "SELECT n.vec_id, cents.cent_id, n.v, n.nm, " +
         "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "cents.cv") + " / (n.nm * cents.cn) DESC, cents.cent_id ASC) AS cr " +
         "FROM n, cents WHERE n.vec_id < 10) WHERE cr <= 4), " +
+        "scored AS (SELECT probes.probe_id, assigned.vec_id AS vec_id_n, " +
+        "round(" + duckDot("probes.pv", "assigned.v") + " / (probes.pn * assigned.nm), 6) AS score_r " +
+        "FROM assigned JOIN probes ON assigned.cent_id = probes.cent_id AND probes.probe_id <> assigned.vec_id) " +
+        "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
+        "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
+    "sim_topk_ivf_trained" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
+        "c0 AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
+        duckLloydIter(1, "c0") + ", " + duckLloydIter(2, "c1") + ", " +
+        "assigned AS (SELECT vec_id, cent_id, v, nm FROM (" +
+        "SELECT n.vec_id, c2.cent_id, n.v, n.nm, " +
+        "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "c2.cv") + " / (n.nm * c2.cn) DESC, c2.cent_id ASC) AS cr " +
+        "FROM n, c2) WHERE cr <= 1), " +
+        "probes AS (SELECT vec_id AS probe_id, cent_id, v AS pv, nm AS pn FROM (" +
+        "SELECT n.vec_id, c2.cent_id, n.v, n.nm, " +
+        "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "c2.cv") + " / (n.nm * c2.cn) DESC, c2.cent_id ASC) AS cr " +
+        "FROM n, c2 WHERE n.vec_id < 10) WHERE cr <= 4), " +
         "scored AS (SELECT probes.probe_id, assigned.vec_id AS vec_id_n, " +
         "round(" + duckDot("probes.pv", "assigned.v") + " / (probes.pn * assigned.nm), 6) AS score_r " +
         "FROM assigned JOIN probes ON assigned.cent_id = probes.cent_id AND probes.probe_id <> assigned.vec_id) " +

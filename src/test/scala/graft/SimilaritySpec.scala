@@ -57,6 +57,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trained codebook is deterministic and recalls planted near-dups") {
+    val cb = Similarity.trainCodebook(fixture, "vec_id", "embedding", 8, 2)
+    assert(cb.nonEmpty && cb.length <= 8)
+    // bit-identical across runs: fixed-point means leave no float
+    // summation order to vary
+    val cb2 = Similarity.trainCodebook(fixture, "vec_id", "embedding", 8, 2)
+    assert(cb.toSeq == cb2.toSeq)
+    val out = Similarity.ivfTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 3,
+      nprobe = 2, codebookOpt = Some(cb))
+      .filter(col("rank") === 1).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("vec_id_n") == r.getAs[Long]("probe_id") + 100L)
+    }
+  }
+
   test("multi-table LSH recall dominates single-table recall") {
     // k=40 returns every candidate, so the result IS the candidate set
     def pairs(tables: Int) = Similarity.lshTopK(
