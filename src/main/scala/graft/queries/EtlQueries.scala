@@ -2,7 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.etl.{Bronze, Gold, Silver, SurveyConfig, SurveyFixture}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import graft.etl.{Bronze, Export, Gold, Silver, SurveyConfig, SurveyFixture}
+import graft.sources.TableSink
 
 /** End-to-end survey-pipeline queries (SURVEY.md §2.10): the synthetic
   * survey frame (SurveyFixture) flows through the real Silver transform and
@@ -73,6 +75,32 @@ object EtlQueries {
           col("CM Name").as("cm"),
           col("Internal Notes").as("internal_notes")) // online-only
         .orderBy("resp_id")
+    }),
+
+    // Volume-export pipeline (ref write_to_volume.py:7-16), composed end
+    // to end: stage two catalog tables carrying the city marker, let
+    // Export DISCOVER them from the catalog and write single-file
+    // json+csv, then read the exported CSV bytes back — so catalog
+    // introspection, the name filter, and the sink artifacts are all on
+    // the oracle's hash path, not just the individual sinks.
+    "etl_export" -> ((s, d) => {
+      val dir = java.nio.file.Paths
+        .get(sys.props("java.io.tmpdir"), "graft_etl_export").toString
+      TableSink.writeTable(
+        nation(s, d).select(col("n_nationkey").as("key"), col("n_name").as("name")),
+        "graft_gexpo_nation")
+      TableSink.writeTable(
+        region(s, d).select(col("r_regionkey").as("key"), col("r_name").as("name")),
+        "graft_gexpo_region")
+      val exported = Export.exportAll(s, "gexpo", dir)
+      val schema = StructType(Seq(
+        StructField("key", IntegerType), StructField("name", StringType)))
+      exported.sorted
+        .map(t => s.read.schema(schema).option("header", "true")
+          .csv(s"$dir/$t.csv").withColumn("tbl", lit(t)))
+        .reduce(_ unionByName _)
+        .select("tbl", "key", "name")
+        .orderBy("tbl", "key")
     }),
 
     // Silver recodes + Is_Invalid precedence over every branch
@@ -279,6 +307,11 @@ object EtlQueries {
 
   def oracleSql: Map[String, String] = Map(
     "etl_bronze" -> bronzeSql,
+    "etl_export" ->
+      ("SELECT 'graft_gexpo_nation' AS tbl, n_nationkey AS key, n_name AS name FROM nation " +
+        "UNION ALL " +
+        "SELECT 'graft_gexpo_region' AS tbl, r_regionkey AS key, r_name AS name FROM region " +
+        "ORDER BY tbl, key"),
     "etl_census_merge" -> censusMergeSql.replaceAll("\\s+", " "),
     "etl_silver_flags" ->
       (silverCte +

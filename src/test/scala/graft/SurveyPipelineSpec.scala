@@ -112,6 +112,30 @@ class SurveyPipelineSpec extends SparkSpec {
     assert(out("4") == "substantive answer")
   }
 
+  test("LEGACY-only timestamp formats parse to null — strict-but-safe, pinned") {
+    // The reference sets spark.sql.legacy.timeParserPolicy=LEGACY
+    // (ref transform_alchemer_data.py:44-50), so SimpleDateFormat leniency
+    // accepts one-digit month/day ("2/1/2026 …") and even ROLLS impossible
+    // dates ("13/45/2026" → 1/14/2027). This engine keeps Spark's strict
+    // parser behind try_to_timestamp: well-formed input parses, LEGACY-only
+    // input becomes NULL — never an ANSI error, never a silently rolled
+    // date. That divergence is deliberate (a rolled date is a data bug
+    // masked; a null is visible downstream) and pinned by this test.
+    val df = Seq(
+      ("1", "02/01/2026 4:30:00 PM", "02/01/2026 5:00:00 PM"), // strict-ok
+      ("2", "2/1/2026 4:30:00 PM", "2/1/2026 5:00:00 PM"),     // LEGACY-only
+      ("3", "13/45/2026 4:30:00 PM", "13/45/2026 5:00:00 PM")  // LEGACY rolls
+    ).toDF("Response ID", "Time Started", "Survey Date Submitted")
+    val out = Silver.transform(df, cfg)
+      .select("Response ID", "Time Started", "Survey Date Submitted",
+        "Time Difference (Minutes)")
+      .collect().sortBy(_.getString(0))
+    assert(!out(0).isNullAt(1) && !out(0).isNullAt(2))
+    assert(out(0).getDouble(3) == 30.0)
+    for (i <- Seq(1, 2); c <- Seq(1, 2, 3))
+      assert(out(i).isNullAt(c), s"row ${i + 1} col $c should be null")
+  }
+
   test("configured columns are dropped; Time Difference never survives") {
     val df = silverOf(Seq(surveyRow("1"))).columns
     assert(!df.contains("Scratch") && !df.contains("Time Difference"))
