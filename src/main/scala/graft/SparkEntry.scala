@@ -20,12 +20,14 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.Functions.queries ++
       graft.queries.Sinks.queries ++ graft.queries.LlmOps.queries ++
       graft.queries.EtlQueries.queries ++ graft.queries.Analytics.queries ++
-      graft.queries.TimeSeriesQueries.queries ++ graft.queries.Extended.queries
+      graft.queries.TimeSeriesQueries.queries ++ graft.queries.Extended.queries ++
+      graft.queries.CurationOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++ graft.queries.Functions.oracleSql ++
       graft.queries.Sinks.oracleSql ++ graft.queries.LlmOps.oracleSql ++
       graft.queries.EtlQueries.oracleSql ++ graft.queries.Analytics.oracleSql ++
-      graft.queries.TimeSeriesQueries.oracleSql ++ graft.queries.Extended.oracleSql
+      graft.queries.TimeSeriesQueries.oracleSql ++ graft.queries.Extended.oracleSql ++
+      graft.queries.CurationOps.oracleSql
 }

@@ -287,6 +287,26 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     simhashPairsFromSigs(simhashSignatures64(df, idCol, textCol), idCol, maxHamming)
 
+  /** Edit-distance near-dup with exact-prefix blocking: same-block pairs
+    * verified by levenshtein over a bounded text window. The window cap is
+    * the scale guard — levenshtein is O(len²), so the comparison cost per
+    * pair is a constant, and blocking keeps the pair count O(bucket²)
+    * instead of all-pairs. Returns (a, b, edit_dist) with a < b. */
+  def levenshteinNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 30, window: Int = 120, maxDist: Int = 20): DataFrame = {
+    val base = df.select(
+      col(idCol),
+      md5(substring(col(textCol), 1, prefixLen)).as("blk"),
+      substring(col(textCol), 1, window).as("__t"))
+    val a = base.select(col("blk"), col(idCol).as("a"), col("__t").as("ta"))
+    val b = base.select(col("blk"), col(idCol).as("b"), col("__t").as("tb"))
+    a.join(b, "blk").filter(col("a") < col("b"))
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("edit_dist") <= maxDist)
+      .select("a", "b", "edit_dist")
+  }
+
   /** n-gram Jaccard near-dup with cheap exact-prefix blocking: candidates
     * share md5(prefix) buckets, then exact shingle Jaccard verifies. */
   def prefixBlockedJaccardPairs(

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * RNG-based sampling (`df.sample`, `sampleBy`) is seed-and-partitioning
+  * dependent: a retry, a repartition, or a different engine draws a
+  * DIFFERENT sample, which breaks auditability and incremental reruns at
+  * 100 TB. Hash-based Bernoulli sampling is the scale-safe form: a row is
+  * in the sample iff a content-derived hash of its key lands under the
+  * rate threshold — a pure narrow filter (pushdown-friendly, no state, no
+  * shuffle), reproducible across engines, runs, retries, and repartitions,
+  * and stable under incremental appends (new rows never change old rows'
+  * membership).
+  */
+object Sampling {
+
+  /** 16-bit uniform hash bucket of the key: first 4 md5 hex digits as an
+    * integer in [0, 65536). md5-of-string is engine-portable (identical in
+    * the DuckDB oracle), unlike murmur/xxhash seeds. */
+  def hashBucket16(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Deterministic Bernoulli sample: keep rows whose bucket < rate·65536. */
+  def bernoulli(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(hashBucket16(col(keyCol)) < math.round(rate * 65536).toInt)
+
+  /** Stratified deterministic sample: per-stratum rates, same hash. Strata
+    * missing from `rates` fall back to `defaultRate`. The whole predicate
+    * stays one narrow CASE filter — no per-stratum scans, no shuffle. */
+  def stratified(
+      df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (stratum, rate)) =>
+        acc.when(col(strataCol) === stratum, lit(math.round(rate * 65536).toInt))
+    }.otherwise(lit(math.round(defaultRate * 65536).toInt))
+    df.filter(hashBucket16(col(keyCol)) < threshold)
+  }
+}

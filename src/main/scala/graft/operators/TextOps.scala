@@ -51,6 +51,26 @@ object TextOps {
     }: _*)
   }
 
+  /** Non-distinct k-word shingles — frequencies matter here, unlike
+    * [[shingles]]: repetition scoring needs every occurrence. */
+  def allShingles(words: Column, k: Int): Column =
+    when(size(words) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(words) - (k - 1)),
+        i => concat_ws(" ", slice(words, i, lit(k)))))
+
+  /** PII patterns kept to syntax BOTH Java regex and RE2 (the oracle's
+    * engine) interpret identically — char classes, +, bounded repeats. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** Redact emails and phone numbers to typed placeholders. Pure
+    * regexp_replace — codegen'd, narrow, pushdown-transparent. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+
   /** Content fingerprint: md5 of the alphanumeric-only lowercase text. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Packing, Sampling, TextOps}
+
+/** Corpus-curation operators a 100 TB training-data pipeline runs between
+  * ingest and tokenization: repetition scoring (the Gopher-style quality
+  * rule), PII redaction, deterministic hash sampling, sequence packing,
+  * and edit-distance near-dup. All oracle-checked; every ratio/threshold
+  * is integer arithmetic so the hash compare is exact.
+  */
+object CurationOps {
+  import Tables._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Repetition quality rule (Rae et al., Gopher): the most frequent
+    // word 2-gram's occurrence count vs the token count. Shape: narrow
+    // gram explode → ONE (doc, gram) count shuffle → per-doc max — the
+    // honest distributed form; no per-row quadratic array scans.
+    "ta_repetition" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      val top = docs
+        .select(col("doc_id"), explode(TextOps.allShingles(col("ws"), 2)).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top2_cnt"))
+      docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+        .join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+          (coalesce(col("top2_cnt"), lit(0L)) * 5 >= col("n_tokens"))
+            .as("repetitive"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction over deterministic synthetic PII (the corpus itself
+    // is clean word-soup, so the query plants an email + phone per doc —
+    // identically in the oracle — and redacts them).
+    "ta_pii_redact" -> ((s, d) => {
+      val aug = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now"))
+      documents(s, d).select(
+        col("doc_id"),
+        TextOps.piiRedact(aug).as("redacted"),
+        size(regexp_extract_all(aug, lit(TextOps.EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(aug, lit(TextOps.PhoneRe), lit(0)))
+          .cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sample: 20% of src0, 10% elsewhere, by
+    // md5 bucket of the key — reproducible across engines/retries/
+    // repartitions, unlike RNG sampling (see operators/Sampling.scala).
+    "ta_hash_sample" -> ((s, d) =>
+      Sampling.stratified(documents(s, d), "doc_id", "source",
+        Map("src0" -> 0.2), defaultRate = 0.1)
+        .select(col("doc_id"), col("source"),
+          Sampling.hashBucket16(col("doc_id")).as("bucket"))
+        .orderBy("doc_id")),
+
+    // Sequence packing: concat-then-chunk into 2048-token bins per
+    // source stream — one window shuffle, integer prefix sums.
+    "ta_seq_pack" -> ((s, d) =>
+      Packing.seqPack(
+        documents(s, d)
+          .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("ws")),
+        "doc_id", "source", size(col("ws")), budget = 2048)
+        .select("doc_id", "source", "n_tok", "start_offset", "bin")
+        .orderBy("doc_id")),
+
+    // Edit-distance near-dup: prefix-blocked pairs, bounded-window
+    // levenshtein verify.
+    "dd_edit_distance" -> ((s, d) =>
+      Dedup.levenshteinNearDupPairs(documents(s, d), "doc_id", "text")
+        .orderBy("a", "b"))
+  )
+
+  private val wordsCte =
+    "SELECT doc_id, source, list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^a-z0-9 ]', ' ', 'g')), ' +'), x -> x <> '') AS ws FROM documents"
+
+  def oracleSql: Map[String, String] = Map(
+    "ta_repetition" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' '))) AS gram FROM w), " +
+        "c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2), " +
+        "m AS (SELECT doc_id, max(c) AS top2_cnt FROM c GROUP BY 1) " +
+        "SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(m.top2_cnt, 0) AS BIGINT) AS top2_cnt, " +
+        "coalesce(m.top2_cnt, 0) * 5 >= len(w.ws) AS repetitive " +
+        "FROM w LEFT JOIN m ON w.doc_id = m.doc_id ORDER BY w.doc_id"),
+    "ta_pii_redact" ->
+      ("WITH a AS (SELECT doc_id, substring(text, 1, 40) || ' contact user' || " +
+        "CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS aug FROM documents) " +
+        "SELECT doc_id, " +
+        s"regexp_replace(regexp_replace(aug, '${TextOps.EmailRe}', '[EMAIL]', 'g'), '${TextOps.PhoneRe}', '[PHONE]', 'g') AS redacted, " +
+        s"CAST(len(regexp_extract_all(aug, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(aug, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones " +
+        "FROM a ORDER BY doc_id"),
+    "ta_hash_sample" ->
+      ("SELECT doc_id, source, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS bucket " +
+        "FROM documents " +
+        "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) < " +
+        "CASE WHEN source = 'src0' THEN 13107 ELSE 6554 END " +
+        "ORDER BY doc_id"),
+    "ta_seq_pack" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "t AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tok FROM w), " +
+        // CAST the running sum: DuckDB widens sum(BIGINT) to HUGEINT,
+        // which pandas would surface as float
+        "o AS (SELECT doc_id, source, n_tok, " +
+        "CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok AS start_offset FROM t) " +
+        "SELECT doc_id, source, n_tok, start_offset, " +
+        "CAST(floor(start_offset / 2048) AS BIGINT) AS bin FROM o ORDER BY doc_id"),
+    "dd_edit_distance" ->
+      ("WITH b AS (SELECT doc_id, md5(substring(text, 1, 30)) AS blk, " +
+        "substring(text, 1, 120) AS t FROM documents) " +
+        "SELECT x.doc_id AS a, y.doc_id AS b, " +
+        "CAST(levenshtein(x.t, y.t) AS INTEGER) AS edit_dist " +
+        "FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id " +
+        "WHERE levenshtein(x.t, y.t) <= 20 ORDER BY a, b")
+  )
+}
