@@ -76,6 +76,58 @@ object Extended {
         .na.fill(0L)
         .orderBy("lang")),
 
+    // CUBE: all 2^k subtotal combinations in ONE aggregation pass —
+    // grouping-set expansion before the single shuffle, like rollup.
+    "an_cube_sets" -> ((s, d) =>
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+        .orderBy(
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // UNPIVOT/melt: wide per-group aggregates → long (metric, value)
+    // rows. Spark plans Expand (row replication in the map stage) — no
+    // shuffle beyond the feeding aggregate.
+    "o6_unpivot" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price_cents")),
+          "metric", "val")
+        .orderBy("l_returnflag", "metric")),
+
+    // lag/lead neighbours within a user's event stream — one window
+    // shuffle on user_id, streaming frame.
+    "w3_lag_lead" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      events(s, d).filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value_r"),
+          round(lag("value", 1).over(w), 4).as("prev_value"),
+          round(lead("value", 1).over(w), 4).as("next_value"))
+        .orderBy("event_id")
+    }),
+
+    // Running total per user in exact cents (int64 — float running sums
+    // would be partition-order-dependent).
+    "w4_running_total" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d).filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          sum(round(col("value") * 100).cast("long")).over(w).as("running_cents"))
+        .orderBy("event_id")
+    }),
+
     // Grouped exact percentiles of event value — single-shuffle sort-based
     // aggregate; at 100 TB swap `percentile` for `percentile_approx`
     // (t-digest sketch, mergeable map-side) at the cost of exactness.
@@ -136,6 +188,29 @@ object Extended {
         "count(*) FILTER (source = 'src2') AS src2, " +
         "count(*) FILTER (source = 'src3') AS src3 " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    "an_cube_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
+    "o6_unpivot" ->
+      ("WITH a AS (SELECT l_returnflag, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM a " +
+        "UNION ALL " +
+        "SELECT l_returnflag, 'sum_price_cents' AS metric, sum_price_cents AS val FROM a " +
+        "ORDER BY l_returnflag, metric"),
+    "w3_lag_lead" ->
+      ("SELECT event_id, user_id, round(value, 4) AS value_r, " +
+        "round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS prev_value, " +
+        "round(lead(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS next_value " +
+        "FROM events WHERE user_id < 50 ORDER BY event_id"),
+    "w4_running_total" ->
+      ("SELECT event_id, user_id, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents " +
+        "FROM events WHERE user_id < 50 ORDER BY event_id"),
     "an_group_percentile" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, " +
         "round(quantile_cont(value, 0.9), 4) AS p90, count(*) AS n " +
