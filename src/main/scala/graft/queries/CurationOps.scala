@@ -77,7 +77,26 @@ object CurationOps {
     // levenshtein verify.
     "dd_edit_distance" -> ((s, d) =>
       Dedup.levenshteinNearDupPairs(documents(s, d), "doc_id", "text")
-        .orderBy("a", "b"))
+        .orderBy("a", "b")),
+
+    // Document chunking: overlapping token windows (width 50, stride 40)
+    // — the context-window pre-split before embedding/tokenization. One
+    // narrow transform+explode; rows amplify by ~n_tokens/stride with no
+    // shuffle until the presentation sort.
+    "ta_chunk" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("ws")), lit(40)),
+          st => struct(
+            st.as("start"),
+            concat_ws(" ", slice(col("ws"), st, lit(50))).as("chunk"),
+            size(slice(col("ws"), st, lit(50))).cast("long").as("n_tok"))))
+          .as(Seq("chunk_idx", "c")))
+        .select(col("doc_id"), col("chunk_idx"), col("c.start").as("start"),
+          col("c.chunk").as("chunk"), col("c.n_tok").as("n_tok"))
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   private val wordsCte =
@@ -117,6 +136,15 @@ object CurationOps {
         "CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok AS start_offset FROM t) " +
         "SELECT doc_id, source, n_tok, start_offset, " +
         "CAST(floor(start_offset / 2048) AS BIGINT) AS bin FROM o ORDER BY doc_id"),
+    "ta_chunk" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "c AS (SELECT doc_id, unnest(range(1, len(ws) + 1, 40)) AS st, ws " +
+        "FROM w WHERE len(ws) > 0) " +
+        "SELECT doc_id, CAST((st - 1) // 40 AS INTEGER) AS chunk_idx, " +
+        "CAST(st AS INTEGER) AS start, " +
+        "array_to_string(ws[st:st+49], ' ') AS chunk, " +
+        "CAST(len(ws[st:st+49]) AS BIGINT) AS n_tok " +
+        "FROM c ORDER BY doc_id, chunk_idx"),
     "dd_edit_distance" ->
       ("WITH b AS (SELECT doc_id, md5(substring(text, 1, 30)) AS blk, " +
         "substring(text, 1, 120) AS t FROM documents) " +

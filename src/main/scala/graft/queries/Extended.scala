@@ -76,6 +76,19 @@ object Extended {
         .na.fill(0L)
         .orderBy("lang")),
 
+    // HLL++ sketch distinct counts — the 100 TB cardinality path:
+    // mergeable fixed-size sketch, map-side partials, no exact-distinct
+    // re-shuffle. No DuckDB oracle (sketch internals differ by engine;
+    // the driver records the rows-only check) — the ≤5% relative-error
+    // bound vs exact is pinned in SamplingPackingSpec instead.
+    "an_approx_distinct" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct("user_id").as("approx_users"),
+          countDistinct("user_id").as("exact_users"))
+        .orderBy("event_type")),
+
     // CUBE: all 2^k subtotal combinations in ONE aggregation pass —
     // grouping-set expansion before the single shuffle, like rollup.
     "an_cube_sets" -> ((s, d) =>

@@ -60,6 +60,30 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nlj.isEmpty, "cell assignment regressed to a crossjoin")
   }
 
+  test("edit-distance dedup blocks pairs — no cartesian product") {
+    val cart = collectWithSubqueries(planOf("dd_edit_distance")) {
+      case c: CartesianProductExec => c
+    }
+    assert(cart.isEmpty, "dd_edit_distance plans a cartesian product")
+  }
+
+  test("hash sampling is a pushdown-transparent narrow filter") {
+    val plan = planOf("ta_hash_sample")
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }
+    // only the final presentation sort may exchange; the sample
+    // predicate itself is a map-side filter
+    assert(shuffles.size <= 1,
+      s"hash sample gained shuffles: ${shuffles.size}")
+  }
+
+  test("sequence packing is one window shuffle plus the final sort") {
+    val shuffles = collectWithSubqueries(planOf("ta_seq_pack")) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 2,
+      s"seq_pack gained shuffles: ${shuffles.size}")
+  }
+
   test("single-pass rollup aggregates with exactly one pre-window shuffle pair") {
     val shuffles = collectWithSubqueries(planOf("etl_rollup")) {
       case e: ShuffleExchangeExec => e

@@ -28,6 +28,20 @@ class SamplingPackingSpec extends SparkSpec {
     assert(math.abs(out("lo") - 250) < 80, s"lo=${out("lo")}")
   }
 
+  test("approx_count_distinct stays within 5% of exact (an_approx_distinct)") {
+    // the rows-only CORRECTNESS entry can't bound the sketch error;
+    // this pins it executable-y
+    val rows = SparkEntry.queries("an_approx_distinct")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
   test("seqPack: offsets are exclusive prefix sums, bins respect the budget") {
     val df = Seq(
       (1L, "s", 600), (2L, "s", 600), (3L, "s", 600), (4L, "s", 600),
