@@ -68,6 +68,26 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming document curation: the SAME narrow column expressions the
+    * batch curation queries use — deterministic hash sampling, token
+    * gate, PII redaction (graft.operators.Sampling / TextOps). All
+    * stateless, so they run unchanged on an unbounded `readStream` with
+    * no watermark and no state store, and a doc admitted by the stream is
+    * exactly the doc the batch pipeline would admit (hash sampling has no
+    * RNG, so stream vs batch membership is identical — the spec pins the
+    * equivalence). This is the Spark-first payoff: one curation codebase,
+    * two execution modes. */
+  def curateDocStream(docs: DataFrame, sampleRate: Double = 0.5): DataFrame = {
+    import graft.operators.{Sampling, TextOps}
+    docs
+      .filter(Sampling.hashBucket16(col("doc_id")) <
+        math.round(sampleRate * 65536).toInt)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+      .filter(col("n_tokens") >= 5)
+      .select(col("doc_id"), col("n_tokens"),
+        TextOps.piiRedact(col("text")).as("redacted"))
+  }
+
   /** Batch-mode equivalence anchor: the windowed aggregation above, run on
     * a static frame, must equal this (used by the spec as the oracle). */
   def windowedTypeCountsBatch(events: DataFrame, windowLength: String = "1 hour"): DataFrame =

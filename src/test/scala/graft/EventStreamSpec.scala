@@ -42,6 +42,33 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming curation equals the batch curation on the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 200L).map { i =>
+      (i, s"some words number $i contact user$i@mail.example.com here " +
+        ("pad " * (i % 8).toInt))
+    }
+    val input = MemoryStream[(Long, String)]
+    val stream = EventStream.curateDocStream(
+      input.toDF().toDF("doc_id", "text"))
+    val query = stream.writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two micro-batches: membership must not depend on batching
+      input.addData(docs.take(120): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(120): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("curated")
+        .as[(Long, Long, String)].collect().toSet
+      val batch = EventStream.curateDocStream(docs.toDF("doc_id", "text"))
+        .as[(Long, Long, String)].collect().toSet
+      assert(streamed == batch) // identical admission + identical redaction
+      assert(batch.nonEmpty && batch.size < docs.size) // the gates did gate
+      assert(batch.forall(_._3.contains("[EMAIL]")))
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user activity across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
