@@ -134,18 +134,37 @@ object Dedup {
 
   /** Candidate near-dup pairs via banded LSH, verified with exact shingle
     * Jaccard. Returns (a, b, n_inter, n_union) with a < b; a pair is
-    * emitted iff 2·inter ≥ union (Jaccard ≥ 0.5). */
+    * emitted iff 2·inter ≥ union (Jaccard ≥ 0.5).
+    *
+    * `maxBucketSize > 0` is the skew guard for web-scale corpora:
+    * boilerplate floods (identical headers, template pages) put millions
+    * of docs into ONE band bucket, whose in-bucket pairing is quadratic —
+    * the classic LSH hot spot. Capping drops oversized buckets before the
+    * pair join (one extra aggregate on the SAME shuffle key, so it
+    * co-partitions with the join). The recall trade is explicit: a pair
+    * is lost only if EVERY bucket it shares is oversized — for genuine
+    * boilerplate that is the intended outcome, and the flood is better
+    * handled by exact dedup upstream. Default 0 = unlimited (the
+    * oracle-checked configuration). */
   def minhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 8): DataFrame = {
+      k: Int = 3, numHashes: Int = 8, maxBucketSize: Int = 0): DataFrame = {
     // No materialization inside the operator: caching the shingle arrays
     // (larger than the corpus) would spill the whole input to executor
     // disk at 100 TB. The three consumers below recompute the narrow
     // kernel; at scale, checkpoint withShinglesAndSigs' output to parquet
     // OUTSIDE this function if the kernel dominates (SCALE.md §dedup).
     val docs = withShinglesAndSigs(df, idCol, textCol, k, numHashes)
-    val banded = docs.select(
+    val allBanded = docs.select(
       col(idCol), posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
+    val banded =
+      if (maxBucketSize <= 0) allBanded
+      else allBanded.join(
+        allBanded.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucketSize)
+          .select("band_idx", "band_hash"),
+        Seq("band_idx", "band_hash"))
     // Shuffle key is (band_idx, band_hash): same-bucket docs co-locate, so
     // the pair join is local to each bucket — no all-pairs blowup.
     val x = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
@@ -286,6 +305,45 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame =
     simhashPairsFromSigs(simhashSignatures64(df, idCol, textCol), idCol, maxHamming)
+
+  /** Connected components over a near-dup pair list: iterative min-label
+    * propagation until fixpoint — the pairs → clusters → canonical-doc
+    * step every dedup pipeline runs after candidate verification.
+    *
+    * Each iteration is one neighbor join + one min-aggregate (two keyed
+    * shuffles); iterations = component diameter, which for near-dup
+    * clusters is tiny. The fixpoint is the component-minimum id —
+    * well-defined independent of iteration order, so the result is
+    * deterministic and an external oracle (recursive-CTE transitive
+    * closure) reaches the same labels. `localCheckpoint` truncates the
+    * growing lineage each round — at cluster scale swap for a
+    * reliable checkpoint dir. Returns (id, component) for every node
+    * that appears in a pair. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("nbr")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
 
   /** Edit-distance near-dup with exact-prefix blocking: same-block pairs
     * verified by levenshtein over a bounded text window. The window cap is

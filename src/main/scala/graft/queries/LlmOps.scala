@@ -44,6 +44,18 @@ object LlmOps {
       Dedup.simhashNearDupPairs(documents(s, d), "doc_id", "text")
         .orderBy("a", "b")),
 
+    // Near-dup pairs → connected components → per-doc canonical id: the
+    // clustering step that turns verified pairs into keep/drop decisions.
+    // Iterative min-label propagation (diameter-bounded rounds, two keyed
+    // shuffles each); the oracle reaches the same fixpoint by recursive-
+    // CTE transitive closure.
+    "dd_cluster" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDupPairs(documents(s, d), "doc_id", "text")
+      Dedup.connectedComponents(pairs, "a", "b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram Jaccard pairs with exact-prefix blocking
     "dd_ngram_jaccard" -> ((s, d) =>
       Dedup.prefixBlockedJaccardPairs(documents(s, d), "doc_id", "text")
@@ -232,27 +244,43 @@ object LlmOps {
       s"c${i}l AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM m$i GROUP BY cent_id), " +
       s"c$i AS (SELECT cent_id, cv, sqrt(${duckDot("cv", "cv")}) AS cn FROM c${i}l)"
 
+  /** The minhash near-dup pair derivation (shingle → xor-permutation
+    * signatures → band buckets → Jaccard-verified pairs) as a reusable
+    * CTE chain ending in `mpairs(a, b, n_inter, n_union)`. */
+  private val minhashPairCtes: String =
+    "w AS (" + wordsCte + "), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [] ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) END AS shingles FROM w), " +
+      "s AS (SELECT doc_id, shingles, " +
+      "list_transform(shingles, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hashes, [" +
+      graft.operators.Dedup.permConstants(8)
+        .map(c => s"list_aggregate(list_transform(hashes, h -> xor(h, $c)), 'min')")
+        .mkString(", ") +
+      "] AS sigs FROM sh WHERE len(shingles) > 0), " +
+      "bandrows AS (SELECT doc_id, b AS band_idx, md5(CAST(sigs[2*b+1] AS VARCHAR) || '|' || CAST(sigs[2*b+2] AS VARCHAR)) AS band_hash FROM s, unnest([0,1,2,3]) t(b)), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bandrows x JOIN bandrows y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id), " +
+      "mpairs AS (SELECT c.a, c.b, CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter, " +
+      "CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_union " +
+      "FROM cand c JOIN s sa ON c.a = sa.doc_id JOIN s sb ON c.b = sb.doc_id " +
+      "WHERE len(list_intersect(sa.shingles, sb.shingles)) * 2 >= len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))"
+
   def oracleSql: Map[String, String] = Map(
     "dd_exact_rownum" ->
       "SELECT doc_id, lang, source FROM documents QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1 ORDER BY doc_id",
     "dd_exact_hash" ->
       "SELECT md5(substring(text, 1, 50)) AS fp50, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1 ORDER BY keep_id",
     "dd_minhash_neardup" ->
-      ("WITH w AS (" + wordsCte + "), " +
-        "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [] ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) END AS shingles FROM w), " +
-        "s AS (SELECT doc_id, shingles, " +
-        "list_transform(shingles, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hashes, [" +
-        graft.operators.Dedup.permConstants(8)
-          .map(c => s"list_aggregate(list_transform(hashes, h -> xor(h, $c)), 'min')")
-          .mkString(", ") +
-        "] AS sigs FROM sh WHERE len(shingles) > 0), " +
-        "bandrows AS (SELECT doc_id, b AS band_idx, md5(CAST(sigs[2*b+1] AS VARCHAR) || '|' || CAST(sigs[2*b+2] AS VARCHAR)) AS band_hash FROM s, unnest([0,1,2,3]) t(b)), " +
-        "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bandrows x JOIN bandrows y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id) " +
-        "SELECT c.a, c.b, CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter, " +
-        "CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_union " +
-        "FROM cand c JOIN s sa ON c.a = sa.doc_id JOIN s sb ON c.b = sb.doc_id " +
-        "WHERE len(list_intersect(sa.shingles, sb.shingles)) * 2 >= len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) " +
-        "ORDER BY a, b"),
+      ("WITH " + minhashPairCtes +
+        " SELECT a, b, n_inter, n_union FROM mpairs ORDER BY a, b"),
+    // pairs → clusters: recursive-CTE transitive closure reaches the same
+    // component-minimum labels as Spark's iterative min-label propagation
+    // (the fixpoint is iteration-order-independent)
+    "dd_cluster" ->
+      ("WITH RECURSIVE " + minhashPairCtes + ", " +
+        "edges AS (SELECT a AS src, b AS dst FROM mpairs UNION SELECT b, a FROM mpairs), " +
+        "reach(src, dst) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) " +
+        "SELECT src AS doc_id, least(src, min(dst)) AS component " +
+        "FROM reach GROUP BY src ORDER BY doc_id"),
     // brute-force all-pairs oracle: pigeonhole banding is lossless at the
     // Hamming threshold, so the oracle checks RECALL independently rather
     // than replaying the bucketing (a replayed oracle would mask misses)

@@ -68,6 +68,25 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Event-time session windows: the streaming face of the batch gap
+    * sessionizer (graft.operators.TimeSeries.sessionize), on the native
+    * `session_window` grouping — sessions merge as events arrive and
+    * CLOSE when the watermark passes last-event + gap, so state per key
+    * is bounded by the watermark horizon, not the stream length. The
+    * same expression runs in batch mode (the spec's equivalence anchor). */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Streaming document curation: the SAME narrow column expressions the
     * batch curation queries use — deterministic hash sampling, token
     * gate, PII redaction (graft.operators.Sampling / TextOps). All

@@ -14,6 +14,37 @@ class DedupSpec extends SparkSpec {
     (5L, "short text")
   ).toDF("doc_id", "text")
 
+  test("bucket-size cap drops boilerplate floods, keeps normal pairs") {
+    // 20 identical boilerplate docs share every band bucket (size 20);
+    // one genuine near-dup pair sits in small buckets
+    val flood = (100L until 120L).map(i =>
+      (i, "identical boilerplate header text repeated across the whole site"))
+    val pair = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"))
+    val df = (flood ++ pair).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashNearDupPairs(df, "doc_id", "text")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)))
+    assert(uncapped.count(p => p._1 >= 100L) == 20 * 19 / 2) // quadratic flood
+    val capped = Dedup.minhashNearDupPairs(df, "doc_id", "text",
+      maxBucketSize = 10)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L))) // flood gone, genuine pair intact
+  }
+
+  test("connectedComponents converges a path graph to the component min") {
+    // 1-2-3-4-5 is a diameter-4 path (forces multiple propagation
+    // rounds); 10-11 is a separate component
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(out(_) == 1L))
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert(out.size == 7)
+  }
+
   test("exactKeepFirst keeps lowest id per key") {
     val out = Dedup.exactKeepFirst(
       docs.withColumn("fp", TextOps.fingerprint(col("text"))),

@@ -42,6 +42,38 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session windows close at the watermark and match batch sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val query = EventStream.sessionCounts(events, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val batch1 = Seq(
+        (ts("2026-01-01 09:00:00"), 1L, 1.0),
+        (ts("2026-01-01 09:10:00"), 1L, 2.0), // merges: gap < 30m
+        (ts("2026-01-01 10:30:00"), 1L, 5.0), // new session for user 1
+        (ts("2026-01-01 09:05:00"), 2L, 7.0))
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      // advance the watermark far enough to close every session
+      input.addData((ts("2026-01-01 13:00:00"), 9L, 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("sessions")
+        .as[(Timestamp, Timestamp, Long, Long, Double)].collect().toSet
+      val batch = EventStream.sessionCounts(
+        batch1.toDF("ts", "user_id", "value"))
+        .as[(Timestamp, Timestamp, Long, Long, Double)].collect().toSet
+      assert(batch.subsetOf(streamed))
+      // user 1's first session merged two events, closed at 09:40
+      assert(streamed.contains(
+        (ts("2026-01-01 09:00:00"), ts("2026-01-01 09:40:00"), 1L, 2L, 3.0)))
+      // and the 10:30 event opened a SEPARATE session
+      assert(streamed.exists(r => r._3 == 1L && r._1 == ts("2026-01-01 10:30:00")))
+    } finally query.stop()
+  }
+
   test("streaming curation equals the batch curation on the same docs") {
     implicit val sqlCtx = spark.sqlContext
     val docs = (0L until 200L).map { i =>
