@@ -29,6 +29,32 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     }),
 
+    // Resample: downsample the event stream to hourly buckets — one hash
+    // aggregation (map-side partials), exact-cents sums.
+    "ts_resample" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(col("event_type"), unix_micros(col("bucket")).as("bucket_us"),
+          col("n_events"), col("value_cents"))
+        .orderBy("event_type", "bucket_us")),
+
+    // Forward fill: carry each user's last purchase value across their
+    // subsequent events — last(ignoreNulls) over a streaming frame, the
+    // sparse→dense repair for downstream feature joins.
+    "ts_fill_forward" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d).filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          last(when(col("event_type") === "purchase", round(col("value"), 4)),
+            ignoreNulls = true).over(w).as("last_purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // 30-minute-gap sessions per user, rolled up to per-session stats
     "ts_sessionize" -> ((s, d) => {
       val sess = TimeSeries.sessionize(
@@ -66,6 +92,17 @@ object TimeSeriesQueries {
         |SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
         |  asof_event_id, asof_event_type
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin),
+    "ts_resample" ->
+      ("SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us, " +
+        "count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
+        "FROM events GROUP BY event_type, date_trunc('hour', ts) " +
+        "ORDER BY event_type, bucket_us"),
+    "ts_fill_forward" ->
+      ("SELECT event_id, user_id, " +
+        "last_value(CASE WHEN event_type = 'purchase' THEN round(value, 4) END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS last_purchase_value " +
+        "FROM events WHERE user_id < 50 ORDER BY event_id"),
     "ts_sessionize" ->
       ("""WITH g AS (
         |  SELECT user_id, ts, event_id, value,
