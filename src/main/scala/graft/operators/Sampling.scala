@@ -27,6 +27,33 @@ object Sampling {
   def bernoulli(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(hashBucket16(col(keyCol)) < math.round(rate * 65536).toInt)
 
+  /** Domain-mixture resampling: derive per-stratum keep thresholds that
+    * steer the OBSERVED stratum counts toward `targetWeights` at
+    * `outputFraction` of the corpus, then apply the same deterministic
+    * hash filter as [[stratified]].
+    *
+    * The observed counts are one tiny aggregate pulled to the driver
+    * (#strata rows — a model artifact, like the IVF codebook); the
+    * applied predicate is still a single narrow CASE filter over the full
+    * corpus. A stratum needing more than 100% keeps everything (under-
+    * represented domains can only be upsampled by epoch repetition,
+    * which is a training-loader concern, not a filter's). */
+  def mixToTarget(
+      df: DataFrame, keyCol: String, strataCol: String,
+      targetWeights: Map[String, Double], outputFraction: Double): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val thresholds = counts.map { case (s, n) =>
+      val w = targetWeights.getOrElse(s, 0.0)
+      s -> math.min(65536L, math.round(outputFraction * total * w / n * 65536))
+    }
+    val thr = thresholds.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (s, t)) => acc.when(col(strataCol) === s, lit(t))
+    }.otherwise(lit(0L))
+    df.filter(hashBucket16(col(keyCol)) < thr)
+  }
+
   /** Stratified deterministic sample: per-stratum rates, same hash. Strata
     * missing from `rates` fall back to `defaultRate`. The whole predicate
     * stays one narrow CASE filter — no per-stratum scans, no shuffle. */

@@ -73,6 +73,42 @@ object CurationOps {
         .select("doc_id", "source", "n_tok", "start_offset", "bin")
         .orderBy("doc_id")),
 
+    // Domain mixing: resample toward a target source mixture (40/30/20/
+    // 10) at 25% of corpus size. The thresholds derive from observed
+    // counts (driver-side model artifact); the applied predicate is one
+    // narrow hash filter — and being hash-based, the mix is reproducible
+    // across engines (the oracle re-derives identical thresholds in SQL).
+    "ta_mix" -> ((s, d) =>
+      Sampling.mixToTarget(documents(s, d), "doc_id", "source",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+        outputFraction = 0.25)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // Salient terms per doc: tf · N/df scoring (the rational tf-idf —
+    // log-free, so the score is exact integer arithmetic over a double
+    // division and hash-compares across engines), top-3 per doc with
+    // deterministic tie-break. Shape: one (token) df aggregate joined
+    // back to one (doc, token) tf aggregate, then WindowGroupLimit.
+    "ta_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_q6").desc, col("token").asc)
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score_q6", round(col("tf") * col("n_docs") / col("df"), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "df", "score_q6")
+        .orderBy("doc_id", "rank")
+    }),
+
     // Edit-distance near-dup: prefix-blocked pairs, bounded-window
     // levenshtein verify.
     "dd_edit_distance" -> ((s, d) =>
@@ -136,6 +172,29 @@ object CurationOps {
         "CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok AS start_offset FROM t) " +
         "SELECT doc_id, source, n_tok, start_offset, " +
         "CAST(floor(start_offset / 2048) AS BIGINT) AS bin FROM o ORDER BY doc_id"),
+    "ta_mix" ->
+      ("WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), " +
+        "tot AS (SELECT sum(n) AS total FROM c), " +
+        // threshold arithmetic mirrors Sampling.mixToTarget's evaluation
+        // order exactly: ((0.25 * total) * w / n) * 65536, round, cap
+        "thr AS (SELECT c.source, least(65536, round(0.25 * tot.total * " +
+        "CASE c.source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3 " +
+        "WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 ELSE 0 END / c.n * 65536)) AS t " +
+        "FROM c, tot) " +
+        "SELECT d.doc_id, d.source FROM documents d JOIN thr ON d.source = thr.source " +
+        "WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) < thr.t " +
+        "ORDER BY d.doc_id"),
+    "ta_tfidf" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "toks AS (SELECT doc_id, unnest(ws) AS token FROM w), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), " +
+        "nd AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, " +
+        "round(tf.tf * nd.n_docs / dfreq.df, 6) AS score_q6 " +
+        "FROM tf JOIN dfreq ON tf.token = dfreq.token, nd) " +
+        "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_q6 DESC, token ASC) AS INTEGER) AS rank, " +
+        "token, tf, df, score_q6 FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank"),
     "ta_chunk" ->
       ("WITH w AS (" + wordsCte + "), " +
         "c AS (SELECT doc_id, unnest(range(1, len(ws) + 1, 40)) AS st, ws " +
