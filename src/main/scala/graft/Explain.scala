@@ -18,7 +18,9 @@ object Explain {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("an_revenue_by_region", "an_top_customers", "an_brand_stats",
         "etl_rollup", "etl_census_merge", "dd_minhash_neardup",
-        "sim_topk_brute", "a1_group_count", "p03_filter_eq")
+        "sim_topk_brute", "a1_group_count", "p03_filter_eq",
+        "sim_topk_lsh", "sim_topk_ivf", "ta_tfidf", "ta_seq_pack",
+        "ta_hash_sample")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

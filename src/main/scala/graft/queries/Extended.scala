@@ -76,6 +76,24 @@ object Extended {
         .na.fill(0L)
         .orderBy("lang")),
 
+    // Winsorize: clamp event values into each type's [p05, p95] — the
+    // outlier-clipping step before feature aggregation. One percentile
+    // aggregate (5 rows) broadcast back over the stream; the clamp is a
+    // narrow least/greatest, no second shuffle of the fact table.
+    "an_winsorize" -> ((s, d) => {
+      val bounds = events(s, d).groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+      events(s, d).filter(col("user_id") < 50)
+        .join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value_r"),
+          round(least(greatest(col("value"), col("lo")), col("hi")), 4)
+            .as("value_clipped"))
+        .orderBy("event_id")
+    }),
+
     // HLL++ sketch distinct counts — the 100 TB cardinality path:
     // mergeable fixed-size sketch, map-side partials, no exact-distinct
     // re-shuffle. No DuckDB oracle (sketch internals differ by engine;
@@ -201,6 +219,13 @@ object Extended {
         "count(*) FILTER (source = 'src2') AS src2, " +
         "count(*) FILTER (source = 'src3') AS src3 " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    "an_winsorize" ->
+      ("WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, " +
+        "quantile_cont(value, 0.95) AS hi FROM events GROUP BY event_type) " +
+        "SELECT e.event_id, e.event_type, round(e.value, 4) AS value_r, " +
+        "round(least(greatest(e.value, b.lo), b.hi), 4) AS value_clipped " +
+        "FROM events e JOIN b ON e.event_type = b.event_type " +
+        "WHERE e.user_id < 50 ORDER BY e.event_id"),
     "an_cube_sets" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
