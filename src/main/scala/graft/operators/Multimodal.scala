@@ -5,14 +5,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: opaque `binary` payloads with a typed
-  * metadata struct, plus a per-partition batched "decode" operator.
+  * metadata struct, plus per-partition batched decode operators.
   *
-  * The decode itself is a STUB — this container has no image/audio codecs —
-  * but everything Spark-side is real and load-bearing: the schema shape
-  * (binary + struct metadata), the per-partition batch iteration (the same
-  * shape a Pandas-UDF/mapInPandas decode would have), and the partitioning
-  * story (payload stays columnar-compressed in parquet; decode is a narrow
-  * map, no shuffle).
+  * Two tiers of honesty: the PPM (P6) path is a REAL codec — encode,
+  * decode, pixel features, nearest-neighbour resize, all pure Scala and
+  * oracle-verified against independent ground truth. Heavy codecs
+  * (JPEG/audio/video) are not in this container, so [[decodeFeatures]] /
+  * [[resizeAssets]] keep that tier's decode a documented STUB while the
+  * Spark-side shape — binary + struct schema, lazy per-partition batch
+  * iteration (the mapInPandas shape), narrow no-shuffle decode — is real
+  * and load-bearing for both tiers.
   */
 object Multimodal {
 
@@ -61,6 +63,88 @@ object Multimodal {
     val digest = md.digest(bytes).map("%02x".format(_)).mkString
     val head = bytes.take(8).map("%02x".format(_)).mkString
     (digest, head)
+  }
+
+  // ---- Real codec path: binary PPM (P6) ----------------------------------
+  // Heavy codecs (JPEG/PNG/audio) stay out of this container, but P6 PPM
+  // needs none — so this decode path is REAL: bytes are parsed, pixel
+  // features computed, and the oracle checks them against independently
+  // derived ground truth (not a replay of the same code).
+
+  case class PpmImage(width: Int, height: Int, pixels: Array[Byte])
+
+  /** Encode an RGB image as binary PPM (P6, maxval 255). */
+  def encodePpm(width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val body = new Array[Byte](width * height * 3)
+    var i = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        body(i) = r.toByte; body(i + 1) = g.toByte; body(i + 2) = b.toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    header ++ body
+  }
+
+  /** Decode binary PPM (P6, maxval 255): whitespace-delimited header
+    * tokens, then raw RGB triples. */
+  def decodePpm(bytes: Array[Byte]): PpmImage = {
+    var pos = 0
+    def token(): String = {
+      while (Character.isWhitespace(bytes(pos))) pos += 1
+      val st = pos
+      while (!Character.isWhitespace(bytes(pos))) pos += 1
+      new String(bytes, st, pos - st, "US-ASCII")
+    }
+    require(token() == "P6", "not a binary PPM")
+    val w = token().toInt
+    val h = token().toInt
+    require(token().toInt == 255, "unsupported maxval")
+    pos += 1 // exactly one whitespace byte separates header from data
+    PpmImage(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3))
+  }
+
+  /** Nearest-neighbour resize — a REAL re-encode (the thing the byte-slice
+    * stubs can't model): decode, remap pixels, encode. */
+  def resizePpm(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+    val img = decodePpm(bytes)
+    encodePpm(newW, newH, (x, y) => {
+      val sx = x * img.width / newW
+      val sy = y * img.height / newH
+      val i = (sy * img.width + sx) * 3
+      (img.pixels(i) & 0xff, img.pixels(i + 1) & 0xff, img.pixels(i + 2) & 0xff)
+    })
+  }
+
+  case class PpmFeature(
+      doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Batched per-partition PPM decode → per-channel pixel sums (exact
+    * integers, so the cross-engine compare is hash-stable). Narrow map,
+    * same shape as [[decodeFeatures]] but with a real codec inside. */
+  def ppmChannelSums(assets: DataFrame): Dataset[PpmFeature] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = decodePpm(bytes)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < img.pixels.length) {
+          sr += img.pixels(i) & 0xff
+          sg += img.pixels(i + 1) & 0xff
+          sb += img.pixels(i + 2) & 0xff
+          i += 3
+        }
+        PpmFeature(id, img.width, img.height, sr, sg, sb)
+      })
   }
 
   /** Byte-range sampling (the "frame sample" analogue): slice the payload

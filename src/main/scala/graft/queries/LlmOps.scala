@@ -181,6 +181,28 @@ object LlmOps {
         lower(hex(expr("substring(content, 1, 8)"))).as("head_hex"))
         .orderBy("doc_id")),
 
+    // REAL image decode: each doc becomes a deterministic synthetic PPM
+    // (size and pixels are functions of doc_id), the engine round-trips
+    // the actual P6 bytes (encode → decode → per-channel pixel sums),
+    // and the oracle computes the sums from the pixel formula DIRECTLY —
+    // independent ground truth, so a decode bug fails the hash compare
+    // rather than being replayed on both sides.
+    "mm_ppm_decode" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 6 + (id % 7).toInt
+          val bytes = Multimodal.encodePpm(w, h, (x, y) => (
+            ((id + 7L * x + 13L * y) % 256).toInt,
+            ((id * 2 + 5L * x + 11L * y) % 256).toInt,
+            ((id * 3 + 3L * x + 17L * y) % 256).toInt))
+          (id, bytes)
+        }).toDF("doc_id", "content")
+        .transform(df => Multimodal.ppmChannelSums(df).toDF())
+        .orderBy("doc_id")
+    }),
+
     // Composite curation pipeline: language gate → length/quality gate →
     // exact content dedup (keep lowest id) → per-source corpus stats.
     // Every stage is a narrow filter or a single keyed shuffle; this is
@@ -402,6 +424,17 @@ object LlmOps {
       ("WITH w AS (" + wordsCte + ") " +
         "SELECT doc_id, " + duckSimhash32("9") + " AS sig_hi, " +
         duckSimhash32("1") + " AS sig_lo FROM w ORDER BY doc_id"),
+    // independent ground truth: the pixel formula summed over the (x, y)
+    // grid in SQL — never touches the PPM bytes the Spark side decodes
+    "mm_ppm_decode" ->
+      ("WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents) " +
+        "SELECT d.doc_id, CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height, " +
+        "CAST(sum((d.doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r, " +
+        "CAST(sum((d.doc_id * 2 + 5 * x + 11 * y) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(sum((d.doc_id * 3 + 3 * x + 17 * y) % 256) AS BIGINT) AS sum_b " +
+        "FROM dims d, range(0, 16) tx(x), range(0, 12) ty(y) " +
+        "WHERE x < d.w AND y < d.h " +
+        "GROUP BY d.doc_id, d.w, d.h ORDER BY d.doc_id"),
     "mm_binary_features" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, 'text/plain' AS mime, " +
         "md5(text) AS content_md5, lower(hex(substring(text, 1, 8)::BLOB)) AS head_hex " +

@@ -11,6 +11,35 @@ class MultimodalSpec extends SparkSpec {
     (2L, "bonjour", "fr")
   ).toDF("doc_id", "text", "lang")
 
+  test("PPM encode→decode roundtrips pixels exactly") {
+    val bytes = Multimodal.encodePpm(5, 3, (x, y) => (x * 40, y * 80, x + y))
+    val img = Multimodal.decodePpm(bytes)
+    assert(img.width == 5 && img.height == 3)
+    assert((img.pixels(0) & 0xff) == 0)
+    // pixel (4, 2): r=160, g=160, b=6 at offset (2*5+4)*3
+    val i = (2 * 5 + 4) * 3
+    assert((img.pixels(i) & 0xff) == 160)
+    assert((img.pixels(i + 1) & 0xff) == 160)
+    assert((img.pixels(i + 2) & 0xff) == 6)
+  }
+
+  test("PPM resize remaps pixels by nearest neighbour") {
+    val bytes = Multimodal.encodePpm(4, 4, (x, y) => (x * 60, y * 60, 0))
+    val small = Multimodal.decodePpm(Multimodal.resizePpm(bytes, 2, 2))
+    assert(small.width == 2 && small.height == 2)
+    // output (1,1) samples source (2,2): r=120, g=120
+    val i = (1 * 2 + 1) * 3
+    assert((small.pixels(i) & 0xff) == 120)
+    assert((small.pixels(i + 1) & 0xff) == 120)
+  }
+
+  test("ppmChannelSums decodes real bytes distributed") {
+    val df = Seq((7L, Multimodal.encodePpm(2, 2, (_, _) => (1, 2, 3))))
+      .toDF("doc_id", "content")
+    val out = Multimodal.ppmChannelSums(df).collect()
+    assert(out.head == Multimodal.PpmFeature(7L, 2, 2, 4L, 8L, 12L))
+  }
+
   test("toAssets produces binary payload with typed metadata") {
     val assets = Multimodal.toAssets(docs)
     val r = assets.filter(col("doc_id") === 1).collect()(0)
