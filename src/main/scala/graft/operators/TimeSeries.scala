@@ -33,7 +33,10 @@ object TimeSeries {
   def asofJoin(
       left: DataFrame, right: DataFrame,
       key: String, ts: String, tieBreak: String,
-      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+      leftCols: Seq[String], rightCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"unknown as-of direction: $direction")
     val carried = struct(rightCols.map(col): _*)
     val l = left.select(
       (Seq(col(key), col(ts), col(tieBreak).as("__tie"), lit(1).as("__side"),
@@ -44,11 +47,22 @@ object TimeSeries {
       (Seq(col(key), col(ts), col(tieBreak).as("__tie"), lit(0).as("__side"),
         carried.as("__carry")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("__side").asc, col("__tie").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: most recent right at-or-before (ties included — right
+    // sorts before left at equal ts; highest tie-break wins via last()).
+    // forward: earliest right at-or-after (ties included — left sorts
+    // before right at equal ts; lowest tie-break wins via first()).
+    val base = Window.partitionBy(key)
+    val (w, matchExpr) =
+      if (direction == "backward")
+        (base.orderBy(col(ts).asc, col("__side").asc, col("__tie").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__carry"), ignoreNulls = true))
+      else
+        (base.orderBy(col(ts).asc, col("__side").desc, col("__tie").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__carry"), ignoreNulls = true))
     l.unionByName(r)
-      .withColumn("__match", last(col("__carry"), ignoreNulls = true).over(w))
+      .withColumn("__match", matchExpr.over(w))
       .filter(col("__side") === 1)
       .select((Seq(col(key), col(ts)) ++ leftCols.map(col) ++
         rightCols.map(c => col(s"__match.$c").as(s"asof_$c"))): _*)

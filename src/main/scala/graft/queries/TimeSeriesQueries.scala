@@ -29,6 +29,24 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: each purchase matched to the user's NEXT view/click
+    // at-or-after — same one-shuffle union+window shape, mirrored frame.
+    "ts_asof_forward" -> ((s, d) => {
+      val ev = events(s, d)
+      TimeSeries.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type").isin("view", "click")),
+        key = "user_id", ts = "ts", tieBreak = "event_id",
+        leftCols = Seq("event_id", "value"),
+        rightCols = Seq("event_id", "event_type"),
+        direction = "forward")
+        .select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"),
+          col("asof_event_id"), col("asof_event_type"))
+        .orderBy("event_id")
+    }),
+
     // Resample: downsample the event stream to hourly buckets — one hash
     // aggregation (map-side partials), exact-cents sums.
     "ts_resample" -> ((s, d) =>
@@ -88,6 +106,27 @@ object TimeSeriesQueries {
         |  FROM tagged
         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, tie
         |    ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |  asof_event_id, asof_event_type
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin),
+    "ts_asof_forward" ->
+      ("""WITH tagged AS (
+        |  SELECT user_id, ts, event_id AS tie, 1 AS side,
+        |    CAST(NULL AS BIGINT) AS r_event_id, CAST(NULL AS VARCHAR) AS r_event_type,
+        |    event_id, value
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0, event_id, event_type,
+        |    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), w AS (
+        |  SELECT *,
+        |    first_value(r_event_id IGNORE NULLS) OVER win AS asof_event_id,
+        |    first_value(r_event_type IGNORE NULLS) OVER win AS asof_event_type
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side DESC, tie
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         |)
         |SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
         |  asof_event_id, asof_event_type

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.{Dedup, Packing, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input robustness: a 100 TB pipeline WILL meet empty
+  * partitions, empty tables (a filter that matched nothing), null text,
+  * and whitespace-only docs — operators must pass them through, not
+  * throw. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup, sampling, packing, clustering accept empty inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashNearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashNearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.prefixBlockedJaccardPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.levenshteinNearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Sampling.bernoulli(emptyDocs, "doc_id", 0.5).count() == 0)
+    val emptyTok = Seq.empty[(Long, String, Int)].toDF("id", "stream", "n")
+    assert(Packing.seqPack(emptyTok, "id", "stream", col("n"), 100).count() == 0)
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(emptyPairs, "a", "b").count() == 0)
+  }
+
+  test("null, empty, and whitespace-only text flow through text kernels") {
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "   "), (4L, "one word"))
+      .toDF("doc_id", "text")
+    // shingle-less docs drop out of pair generation entirely
+    assert(Dedup.minhashNearDupPairs(docs, "doc_id", "text").count() == 0)
+    // simhash emits a signature for EVERY doc (empty text → sign of zero
+    // counts → signature 0) — presence, not silence, for downstream joins
+    val sigs = Dedup.simhashSignatures64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs.size == 4)
+    assert(sigs(1L) == 0L && sigs(2L) == 0L && sigs(3L) == 0L)
+  }
+}

@@ -39,6 +39,26 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 3L, "click"), (4L, 3L, "click"), (5L, -1L, null), (7L, 6L, "view")))
   }
 
+  test("asofJoin forward picks earliest right row at-or-after each left ts") {
+    val out = TimeSeries.asofJoin(
+      evs.filter($"event_type" === "purchase"),
+      evs.filter($"event_type".isin("view", "click")),
+      key = "user_id", ts = "ts", tieBreak = "event_id",
+      leftCols = Seq("event_id", "value"),
+      rightCols = Seq("event_id", "event_type"),
+      direction = "forward")
+      .orderBy("event_id")
+      .select("event_id", "asof_event_id", "asof_event_type")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    // purchase 2 @10:05: click 3 shares the ts and is included (>=);
+    // purchase 4 @10:06 has nothing after; purchase 5 @09:00 sees view 6;
+    // purchase 7 @12:30 has nothing after.
+    assert(out.toSeq === Seq(
+      (2L, 3L, "click"), (4L, -1L, null), (5L, 6L, "view"), (7L, -1L, null)))
+  }
+
   test("sessionize splits on gaps strictly greater than the threshold") {
     val sess = TimeSeries.sessionize(
       evs.filter($"user_id" === 2L), key = "user_id", ts = "ts",
