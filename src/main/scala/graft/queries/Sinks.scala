@@ -49,6 +49,23 @@ object Sinks {
         .orderBy("n_nationkey")
     }),
 
+    // S8 — schema evolution on read: two parquet generations with
+    // different column sets union under mergeSchema (the late-added
+    // column is null for old files) — how a long-lived table absorbs
+    // schema growth without rewriting history.
+    "s8_schema_merge" -> ((s, d) => {
+      val out = tmp("s8_dir")
+      val r = region(s, d)
+      r.select("r_regionkey", "r_name")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      r.select(col("r_regionkey"), col("r_name"),
+        length(col("r_name")).cast("long").as("name_len"))
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/gen=1", s"$out/gen=2")
+        .select("r_regionkey", "r_name", "name_len")
+        .orderBy(col("r_regionkey"), col("name_len").asc_nulls_first)
+    }),
+
     // S7 — single-file CSV export with header (ref write_to_volume.py:15-16)
     "s7_csv_single_file" -> ((s, d) => {
       val dest = tmp("s7.csv")
@@ -70,6 +87,11 @@ object Sinks {
     "s6_json_single_file" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
     "s7_csv_single_file" ->
-      "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey"
+      "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey",
+    "s8_schema_merge" ->
+      ("SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS name_len FROM region " +
+        "UNION ALL " +
+        "SELECT r_regionkey, r_name, CAST(length(r_name) AS BIGINT) FROM region " +
+        "ORDER BY r_regionkey, name_len NULLS FIRST")
   )
 }
