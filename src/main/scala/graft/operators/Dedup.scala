@@ -291,11 +291,14 @@ object Dedup {
       col(idCol), col("sig"), posexplode(keys).as(Seq("tbl", "key")))
     val x = keyed.select(col("tbl"), col("key"), col(idCol).as("a"), col("sig").as("siga"))
     val y = keyed.select(col("tbl"), col("key"), col(idCol).as("b"), col("sig").as("sigb"))
+    // Hamming-filter BEFORE the dedup shuffle: bit_count is a narrow
+    // per-row expression, so rejecting over-threshold pairs first shrinks
+    // the distinct exchange by the candidate miss rate (each surviving
+    // pair still appears once per shared key table, hence the distinct).
     x.join(y, Seq("tbl", "key")).filter(col("a") < col("b"))
-      .select("a", "b", "siga", "sigb").distinct()
       .withColumn("hamming", bit_count(expr("siga ^ sigb")).cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming"))
+      .select(col("a"), col("b"), col("hamming")).distinct()
   }
 
   /** SimHash near-dup over 64-bit signatures with pigeonhole banding —

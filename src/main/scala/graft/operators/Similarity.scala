@@ -88,9 +88,10 @@ object Similarity {
 
   /** Embedding width, from one row of the (already-loaded) table — a tiny
     * driver fetch, same role as pulling the IVF codebook: hyperplanes are a
-    * model artifact sized to the data, not a hardcoded guess. */
+    * model artifact sized to the data, not a hardcoded guess. Returns 0 on
+    * an empty frame (callers substitute any width; no rows exist to hash). */
   def embeddingDims(emb: DataFrame, vecCol: String): Int =
-    emb.select(size(col(vecCol))).head().getInt(0)
+    emb.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Approximate top-k: candidates = same LSH bucket in ANY of `tables`
     * independent signature tables (multi-table LSH — the standard recall
@@ -110,16 +111,20 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       probePred: Column, k: Int, planes: Int = 8, dims: Int = 0,
       tables: Int = 1): DataFrame = {
-    val d = if (dims > 0) dims else embeddingDims(emb, vecCol)
+    val d = math.max(1, if (dims > 0) dims else embeddingDims(emb, vecCol))
     val sigCols = Array.tabulate(tables)(t =>
       lshSignature(col(vecCol), hyperplaneSigns(planes, d, t)))
-    val banded = withNorm(emb, vecCol).select(
+    val base = withNorm(emb, vecCol)
+    // probePred is applied on the FULL-column frame, so it may reference
+    // any metadata column of emb, not just the id/vector
+    def banded(df: DataFrame): DataFrame = df.select(
       col(idCol), col("__vd"), col("__norm"),
       posexplode(array(sigCols.toSeq: _*)).as(Seq("__tbl", "__sig")))
-    val probes = banded.filter(probePred).select(
+    val docs = banded(base)
+    val probes = banded(base.filter(probePred)).select(
       col(idCol).as("probe_id"), col("__vd").as("__pd"),
       col("__norm").as("__pn"), col("__tbl"), col("__sig"))
-    val scored = banded.join(broadcast(probes), Seq("__tbl", "__sig"))
+    val scored = docs.join(broadcast(probes), Seq("__tbl", "__sig"))
       .filter(col("probe_id") =!= col(idCol))
       .withColumn("score_r",
         round(dot(col("__pd"), col("__vd")) / (col("__pn") * col("__norm")), 6))
@@ -165,6 +170,8 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
+    require(cb.nonEmpty,
+      s"trainCodebook: empty initial codebook — no ids < $centroids in $idCol")
     for (_ <- 0 until iters) {
       val ranked = sort_array(array(cb.map { case (cid, vec, nrm) =>
         val sim = dot(col("__vd"), typedlit(vec)) / (col("__norm") * lit(nrm))

@@ -31,10 +31,7 @@ object TextOps {
 
   /** Distinct k-word shingles; empty array when the doc is shorter than k. */
   def shingles(words: Column, k: Int): Column =
-    when(size(words) < k, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(words) - (k - 1)),
-        i => concat_ws(" ", slice(words, i, lit(k))))))
+    array_distinct(allShingles(words, k))
 
   /** One minhash signature: lexicographic min of seed-salted md5 over the
     * shingle set. String-min is portable across engines (ASCII hex). */

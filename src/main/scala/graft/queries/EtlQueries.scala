@@ -43,10 +43,13 @@ object EtlQueries {
       (SurveyConfig.kingston.demographics.map(_._1) ++
         Seq("Is_Invalid", "Survey Date Submitted")).map(col): _*)
 
-  /** Checked-in survey CSV fixtures (FIXTURES.md §B). Absolute path: the
-    * bronze stage is driven by files, not the sf parquet dir, and both the
-    * Spark side and the DuckDB oracle must resolve them regardless of cwd. */
-  private val FixtureDir = "/root/repo/src/test/resources/fixtures"
+  /** Checked-in survey CSV fixtures (FIXTURES.md §B). The bronze stage is
+    * driven by files, not the sf parquet dir; resolving from the process
+    * working directory (with an env override) keeps both the Spark read
+    * and the DuckDB oracle — built in the same process — portable across
+    * checkouts. */
+  private val FixtureDir = sys.env.getOrElse("SPARK_GRAFT_FIXTURES",
+    s"${sys.props("user.dir")}/src/test/resources/fixtures")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bronze ingest (ref extract_alchemer_data.py:8-58): union-by-name of
@@ -105,6 +108,12 @@ object EtlQueries {
         region(s, d).select(col("r_regionkey").as("key"), col("r_name").as("name")),
         "graft_gexpo_region")
       val exported = Export.exportAll(s, "gexpo", dir)
+      // fail HERE with the cause, not later with empty.reduceLeft:
+      // TableSink swallows write errors by design, so a missing table
+      // means the sink printed a diagnostic worth reading
+      require(exported.size == 2,
+        s"etl_export: expected 2 discovered tables, got ${exported.size} — " +
+          "a TableSink write failed (see its stderr diagnostic)")
       val schema = StructType(Seq(
         StructField("key", IntegerType), StructField("name", StringType)))
       exported.sorted

@@ -98,9 +98,7 @@ object EventStream {
     * two execution modes. */
   def curateDocStream(docs: DataFrame, sampleRate: Double = 0.5): DataFrame = {
     import graft.operators.{Sampling, TextOps}
-    docs
-      .filter(Sampling.hashBucket16(col("doc_id")) <
-        math.round(sampleRate * 65536).toInt)
+    Sampling.bernoulli(docs, "doc_id", sampleRate)
       .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
       .filter(col("n_tokens") >= 5)
       .select(col("doc_id"), col("n_tokens"),
