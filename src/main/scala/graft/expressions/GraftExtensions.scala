@@ -22,13 +22,28 @@ object GraftFunctions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
-  val all: Seq[FunctionDescription] = Seq((
-    FunctionIdentifier("graft_dot"),
-    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-    (children: Seq[Expression]) => {
-      require(children.size == 2, "graft_dot takes exactly 2 arguments")
-      DotProduct(children.head, children(1))
-    }))
+  val all: Seq[FunctionDescription] = Seq(
+    (
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }),
+    (
+      FunctionIdentifier("graft_shingle_bands"),
+      new ExpressionInfo(classOf[ShingleBands].getName, "graft_shingle_bands"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_shingle_bands takes (text, k, numHashes)")
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"graft_shingle_bands: $name must be an integer literal")
+        }
+        ShingleBands(children.head,
+          intLit(children(1), "k"), intLit(children(2), "numHashes"))
+      }))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,107 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.operators.Dedup
+
+/** Static kernel behind [[ShingleBands]]: the tokenize → shingle →
+  * xor-permutation minhash → band derivation, shared verbatim with the
+  * RDD path in `Dedup.withShinglesAndSigs` (same helpers, same
+  * arithmetic, so both paths — and the DuckDB oracle — agree
+  * byte-for-byte). Called from generated code, so it is allocation-lean
+  * and thread-confined (per-thread MessageDigest). */
+object TextKernels {
+
+  private val tlMd: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  private val permsCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  private def permsFor(n: Int): Array[Long] =
+    permsCache.computeIfAbsent(n, m => Dedup.permConstants(m))
+
+  /** Returns null when the doc has no k-shingles (dropped by callers) —
+    * matching the RDD path's flatMap-None semantics. */
+  def shingleBands(text: UTF8String, k: Int, numHashes: Int): InternalRow = {
+    val md = tlMd.get()
+    val str = if (text == null) "" else text.toString
+    val sh = Dedup.shingle(Dedup.tokenize(str), k)
+    if (sh.isEmpty) null
+    else {
+      val perms = permsFor(numHashes)
+      val hashes = new Array[Long](sh.length)
+      var i = 0
+      while (i < sh.length) {
+        hashes(i) =
+          java.lang.Long.parseLong(Dedup.md5Hex(md, sh(i)).substring(0, 15), 16)
+        i += 1
+      }
+      val sigs = Array.tabulate(numHashes) { h =>
+        var m = Long.MaxValue
+        var j = 0
+        while (j < hashes.length) {
+          val v = hashes(j) ^ perms(h)
+          if (v < m) m = v
+          j += 1
+        }
+        m
+      }
+      val bands = Array.tabulate(numHashes / 2) { b =>
+        Dedup.md5Hex(md, sigs(2 * b).toString + "|" + sigs(2 * b + 1).toString)
+      }
+      new GenericInternalRow(Array[Any](
+        ArrayData.toArrayData(sh.map(UTF8String.fromString)),
+        ArrayData.toArrayData(bands.map(UTF8String.fromString))))
+    }
+  }
+}
+
+/** Native Catalyst expression: per-doc minhash shingles + LSH band keys,
+  * `struct<shingles: array<string>, bandkeys: array<string>>`, null when
+  * the doc is shorter than k words.
+  *
+  * Exists so the dedup text kernel stays INSIDE the DataFrame plan: the
+  * RDD mapPartitions formulation forces a DataFrame→RDD→DataFrame round
+  * trip (InternalRow↔Row conversion on every row, an opaque lineage
+  * break for Catalyst/AQE, and a schema re-assertion), while this
+  * expression evaluates in whole-stage codegen via one static call. The
+  * heavy lifting (md5) is JVM intrinsic either way — the win is the
+  * conversion and the plan transparency, and the semantics are pinned to
+  * the RDD path byte-for-byte (DedupSpec equivalence test).
+  */
+case class ShingleBands(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_bands requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("shingles", ArrayType(StringType, containsNull = false)),
+    StructField("bandkeys", ArrayType(StringType, containsNull = false))))
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.shingleBands(t.asInstanceOf[UTF8String], k, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expressions.TextKernels.shingleBands($c, $k, $numHashes);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleBands =
+    copy(child = newChild)
+}

@@ -39,14 +39,14 @@ object Dedup {
 
   /** Tokenizer matching TextOps.tokens / the SQL oracle exactly:
     * lowercase, non-alphanumerics fold to space, split, drop empties. */
-  private[operators] def tokenize(text: String): Array[String] =
+  private[graft] def tokenize(text: String): Array[String] =
     Spaces.split(
       NonAlnum.matcher(text.toLowerCase(java.util.Locale.ROOT)).replaceAll(" "))
       .filter(_.nonEmpty)
 
   private val HexChars = "0123456789abcdef".toCharArray
 
-  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+  private[graft] def md5Hex(md: java.security.MessageDigest, s: String): String = {
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val out = new Array[Char](32)
@@ -60,7 +60,7 @@ object Dedup {
   }
 
   /** Distinct k-word shingles in first-occurrence order. */
-  private[operators] def shingle(words: Array[String], k: Int): Array[String] =
+  private[graft] def shingle(words: Array[String], k: Int): Array[String] =
     if (words.length < k) Array.empty
     else (0 to words.length - k).map(i => words.slice(i, i + k).mkString(" "))
       .distinct.toArray
@@ -84,7 +84,10 @@ object Dedup {
       java.lang.Long.parseLong(md5Hex(md, s"perm$p").substring(0, 15), 16))
   }
 
-  /** Per-doc shingles + banded minhash keys, one mapPartitions pass.
+  /** Per-doc shingles + banded minhash keys, one narrow pass through the
+    * native [[graft.expressions.ShingleBands]] expression — the kernel
+    * stays INSIDE the DataFrame plan (whole-stage codegen, no
+    * DataFrame→RDD round trip, no lineage break for Catalyst/AQE).
     *
     * Each shingle is content-hashed ONCE (md5 → 60-bit long); the
     * `numHashes` signatures derive by XOR with per-function constants and
@@ -92,44 +95,31 @@ object Dedup {
     * near-dup — one digest per shingle instead of one per (shingle, hash
     * fn) is an 8× cut with the same LSH guarantees (xor by a constant is
     * a bijection, so min-over-xored-hashes is a valid minhash family).
-    * Band key b = md5(sig_2b "|" sig_2b+1). */
+    * Band key b = md5(sig_2b "|" sig_2b+1). Docs shorter than k words
+    * produce a null struct and are dropped, like the previous RDD
+    * formulation's flatMap-None. */
   def withShinglesAndSigs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame = {
-    val spark = df.sparkSession
-    val perms = permConstants(numHashes)
-    val outSchema = StructType(Seq(
-      StructField("id", LongType),
-      StructField("shingles", ArrayType(StringType)),
-      StructField("bandkeys", ArrayType(StringType))))
-    val rows = widened(df.select(col(idCol).cast("long"), col(textCol)).rdd)
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { r =>
-          val text = if (r.isNullAt(1)) "" else r.getString(1)
-          val sh = shingle(tokenize(text), k)
-          if (sh.isEmpty) None
-          else {
-            val hashes = sh.map(s =>
-              java.lang.Long.parseLong(md5Hex(md, s).substring(0, 15), 16))
-            val sigs = Array.tabulate(numHashes) { h =>
-              var m = Long.MaxValue
-              var i = 0
-              while (i < hashes.length) {
-                val v = hashes(i) ^ perms(h)
-                if (v < m) m = v
-                i += 1
-              }
-              m
-            }
-            val bands = Array.tabulate(numHashes / 2) { b =>
-              md5Hex(md, sigs(2 * b).toString + "|" + sigs(2 * b + 1).toString)
-            }
-            Some(Row(r.getLong(0), sh.toSeq, bands.toSeq))
-          }
-        }
-      }
-    spark.createDataFrame(rows, outSchema).withColumnRenamed("id", idCol)
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val narrow = df.select(col(idCol).cast("long").as(idCol), col(textCol).as("__text"))
+    // same under-partitioned-input rebalance rationale as `widened`
+    val balanced =
+      if (narrow.rdd.getNumPartitions < target) narrow.repartition(target)
+      else narrow
+    // explode(array(...)) is a deliberate Generate BARRIER: without it,
+    // CollapseProject inlines the kernel into the null-check filter AND
+    // each struct-field extraction — 3 evaluations per row (measured 2×
+    // slower). Generate materializes the struct exactly once per row.
+    balanced
+      .select(col(idCol), explode(array(
+        call_function("graft_shingle_bands", col("__text"), lit(k), lit(numHashes))))
+        .as("__sb"))
+      .filter(col("__sb").isNotNull)
+      .select(col(idCol),
+        col("__sb.shingles").as("shingles"),
+        col("__sb.bandkeys").as("bandkeys"))
   }
 
   /** Candidate near-dup pairs via banded LSH, verified with exact shingle
@@ -169,12 +159,17 @@ object Dedup {
     // the pair join is local to each bucket — no all-pairs blowup.
     val x = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
     val y = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("b"))
-    val cands = x.join(y, Seq("band_idx", "band_hash"))
+    // SHUFFLE_MERGE pinned: every side here is corpus-sized kernel output
+    // whose size Catalyst under-estimates from the parquet scan (the
+    // shingle explosion happens above the scan) — an auto-broadcast of an
+    // amplified side is an executor OOM at scale, so the bucket joins
+    // must shuffle by key, never broadcast
+    val cands = x.hint("merge").join(y, Seq("band_idx", "band_hash"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     val sa = docs.select(col(idCol).as("a"), col("shingles").as("sha"))
     val sb = docs.select(col(idCol).as("b"), col("shingles").as("shb"))
-    cands.join(sa, "a").join(sb, "b")
+    cands.join(sa.hint("merge"), "a").join(sb.hint("merge"), "b")
       .withColumn("n_inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("n_union", size(col("sha")) + size(col("shb")) - col("n_inter"))
       .filter(col("n_inter") * 2 >= col("n_union"))
@@ -295,7 +290,7 @@ object Dedup {
     // per-row expression, so rejecting over-threshold pairs first shrinks
     // the distinct exchange by the candidate miss rate (each surviving
     // pair still appears once per shared key table, hence the distinct).
-    x.join(y, Seq("tbl", "key")).filter(col("a") < col("b"))
+    x.hint("merge").join(y, Seq("tbl", "key")).filter(col("a") < col("b"))
       .withColumn("hamming", bit_count(expr("siga ^ sigb")).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming")).distinct()
@@ -381,7 +376,7 @@ object Dedup {
         md5(substring(col(textCol), 1, prefixLen)).as("blk")), idCol)
     val a = base.select(col("blk"), col(idCol).as("a"), col("shingles").as("sha"))
     val b = base.select(col("blk"), col(idCol).as("b"), col("shingles").as("shb"))
-    a.join(b, "blk").filter(col("a") < col("b"))
+    a.hint("merge").join(b, "blk").filter(col("a") < col("b"))
       .withColumn("n_inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("n_union", size(col("sha")) + size(col("shb")) - col("n_inter"))
       .select(col("a"), col("b"),
