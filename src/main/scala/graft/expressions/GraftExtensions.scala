@@ -43,6 +43,18 @@ object GraftFunctions {
         }
         ShingleBands(children.head,
           intLit(children(1), "k"), intLit(children(2), "numHashes"))
+      }),
+    (
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_simhash takes (text, bits)")
+        val bits = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_simhash: bits must be an integer literal")
+        }
+        Simhash(children.head, bits)
       }))
 
   /** Idempotent per-session registration. */

@@ -27,6 +27,56 @@ object TextKernels {
   private def permsFor(n: Int): Array[Long] =
     permsCache.computeIfAbsent(n, m => Dedup.permConstants(m))
 
+  /** 64-bit simhash over the token multiset: bits 0..31 from the first 8
+    * md5 hex chars of each word, bits 32..63 from the next 8 — identical
+    * arithmetic to the SQL oracle's two 32-bit halves. Empty/null text
+    * gives signature 0 (all counts zero). */
+  def simhash64(text: UTF8String): Long = {
+    val md = tlMd.get()
+    val str = if (text == null) "" else text.toString
+    val counts = new Array[Long](64)
+    Dedup.tokenize(str).foreach { w =>
+      val hex = Dedup.md5Hex(md, w)
+      val lo = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val hi = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      var j = 0
+      while (j < 32) {
+        counts(j) += ((lo >> j) & 1L) * 2 - 1
+        counts(j + 32) += ((hi >> j) & 1L) * 2 - 1
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  /** 32-bit simhash (the compact variant): first 8 md5 hex chars only. */
+  def simhash32(text: UTF8String): Long = {
+    val md = tlMd.get()
+    val str = if (text == null) "" else text.toString
+    val counts = new Array[Long](32)
+    Dedup.tokenize(str).foreach { w =>
+      val h = java.lang.Long.parseLong(Dedup.md5Hex(md, w).substring(0, 8), 16)
+      var j = 0
+      while (j < 32) {
+        counts(j) += ((h >> j) & 1L) * 2 - 1
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
   /** Returns null when the doc has no k-shingles (dropped by callers) —
     * matching the RDD path's flatMap-None semantics. */
   def shingleBands(text: UTF8String, k: Int, numHashes: Int): InternalRow = {
@@ -76,6 +126,32 @@ object TextKernels {
   * conversion and the plan transparency, and the semantics are pinned to
   * the RDD path byte-for-byte (DedupSpec equivalence test).
   */
+/** Native simhash signature expression; `bits` selects the 32- or 64-bit
+  * kernel. Null text → null child → null out (callers coalesce or the
+  * row simply carries null); NON-null empty text → signature 0. */
+case class Simhash(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits == 32 || bits == 64, s"simhash bits must be 32 or 64: $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(t: Any): Any =
+    if (bits == 64) TextKernels.simhash64(t.asInstanceOf[UTF8String])
+    else TextKernels.simhash32(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (bits == 64) "simhash64" else "simhash32"
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.$fn($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash =
+    copy(child = newChild)
+}
+
 case class ShingleBands(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression {
 

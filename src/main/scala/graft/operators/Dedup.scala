@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -16,13 +16,16 @@ import org.apache.spark.sql.types._
   * carried as exact integers (|A∩B|, |A∪B|) so thresholding is an integer
   * compare with no float-rounding hazard.
   *
-  * The per-doc text kernel (tokenize → shingle → minhash → band) runs as
-  * ONE mapPartitions pass: a narrow map with no shuffle that scales
-  * linearly with executors. The expression-tree formulation (array
-  * transform + md5 per element) is interpreted per element by Spark's
-  * higher-order functions and measured ~50ms/doc — 100× slower. Hashing is
-  * md5-of-UTF8 throughout, bit-identical to both Spark's and DuckDB's md5,
-  * so results stay engine-portable and auditable.
+  * The per-doc text kernels (tokenize → shingle → minhash → band;
+  * simhash) run as native codegen expressions
+  * (graft.expressions.ShingleBands / Simhash): one narrow pass inside
+  * whole-stage codegen, no DataFrame→RDD round trip, no lineage break
+  * for Catalyst/AQE. (The composable array-transform + md5-per-element
+  * formulation evaluates its lambdas interpreted and measured ~100×
+  * slower; the RDD mapPartitions formulation matched the expression on
+  * CPU but paid row conversion and hid the plan.) Hashing is md5-of-UTF8
+  * throughout, bit-identical to both Spark's and DuckDB's md5, so
+  * results stay engine-portable and auditable.
   */
 object Dedup {
 
@@ -65,16 +68,6 @@ object Dedup {
     else (0 to words.length - k).map(i => words.slice(i, i + k).mkString(" "))
       .distinct.toArray
 
-  /** The text kernels are CPU-bound (~100 µs/doc); when the source is
-    * under-partitioned (single-row-group local files → one split) the
-    * kernel would run on one core. Rebalancing the narrow (id, text)
-    * projection is cheap relative to the kernel it parallelizes; on a
-    * cluster input with splits ≥ cores this is a no-op. */
-  private def widened(rdd: org.apache.spark.rdd.RDD[Row]): org.apache.spark.rdd.RDD[Row] = {
-    val target = rdd.sparkContext.defaultParallelism
-    if (rdd.getNumPartitions < target) rdd.repartition(target) else rdd
-  }
-
   /** Deterministic 60-bit permutation constants for minhash: one per hash
     * function, md5-derived so both engines (and the oracle SQL, which
     * embeds them as literals) agree byte-for-byte. */
@@ -104,7 +97,11 @@ object Dedup {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val target = df.sparkSession.sparkContext.defaultParallelism
     val narrow = df.select(col(idCol).cast("long").as(idCol), col(textCol).as("__text"))
-    // same under-partitioned-input rebalance rationale as `widened`
+    // The text kernels are CPU-bound (~100 µs/doc); when the source is
+    // under-partitioned (single-row-group local files → one split) the
+    // kernel would run on one core. Rebalancing the narrow (id, text)
+    // projection is cheap relative to the kernel it parallelizes; on a
+    // cluster input with splits ≥ cores this is a no-op.
     val balanced =
       if (narrow.rdd.getNumPartitions < target) narrow.repartition(target)
       else narrow
@@ -178,80 +175,39 @@ object Dedup {
         col("n_union").cast("long").as("n_union"))
   }
 
-  /** 32-bit simhash signatures over the token multiset, one mapPartitions
-    * pass (same kernel rationale as [[withShinglesAndSigs]]). Per word the
-    * hash is the first 8 md5 hex chars as an unsigned 32-bit value —
-    * portable and identical to the SQL-oracle formulation; per bit, ±1
-    * contributions sum across words and the bit sets when positive. */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("id", LongType), StructField("sig", LongType)))
-    val rows = widened(df.select(col(idCol).cast("long"), col(textCol)).rdd)
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { r =>
-          val text = if (r.isNullAt(1)) "" else r.getString(1)
-          val counts = new Array[Long](32)
-          tokenize(text).foreach { w =>
-            val h = java.lang.Long.parseLong(md5Hex(md, w).substring(0, 8), 16)
-            var j = 0
-            while (j < 32) {
-              counts(j) += ((h >> j) & 1L) * 2 - 1
-              j += 1
-            }
-          }
-          var sig = 0L
-          var j = 0
-          while (j < 32) {
-            if (counts(j) > 0) sig |= 1L << j
-            j += 1
-          }
-          Row(r.getLong(0), sig)
-        }
-      }
-    spark.createDataFrame(rows, outSchema).withColumnRenamed("id", idCol)
+  private def simhashFrame(
+      df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val narrow = df.select(col(idCol).cast("long").as(idCol), col(textCol).as("__text"))
+    val balanced =
+      if (narrow.rdd.getNumPartitions < target) narrow.repartition(target)
+      else narrow
+    // null text coalesces to "" → signature 0: presence, not silence,
+    // for downstream joins (EdgeCaseSpec pins this)
+    balanced.select(col(idCol),
+      call_function("graft_simhash",
+        coalesce(col("__text"), lit("")), lit(bits)).as("sig"))
   }
 
-  /** 64-bit simhash signatures, same one-pass kernel as
+  /** 32-bit simhash signatures over the token multiset via the native
+    * [[graft.expressions.Simhash]] expression (whole-stage codegen, no
+    * RDD round trip). Per word the hash is the first 8 md5 hex chars as
+    * an unsigned 32-bit value — portable and identical to the SQL-oracle
+    * formulation; per bit, ±1 contributions sum across words and the bit
+    * sets when positive. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFrame(df, idCol, textCol, 32)
+
+  /** 64-bit simhash signatures, same kernel family as
     * [[simhashSignatures]]: bits 0..31 hash from the first 8 md5 hex
     * chars of each word, bits 32..63 from the next 8 (two 32-bit parses —
     * both engines stay in signed-64 range, unlike a single 16-hex-char
     * parse). 64 bits is the standard fingerprint width (Manku et al.,
     * WWW'07): at web scale, 32 bits collide too often for Hamming
     * thresholds to mean anything. */
-  def simhashSignatures64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("id", LongType), StructField("sig", LongType)))
-    val rows = widened(df.select(col(idCol).cast("long"), col(textCol)).rdd)
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { r =>
-          val text = if (r.isNullAt(1)) "" else r.getString(1)
-          val counts = new Array[Long](64)
-          tokenize(text).foreach { w =>
-            val hex = md5Hex(md, w)
-            val lo = java.lang.Long.parseLong(hex.substring(0, 8), 16)
-            val hi = java.lang.Long.parseLong(hex.substring(8, 16), 16)
-            var j = 0
-            while (j < 32) {
-              counts(j) += ((lo >> j) & 1L) * 2 - 1
-              counts(j + 32) += ((hi >> j) & 1L) * 2 - 1
-              j += 1
-            }
-          }
-          var sig = 0L
-          var j = 0
-          while (j < 64) {
-            if (counts(j) > 0) sig |= 1L << j
-            j += 1
-          }
-          Row(r.getLong(0), sig)
-        }
-      }
-    spark.createDataFrame(rows, outSchema).withColumnRenamed("id", idCol)
-  }
+  def simhashSignatures64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFrame(df, idCol, textCol, 64)
 
   /** Pigeonhole candidate generation + exact Hamming verify over 64-bit
     * signatures (`sigs` must have columns (idCol, sig)).
