@@ -17,6 +17,19 @@ class DotProductSpec extends SparkSpec {
     assert(r == 32.0)
   }
 
+  test("text-kernel expressions are SQL-callable with pinned semantics") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_simhash('hello world', 64) AS s64, " +
+        "graft_simhash('', 64) AS s0, " +
+        "graft_shingle_bands('a b c d', 2, 8).shingles AS sh, " +
+        "graft_shingle_bands('too short', 3, 8) AS none").head()
+    assert(row.getLong(0) != 0L)
+    assert(row.getLong(1) == 0L) // empty text → zero signature
+    assert(row.getSeq[String](2) == Seq("a b", "b c", "c d"))
+    assert(row.isNullAt(3)) // sub-k docs → null struct (callers drop)
+  }
+
   test("matches the aggregate/zip_with fold bit-for-bit on real doubles") {
     GraftFunctions.register(spark)
     val df = Seq.tabulate(50)(i =>
