@@ -235,6 +235,41 @@ object Functions {
           max(col("p.k")).as("max_k"))
         .orderBy("event_type")),
 
+    // F23 (extension) — null-handling battery: nullif / nvl2 / nanvl
+    // shapes, all codegen'd conditionals.
+    "f23_null_fns" -> ((s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        expr("nullif(o_orderstatus, 'O')").as("status_nz"),
+        expr("nvl2(nullif(o_orderstatus, 'O'), 'closed', 'open')").as("state"),
+        coalesce(nullif(col("o_orderpriority"), lit("3-MEDIUM")),
+          lit("(default)")).as("prio_nz"))
+        .orderBy("o_orderkey")),
+
+    // F24 (extension) — string battery: split_part, translate, initcap,
+    // lpad/rpad, repeat, reverse, position — the everyday cleanup verbs.
+    "f24_string_battery" -> ((s, d) =>
+      customer(s, d).select(
+        col("c_custkey"),
+        expr("split_part(c_name, '#', 2)").as("cust_num"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
+        initcap(lower(col("c_mktsegment"))).as("seg_cap"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("key_pad"),
+        expr("repeat('ab', 3)").as("rep"),
+        reverse(col("c_name")).as("name_rev"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"))
+        .orderBy("c_custkey")),
+
+    // F25 (extension) — grouped array aggregation, stringified: sorted
+    // collect_list is the order-insensitive distributed form (collect
+    // order is partition-dependent; the sort pins determinism).
+    "f25_collect_sorted" -> ((s, d) =>
+      nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy("n_regionkey")),
+
     // U1 — likert dict lookup as a native map-literal + coalesce default-0;
     // replaces the reference's Python UDF (ref utils.py:159-181) with a
     // codegen-friendly expression — no JVM↔Python boundary.
@@ -324,6 +359,22 @@ object Functions {
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, " +
         "max(CAST(props->>'$.k' AS BIGINT)) AS max_k " +
-        "FROM events GROUP BY event_type ORDER BY event_type")
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "f23_null_fns" ->
+      ("SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_nz, " +
+        "CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL THEN 'closed' ELSE 'open' END AS state, " +
+        "coalesce(nullif(o_orderpriority, '3-MEDIUM'), '(default)') AS prio_nz " +
+        "FROM orders ORDER BY o_orderkey"),
+    "f24_string_battery" ->
+      ("SELECT c_custkey, split_part(c_name, '#', 2) AS cust_num, " +
+        "translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr, " +
+        "upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) AS seg_cap, " +
+        "lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad, " +
+        "repeat('ab', 3) AS rep, reverse(c_name) AS name_rev, " +
+        "CAST(coalesce(position('#' IN c_name), 0) AS BIGINT) AS hash_pos " +
+        "FROM customer ORDER BY c_custkey"),
+    "f25_collect_sorted" ->
+      ("SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS nations " +
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")
   )
 }
