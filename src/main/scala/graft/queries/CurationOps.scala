@@ -73,6 +73,24 @@ object CurationOps {
         .select("doc_id", "source", "n_tok", "start_offset", "bin")
         .orderBy("doc_id")),
 
+    // Text normalization: HTML-tag strip → accent fold → whitespace
+    // collapse → trim, the canonical pre-tokenization cleanup chain. All
+    // codegen'd regexp/translate — scan-speed narrow maps. (The synthetic
+    // corpus is clean, so markup and accents are planted deterministically,
+    // identically in the oracle.)
+    "ta_normalize" -> ((s, d) => {
+      val dirty = concat(lit("<p>Café "), substring(col("text"), 1, 60),
+        lit(" <br/>Über</p>  fin"))
+      documents(s, d).select(
+        col("doc_id"),
+        trim(regexp_replace(
+          translate(
+            regexp_replace(dirty, "<[^>]*>", " "),
+            "éÜüèà", "eUuea"),
+          " +", " ")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // Domain mixing: resample toward a target source mixture (40/30/20/
     // 10) at 25% of corpus size. The thresholds derive from observed
     // counts (driver-side model artifact); the applied predicate is one
@@ -172,6 +190,11 @@ object CurationOps {
         "CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok AS start_offset FROM t) " +
         "SELECT doc_id, source, n_tok, start_offset, " +
         "CAST(floor(start_offset / 2048) AS BIGINT) AS bin FROM o ORDER BY doc_id"),
+    "ta_normalize" ->
+      ("WITH a AS (SELECT doc_id, '<p>Café ' || substring(text, 1, 60) || ' <br/>Über</p>  fin' AS dirty FROM documents) " +
+        "SELECT doc_id, trim(regexp_replace(" +
+        "translate(regexp_replace(dirty, '<[^>]*>', ' ', 'g'), 'éÜüèà', 'eUuea'), " +
+        "' +', ' ', 'g')) AS clean FROM a ORDER BY doc_id"),
     "ta_mix" ->
       ("WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), " +
         "tot AS (SELECT sum(n) AS total FROM c), " +
