@@ -32,6 +32,19 @@ object Extended {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    // Salted skew join as a CORRECTNESS row: the salted form must return
+    // EXACTLY the rows of the plain join (the oracle), only the shuffle
+    // distribution differs — lineitem⋈supplier with the dimension
+    // replicated ×8 across salt buckets.
+    "j5_skew_salted" -> ((s, d) =>
+      graft.operators.SkewJoin.saltedEquiJoin(
+        lineitem(s, d).filter(col("l_orderkey") < 3000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_suppkey").as("s_suppkey"), col("l_quantity")),
+        supplier(s, d).select("s_suppkey", "s_name"),
+        key = "s_suppkey", factor = 8)
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Set intersection — plans as a left-semi over distinct sets, one
     // shuffle per side on the compared columns.
     "o4_intersect" -> ((s, d) => {
@@ -197,6 +210,12 @@ object Extended {
       ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) " +
         "ORDER BY c_custkey"),
+    "j5_skew_salted" ->
+      ("SELECT l.s_suppkey, l.l_orderkey, l.l_linenumber, l.l_quantity, s.s_name " +
+        "FROM (SELECT l_orderkey, l_linenumber, l_suppkey AS s_suppkey, l_quantity " +
+        "FROM lineitem WHERE l_orderkey < 3000) l " +
+        "JOIN supplier s ON l.s_suppkey = s.s_suppkey " +
+        "ORDER BY l.l_orderkey, l.l_linenumber"),
     "o4_intersect" ->
       ("SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
         "INTERSECT " +

@@ -56,6 +56,22 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // The full dedup endgame: near-dup pairs → components → keep ONLY
+    // each component's canonical (min-id) doc plus all untouched docs →
+    // per-source survivor stats. This is the row a user actually ships.
+    "dd_canonical_stats" -> ((s, d) => {
+      val docs = documents(s, d)
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashNearDupPairs(docs, "doc_id", "text"), "a", "b")
+        .withColumnRenamed("id", "doc_id")
+      docs.join(labels, Seq("doc_id"), "left")
+        .filter(col("component").isNull || col("component") === col("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"))
+        .orderBy("source")
+    }),
+
     // n-gram Jaccard pairs with exact-prefix blocking
     "dd_ngram_jaccard" -> ((s, d) =>
       Dedup.prefixBlockedJaccardPairs(documents(s, d), "doc_id", "text")
@@ -314,6 +330,18 @@ object LlmOps {
         "CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming " +
         "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3 ORDER BY a, b"),
+    "dd_canonical_stats" ->
+      ("WITH RECURSIVE " + minhashPairCtes + ", " +
+        "edges AS (SELECT a AS src, b AS dst FROM mpairs UNION SELECT b, a FROM mpairs), " +
+        "reach(src, dst) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "labels AS (SELECT src AS doc_id, least(src, min(dst)) AS component " +
+        "FROM reach GROUP BY src) " +
+        "SELECT d.source, count(*) AS n_kept, " +
+        "CAST(sum(d.n_chars) AS BIGINT) AS kept_chars " +
+        "FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id " +
+        "WHERE l.component IS NULL OR l.component = d.doc_id " +
+        "GROUP BY d.source ORDER BY d.source"),
     "dd_ngram_jaccard" ->
       ("WITH w AS (" + wordsCte + "), " +
         "base AS (SELECT d.doc_id, md5(substring(d.text, 1, 50)) AS blk, " +

@@ -66,6 +66,21 @@ object Sinks {
         .orderBy(col("r_regionkey"), col("name_len").asc_nulls_first)
     }),
 
+    // S9 — hive-style partitioned write + partition-pruned read: the
+    // status filter on readback prunes to ONE directory (PartitionFilters
+    // in the scan, pinned by PlanSpec) — the layout that turns a 100 TB
+    // scan into a directory listing.
+    "s9_partition_prune" -> ((s, d) => {
+      val out = tmp("s9_dir")
+      orders(s, d).filter(col("o_custkey") < 200)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // S7 — single-file CSV export with header (ref write_to_volume.py:15-16)
     "s7_csv_single_file" -> ((s, d) => {
       val dest = tmp("s7.csv")
@@ -88,6 +103,9 @@ object Sinks {
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
     "s7_csv_single_file" ->
       "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey",
+    "s9_partition_prune" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority " +
+        "FROM orders WHERE o_custkey < 200 AND o_orderstatus = 'F' ORDER BY o_orderkey"),
     "s8_schema_merge" ->
       ("SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS name_len FROM region " +
         "UNION ALL " +

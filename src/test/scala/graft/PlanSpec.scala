@@ -60,6 +60,13 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nlj.isEmpty, "cell assignment regressed to a crossjoin")
   }
 
+  test("partitioned readback prunes to the filtered partition directory") {
+    val plan = planOf("s9_partition_prune").toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_orderstatus"),
+      s"partition pruning missing from scan:\n${plan.take(2000)}")
+  }
+
   test("edit-distance dedup blocks pairs — no cartesian product") {
     val cart = collectWithSubqueries(planOf("dd_edit_distance")) {
       case c: CartesianProductExec => c
