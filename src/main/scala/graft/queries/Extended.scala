@@ -32,6 +32,30 @@ object Extended {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    // Bucketed co-located join as a CORRECTNESS row: both sides written
+    // bucketed+sorted on the join key, so the sort-merge join elides BOTH
+    // exchanges and sorts (BucketingSpec pins that plan) — here the
+    // RESULT equality vs a plain join is what the oracle hashes.
+    "j6_bucketed_join" -> ((s, d) => {
+      val hadoopConf = s.sparkContext.hadoopConfiguration
+      Seq("graft_bkt_orders", "graft_bkt_customer").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        p.getFileSystem(hadoopConf).delete(p, true)
+      }
+      graft.sources.Bucketing.writeBucketed(
+        orders(s, d).filter(col("o_custkey") < 300)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_bkt_orders", "o_custkey", buckets = 8)
+      graft.sources.Bucketing.writeBucketed(
+        customer(s, d).select("c_custkey", "c_name", "c_mktsegment"),
+        "graft_bkt_customer", "c_custkey", buckets = 8)
+      graft.sources.Bucketing.colocatedJoin(
+        s, "graft_bkt_orders", "graft_bkt_customer", "o_custkey", "c_custkey")
+        .orderBy("o_orderkey")
+    }),
+
     // Salted skew join as a CORRECTNESS row: the salted form must return
     // EXACTLY the rows of the plain join (the oracle), only the shuffle
     // distribution differs — lineitem⋈supplier with the dimension
@@ -210,6 +234,10 @@ object Extended {
       ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) " +
         "ORDER BY c_custkey"),
+    "j6_bucketed_join" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name, c_mktsegment " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE o_custkey < 300 ORDER BY o_orderkey"),
     "j5_skew_salted" ->
       ("SELECT l.s_suppkey, l.l_orderkey, l.l_linenumber, l.l_quantity, s.s_name " +
         "FROM (SELECT l_orderkey, l_linenumber, l_suppkey AS s_suppkey, l_quantity " +
