@@ -160,8 +160,15 @@ object Similarity {
     * [[ivfTopK]]'s `codebookOpt`. */
   def trainCodebook(
       emb: DataFrame, idCol: String, vecCol: String,
-      centroids: Int = 16, iters: Int = 2): Array[(Long, Seq[Double], Double)] = {
-    val base = withNorm(emb, vecCol)
+      centroids: Int = 16, iters: Int = 2,
+      sampleRate: Double = 1.0): Array[(Long, Seq[Double], Double)] = {
+    // the 100 TB path: train on a deterministic hash-sampled slice —
+    // same thresholds an external oracle can replay (no RNG), and the
+    // codebook quality degrades gracefully with the rate
+    val trainSet =
+      if (sampleRate >= 1.0) emb
+      else Sampling.bernoulli(emb, idCol, sampleRate)
+    val base = withNorm(trainSet, vecCol)
     def leftFoldNorm(v: Seq[Double]): Double =
       math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
     var cb: Array[(Long, Seq[Double], Double)] = base

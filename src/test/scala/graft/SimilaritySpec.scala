@@ -74,6 +74,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("codebook trained on a hash-sampled slice still routes near-dups") {
+    // the 100 TB training path: deterministic half-rate sample
+    val cb = Similarity.trainCodebook(
+      fixture, "vec_id", "embedding", 8, 2, sampleRate = 0.5)
+    assert(cb.nonEmpty)
+    val out = Similarity.ivfTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 3,
+      nprobe = 2, codebookOpt = Some(cb))
+      .filter(col("rank") === 1).collect()
+    // near-identical twins share a cell under ANY codebook
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("vec_id_n") == r.getAs[Long]("probe_id") + 100L)
+    }
+  }
+
   test("multi-table LSH recall dominates single-table recall") {
     // k=40 returns every candidate, so the result IS the candidate set
     def pairs(tables: Int) = Similarity.lshTopK(
