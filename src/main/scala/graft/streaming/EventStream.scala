@@ -105,6 +105,21 @@ object EventStream {
         TextOps.piiRedact(col("text")).as("redacted"))
   }
 
+  /** Stream → catalog table: the reference's table-sink pattern
+    * (utils.py write_to_delta) with a streaming face — each micro-batch
+    * appends through the same swallow-and-report TableSink the batch
+    * pipeline uses, so one sink implementation serves both modes. Returns
+    * the started query (caller owns its lifecycle). */
+  def sinkToTable(stream: DataFrame, table: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sources.TableSink.writeTable(batch, table, mode = "append")
+        ()
+      }
+      .start()
+
   /** Batch-mode equivalence anchor: the windowed aggregation above, run on
     * a static frame, must equal this (used by the spec as the oracle). */
   def windowedTypeCountsBatch(events: DataFrame, windowLength: String = "1 hour"): DataFrame =

@@ -42,6 +42,25 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sinkToTable appends micro-batches into the shared catalog sink") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS stream_sink_t")
+    val input = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt").toString
+    val query = EventStream.sinkToTable(
+      input.toDF().toDF("id", "v"), "stream_sink_t", ckpt)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      query.processAllAvailable()
+      input.addData((3L, "c"))
+      query.processAllAvailable()
+      val got = spark.table("stream_sink_t")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally query.stop()
+  }
+
   test("session windows close at the watermark and match batch sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
