@@ -105,6 +105,28 @@ object EventStream {
         TextOps.piiRedact(col("text")).as("redacted"))
   }
 
+  /** Watermarked stream-stream join: match each purchase to the same
+    * user's views within the trailing `joinWindow`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * each side's buffered state expires once the other side's watermark
+    * passes the window — bounded state on an unbounded pair of streams,
+    * the thing an unconstrained stream join can't give you. */
+  def joinWithinWindow(
+      purchases: DataFrame, views: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      joinWindow: String = "30 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+    val v = views.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("value").as("v_value"))
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $joinWindow") &&
+        col("v_ts") <= col("p_ts"))
+      .select("user_id", "p_ts", "p_value", "v_ts", "v_value")
+  }
+
   /** Stream → catalog table: the reference's table-sink pattern
     * (utils.py write_to_delta) with a streaming face — each micro-batch
     * appends through the same swallow-and-report TableSink the batch

@@ -42,6 +42,35 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream join matches purchases to in-window views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Timestamp, Double)]
+    val vIn = MemoryStream[(Long, Timestamp, Double)]
+    def named(in: MemoryStream[(Long, Timestamp, Double)]) =
+      in.toDF().toDF("user_id", "ts", "value")
+    val query = EventStream.joinWithinWindow(named(pIn), named(vIn))
+      .writeStream.format("memory").queryName("pv_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      vIn.addData(
+        (1L, ts("2026-01-01 10:00:00"), 1.0), // in window of the purchase
+        (1L, ts("2026-01-01 09:00:00"), 2.0), // too old (> 30 min before)
+        (2L, ts("2026-01-01 10:10:00"), 3.0)) // other user
+      pIn.addData((1L, ts("2026-01-01 10:15:00"), 50.0))
+      query.processAllAvailable()
+      // advance both watermarks so results emit
+      vIn.addData((9L, ts("2026-01-01 13:00:00"), 0.0))
+      pIn.addData((9L, ts("2026-01-01 13:00:00"), 0.0))
+      query.processAllAvailable()
+      val got = spark.table("pv_join")
+        .as[(Long, Timestamp, Double, Timestamp, Double)].collect().toSet
+      assert(got.contains(
+        (1L, ts("2026-01-01 10:15:00"), 50.0, ts("2026-01-01 10:00:00"), 1.0)))
+      // the stale view and the other user's view never match
+      assert(!got.exists(r => r._5 == 2.0 || r._5 == 3.0))
+    } finally query.stop()
+  }
+
   test("sinkToTable appends micro-batches into the shared catalog sink") {
     implicit val sqlCtx = spark.sqlContext
     spark.sql("DROP TABLE IF EXISTS stream_sink_t")
