@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates: declarative constraints evaluated in ONE pass over
+  * the table (a single aggregation of conditional counts — no per-rule
+  * scans), plus key-uniqueness and referential checks that need their own
+  * keyed shuffles. The output is a (rule, violations) frame a pipeline
+  * can alert or abort on before bad data reaches training.
+  */
+object QualityChecks {
+
+  /** One row per rule: how many input rows violate it. All rules share a
+    * single scan + aggregate (conditional sums); `stack` unpivots the
+    * one-row result into (rule, violations) rows. A null predicate result
+    * counts as a violation (unknown is not a pass). */
+  def ruleViolations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val agg = rules.map { case (name, pred) =>
+      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(name)
+    }
+    val stackArgs = rules.map { case (name, _) => s"'$name', `$name`" }
+      .mkString(", ")
+    df.agg(agg.head, agg.tail: _*)
+      .select(expr(s"stack(${rules.size}, $stackArgs) AS (rule, violations)"))
+  }
+
+  /** Count of rows sharing a key with at least one other row. */
+  def duplicateKeyCount(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("violations"))
+
+  /** Count of child rows whose key has no parent (referential breakage) —
+    * a left-anti join, no row duplication. */
+  def orphanCount(
+      child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+}

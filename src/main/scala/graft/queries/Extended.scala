@@ -32,6 +32,26 @@ object Extended {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    // Data-quality gate: declarative constraints in ONE scan (conditional
+    // sums + stack unpivot), key-uniqueness, and referential orphans —
+    // the pre-training checks a pipeline alerts or aborts on.
+    "qa_constraints" -> ((s, d) => {
+      val o = orders(s, d)
+      val rules = graft.operators.QualityChecks.ruleViolations(o, Seq(
+        "orderkey_not_null" -> col("o_orderkey").isNotNull,
+        "totalprice_positive" -> (col("o_totalprice") > 0),
+        "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+        "priority_prefix_digit" ->
+          col("o_orderpriority").rlike("^[1-5]-")))
+      val dup = graft.operators.QualityChecks
+        .duplicateKeyCount(o, Seq("o_orderkey"))
+        .select(lit("orderkey_unique").as("rule"), col("violations"))
+      val orphans = graft.operators.QualityChecks
+        .orphanCount(o, "o_custkey", customer(s, d), "c_custkey")
+        .select(lit("custkey_exists").as("rule"), col("violations"))
+      rules.unionByName(dup).unionByName(orphans).orderBy("rule")
+    }),
+
     // Bucketed co-located join as a CORRECTNESS row: both sides written
     // bucketed+sorted on the join key, so the sort-merge join elides BOTH
     // exchanges and sorts (BucketingSpec pins that plan) — here the
@@ -234,6 +254,15 @@ object Extended {
       ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) " +
         "ORDER BY c_custkey"),
+    "qa_constraints" ->
+      ("SELECT rule, violations FROM (" +
+        "SELECT 'orderkey_not_null' AS rule, CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders " +
+        "UNION ALL SELECT 'totalprice_positive', CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'status_in_domain', CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'priority_prefix_digit', CAST(sum(CASE WHEN NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'orderkey_unique', CAST(coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT) " +
+        "UNION ALL SELECT 'custkey_exists', CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)" +
+        ") ORDER BY rule"),
     "j6_bucketed_join" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name, c_mktsegment " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
