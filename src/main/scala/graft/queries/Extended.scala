@@ -133,6 +133,45 @@ object Extended {
         .na.fill(0L)
         .orderBy("lang")),
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize)
+    // with grouping_id to disambiguate the null-as-subtotal rows — ONE
+    // aggregation pass via grouping-set expansion.
+    "an_grouping_sets" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        count(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+          o_orderpriority ASC NULLS FIRST, gid""")
+    }),
+
+    // ntile + percent_rank: the quantile-bucket windows feature stores
+    // use for per-user decile features.
+    "w5_ntile_prank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+      events(s, d).filter(col("user_id") < 20)
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("prank"))
+        .orderBy("event_id")
+    }),
+
+    // Date arithmetic battery: add/diff/truncate/boundary — the calendar
+    // verbs of every reporting rollup.
+    "f26_date_battery" -> ((s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("due_dt"),
+        date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd").as("plus2m"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(trunc(col("o_orderdate"), "mm"), "yyyy-MM-dd").as("month_start"),
+        datediff(lit("2026-01-01").cast("date"), col("o_orderdate"))
+          .cast("long").as("age_days"))
+        .orderBy("o_orderkey")),
+
     // Winsorize: clamp event values into each type's [p05, p95] — the
     // outlier-clipping step before feature aggregation. One percentile
     // aggregate (5 rows) broadcast back over the stream; the clamp is a
@@ -295,6 +334,25 @@ object Extended {
         "count(*) FILTER (source = 'src2') AS src2, " +
         "count(*) FILTER (source = 'src3') AS src3 " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    "an_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, " +
+        "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, " +
+        "count(*) AS n_orders FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus)) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, gid"),
+    "w5_ntile_prank" ->
+      ("SELECT event_id, event_type, " +
+        "CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY event_id) AS INTEGER) AS quartile, " +
+        "round(percent_rank() OVER (PARTITION BY event_type ORDER BY event_id), 6) AS prank " +
+        "FROM events WHERE user_id < 20 ORDER BY event_id"),
+    "f26_date_battery" ->
+      ("SELECT o_orderkey, " +
+        "strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_dt, " +
+        "strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m, " +
+        "strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end, " +
+        "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start, " +
+        "CAST(date_diff('day', o_orderdate, DATE '2026-01-01') AS BIGINT) AS age_days " +
+        "FROM orders ORDER BY o_orderkey"),
     "an_winsorize" ->
       ("WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, " +
         "quantile_cont(value, 0.95) AS hi FROM events GROUP BY event_type) " +
