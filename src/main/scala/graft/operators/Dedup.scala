@@ -91,20 +91,24 @@ object Dedup {
     * Band key b = md5(sig_2b "|" sig_2b+1). Docs shorter than k words
     * produce a null struct and are dropped, like the previous RDD
     * formulation's flatMap-None. */
-  def withShinglesAndSigs(
-      df: DataFrame, idCol: String, textCol: String,
-      k: Int, numHashes: Int): DataFrame = {
+  /** Narrow (id, text) projection, rebalanced when under-partitioned.
+    * The text kernels are CPU-bound (~100 µs/doc); a single-row-group
+    * local file gives one split, so without the rebalance the kernel
+    * would run on one core. On a cluster input with splits ≥ cores the
+    * check is a no-op. */
+  private def balancedNarrow(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val target = df.sparkSession.sparkContext.defaultParallelism
     val narrow = df.select(col(idCol).cast("long").as(idCol), col(textCol).as("__text"))
-    // The text kernels are CPU-bound (~100 µs/doc); when the source is
-    // under-partitioned (single-row-group local files → one split) the
-    // kernel would run on one core. Rebalancing the narrow (id, text)
-    // projection is cheap relative to the kernel it parallelizes; on a
-    // cluster input with splits ≥ cores this is a no-op.
-    val balanced =
-      if (narrow.rdd.getNumPartitions < target) narrow.repartition(target)
-      else narrow
+    if (narrow.rdd.getNumPartitions < target) narrow.repartition(target)
+    else narrow
+  }
+
+  def withShinglesAndSigs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame = {
+    val balanced = balancedNarrow(df, idCol, textCol)
     // explode(array(...)) is a deliberate Generate BARRIER: without it,
     // CollapseProject inlines the kernel into the null-check filter AND
     // each struct-field extraction — 3 evaluations per row (measured 2×
@@ -176,19 +180,12 @@ object Dedup {
   }
 
   private def simhashFrame(
-      df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
-    graft.expressions.GraftFunctions.register(df.sparkSession)
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val narrow = df.select(col(idCol).cast("long").as(idCol), col(textCol).as("__text"))
-    val balanced =
-      if (narrow.rdd.getNumPartitions < target) narrow.repartition(target)
-      else narrow
+      df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame =
     // null text coalesces to "" → signature 0: presence, not silence,
     // for downstream joins (EdgeCaseSpec pins this)
-    balanced.select(col(idCol),
+    balancedNarrow(df, idCol, textCol).select(col(idCol),
       call_function("graft_simhash",
         coalesce(col("__text"), lit("")), lit(bits)).as("sig"))
-  }
 
   /** 32-bit simhash signatures over the token multiset via the native
     * [[graft.expressions.Simhash]] expression (whole-stage codegen, no

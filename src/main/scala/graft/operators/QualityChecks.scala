@@ -12,17 +12,23 @@ import org.apache.spark.sql.functions._
 object QualityChecks {
 
   /** One row per rule: how many input rows violate it. All rules share a
-    * single scan + aggregate (conditional sums); `stack` unpivots the
-    * one-row result into (rule, violations) rows. A null predicate result
-    * counts as a violation (unknown is not a pass). */
+    * single scan + aggregate (conditional sums), unpivoted with typed
+    * Column expressions — rule names are data, never interpolated into
+    * SQL (quotes/backticks in a name are fine). A null predicate result
+    * counts as a violation (unknown is not a pass), and an EMPTY input
+    * reports 0 violations per rule, not null — a gate predicate like
+    * `violations > 0` must stay two-valued. */
   def ruleViolations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
-    val agg = rules.map { case (name, pred) =>
-      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(name)
+    val agg = rules.zipWithIndex.map { case ((_, pred), i) =>
+      coalesce(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)), lit(0L))
+        .as(s"__r$i")
     }
-    val stackArgs = rules.map { case (name, _) => s"'$name', `$name`" }
-      .mkString(", ")
+    val pairs = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"__r$i").as("violations"))
+    }
     df.agg(agg.head, agg.tail: _*)
-      .select(expr(s"stack(${rules.size}, $stackArgs) AS (rule, violations)"))
+      .select(explode(array(pairs: _*)).as("r"))
+      .select(col("r.rule"), col("r.violations"))
   }
 
   /** Count of rows sharing a key with at least one other row. */

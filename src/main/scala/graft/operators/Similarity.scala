@@ -169,16 +169,20 @@ object Similarity {
       if (sampleRate >= 1.0) emb
       else Sampling.bernoulli(emb, idCol, sampleRate)
     val base = withNorm(trainSet, vecCol)
+    // seeds are the `centroids` LOWEST-id rows OF THE TRAINING SET (not
+    // an absolute id < centroids cut, which would shrink or vanish under
+    // sampling): deterministic for any id distribution, and identical to
+    // id < centroids on dense-from-0 ids — the oracle's formulation
+    val seeds = base.orderBy(col(idCol)).limit(centroids)
     def leftFoldNorm(v: Seq[Double]): Double =
       math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
-    var cb: Array[(Long, Seq[Double], Double)] = base
-      .filter(col(idCol) < centroids)
+    var cb: Array[(Long, Seq[Double], Double)] = seeds
       .select(col(idCol).cast("long"), col("__vd"), col("__norm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
     require(cb.nonEmpty,
-      s"trainCodebook: empty initial codebook — no ids < $centroids in $idCol")
+      s"trainCodebook: empty initial codebook — training set has no rows")
     for (_ <- 0 until iters) {
       val ranked = sort_array(array(cb.map { case (cid, vec, nrm) =>
         val sim = dot(col("__vd"), typedlit(vec)) / (col("__norm") * lit(nrm))

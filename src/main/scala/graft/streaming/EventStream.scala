@@ -129,15 +129,22 @@ object EventStream {
 
   /** Stream → catalog table: the reference's table-sink pattern
     * (utils.py write_to_delta) with a streaming face — each micro-batch
-    * appends through the same swallow-and-report TableSink the batch
-    * pipeline uses, so one sink implementation serves both modes. Returns
-    * the started query (caller owns its lifecycle). */
+    * appends through the same TableSink the batch pipeline uses. One
+    * deliberate divergence from the batch sink: the batch pipeline
+    * prefers partial progress (swallow-and-report), but a streaming sink
+    * MUST fail the query on a failed write — otherwise the epoch commits
+    * to the checkpoint and the batch's rows are silently lost forever.
+    * Throwing makes Structured Streaming replay the batch on restart.
+    * Returns the started query (caller owns its lifecycle). */
   def sinkToTable(stream: DataFrame, table: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.sources.TableSink.writeTable(batch, table, mode = "append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        if (!graft.sources.TableSink.writeTable(batch, table, mode = "append"))
+          throw new IllegalStateException(
+            s"sinkToTable: append of epoch $epoch to $table failed — " +
+              "failing the query so the checkpoint replays it")
         ()
       }
       .start()

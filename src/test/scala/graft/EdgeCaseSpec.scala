@@ -23,6 +23,15 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.connectedComponents(emptyPairs, "a", "b").count() == 0)
   }
 
+  test("quality gates on an EMPTY table report 0 violations, never null") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val out = graft.operators.QualityChecks.ruleViolations(empty, Seq(
+      "k_not_null" -> col("k").isNotNull,
+      "name's quoted" -> col("v").isNotNull)) // quotes in names are data
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("k_not_null" -> 0L, "name's quoted" -> 0L))
+  }
+
   test("null, empty, and whitespace-only text flow through text kernels") {
     val docs = Seq((1L, null: String), (2L, ""), (3L, "   "), (4L, "one word"))
       .toDF("doc_id", "text")

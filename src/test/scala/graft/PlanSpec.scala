@@ -61,10 +61,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("partitioned readback prunes to the filtered partition directory") {
+    // assert the PREDICATE is inside the PartitionFilters list — the key
+    // itself prints unconditionally (as []), so a bare substring check
+    // would pass even after a pruning regression
     val plan = planOf("s9_partition_prune").toString
-    assert(plan.contains("PartitionFilters") &&
-      plan.contains("o_orderstatus"),
-      s"partition pruning missing from scan:\n${plan.take(2000)}")
+    val pruned = "PartitionFilters: \\[[^\\]]*o_orderstatus[^\\]]* = F\\)".r
+      .findFirstIn(plan).isDefined
+    assert(pruned,
+      s"status predicate not in PartitionFilters:\n${plan.take(2000)}")
   }
 
   test("edit-distance dedup blocks pairs — no cartesian product") {
