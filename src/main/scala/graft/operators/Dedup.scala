@@ -139,7 +139,10 @@ object Dedup {
     * oracle-checked configuration). */
   def minhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 8, maxBucketSize: Int = 0): DataFrame = {
+      k: Int = 3, numHashes: Int = 8, maxBucketSize: Int = 0,
+      thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > 0,
+      "Jaccard threshold must be a positive rational")
     // No materialization inside the operator: caching the shingle arrays
     // (larger than the corpus) would spill the whole input to executor
     // disk at 100 TB. The three consumers below recompute the narrow
@@ -173,7 +176,9 @@ object Dedup {
     cands.join(sa.hint("merge"), "a").join(sb.hint("merge"), "b")
       .withColumn("n_inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("n_union", size(col("sha")) + size(col("shb")) - col("n_inter"))
-      .filter(col("n_inter") * 2 >= col("n_union"))
+      // rational threshold num/den keeps the compare exact-integer at
+      // any corpus size (default 1/2 = Jaccard ≥ 0.5)
+      .filter(col("n_inter") * thresholdDen >= col("n_union") * thresholdNum)
       .select(col("a"), col("b"),
         col("n_inter").cast("long").as("n_inter"),
         col("n_union").cast("long").as("n_union"))
@@ -270,7 +275,8 @@ object Dedup {
     * growing lineage each round — at cluster scale swap for a
     * reliable checkpoint dir. Returns (id, component) for every node
     * that appears in a pair. */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -280,7 +286,12 @@ object Dedup {
       .withColumn("component", col("id"))
       .localCheckpoint(true)
     var changed = 1L
+    var iters = 0
     while (changed > 0) {
+      iters += 1
+      require(iters <= maxIters,
+        s"connectedComponents: no fixpoint after $maxIters rounds — " +
+          "component diameter exceeds the cap; raise maxIters")
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("component").as("nbr")), "dst")
         .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))

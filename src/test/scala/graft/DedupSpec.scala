@@ -14,6 +14,20 @@ class DedupSpec extends SparkSpec {
     (5L, "short text")
   ).toDF("doc_id", "text")
 
+  test("rational Jaccard threshold tightens pair admission exactly") {
+    // docs 1/2 overlap at jaccard 10/11 (0.909): admitted at 4/5,
+    // rejected at 95/100 — integer compares, no float epsilon
+    val loose = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      thresholdNum = 4, thresholdDen = 5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(loose.contains((1L, 2L)))
+    val strict = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      thresholdNum = 95, thresholdDen = 100)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(!strict.contains((1L, 2L)))
+    assert(strict.contains((1L, 4L))) // exact dups survive any threshold
+  }
+
   test("bucket-size cap drops boilerplate floods, keeps normal pairs") {
     // 20 identical boilerplate docs share every band bucket (size 20);
     // one genuine near-dup pair sits in small buckets
