@@ -262,6 +262,73 @@ object Similarity {
       .select(col("probe_id"), col(idCol).as("vec_id_n"), col("rank"), col("score_r"))
   }
 
+  /** Product-quantization top-k (inner-product ANN): the vector-
+    * COMPRESSION path at 100 TB, where storing raw float embeddings
+    * dominates cost. The embedding splits into `subspaces` slices; each
+    * slice encodes as the id of its nearest (min-L2) sub-centroid, so a
+    * 64-float vector becomes `subspaces` small ints. Probes score docs by
+    * ASYMMETRIC distance: the probe's exact slice dotted with each doc's
+    * reconstructed sub-centroid — per (probe, doc) pair that is
+    * `subspaces` table lookups into a per-probe LUT built ONCE per row
+    * (16 slice-dots against broadcast centroid literals), never a
+    * 64-float read of the doc.
+    *
+    * Everything deterministic and oracle-replayable: sub-codebooks are
+    * the first `cents` vectors' slices (swap in per-subspace
+    * [[trainCodebook]] output at deployment), encoding ties break on
+    * centroid id, scores round before ranking. Here the candidate set is
+    * all docs (the compression demo); in production gate by IVF cell
+    * first — the encode/score shapes are unchanged. */
+  def pqTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, k: Int,
+      subspaces: Int = 4, cents: Int = 16): DataFrame = {
+    val base = withNorm(emb, vecCol)
+    val dims = embeddingDims(emb, vecCol)
+    require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
+    val width = dims / subspaces
+    // sub-codebooks: (subspace, cent) -> slice; a driver-side model artifact
+    val cb: Array[Array[(Int, Seq[Double], Double)]] = {
+      val rows = base.filter(col(idCol) < cents)
+        .select(col(idCol).cast("long"), col("__vd")).collect()
+        .sortBy(_.getLong(0))
+      Array.tabulate(subspaces) { s =>
+        rows.zipWithIndex.map { case (r, j) =>
+          val slice = r.getSeq[Double](1).slice(s * width, (s + 1) * width)
+          // ||c||² precomputed: argmin ||x-c||² = argmin(||c||² - 2<x,c>)
+          (j, slice, slice.foldLeft(0.0)((a, x) => a + x * x))
+        }
+      }
+    }
+    def sliceCol(s: Int): Column =
+      slice(col("__vd"), s * width + 1, width)
+    def codeCol(s: Int): Column =
+      element_at(sort_array(array(cb(s).map { case (j, vec, nrm2) =>
+        struct((lit(nrm2) - lit(2.0) * dot(sliceCol(s), typedlit(vec))).as("d2"),
+          lit(j).as("cid"))
+      }.toSeq: _*)), 1).getField("cid")
+    val encoded = base.select(
+      (col(idCol) +: (0 until subspaces).map(s => codeCol(s).as(s"code$s"))): _*)
+    // per-probe LUT: 16 slice-dots per subspace, built once per probe row
+    def lutCol(s: Int): Column =
+      array(cb(s).map { case (_, vec, _) => dot(sliceCol(s), typedlit(vec)) }
+        .toSeq: _*)
+    val probes = base.filter(probePred).select(
+      (col(idCol).as("probe_id") +:
+        (0 until subspaces).map(s => lutCol(s).as(s"lut$s"))): _*)
+    val approxDot = (0 until subspaces)
+      .map(s => element_at(col(s"lut$s"), col(s"code$s") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score_r").desc, col(idCol).asc)
+    encoded.crossJoin(broadcast(probes))
+      .filter(col("probe_id") =!= col(idCol))
+      .withColumn("score_r", round(approxDot, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("vec_id_n"), col("rank"), col("score_r"))
+  }
+
   /** Embedding-cosine near-dup pairs with key blocking: only same-block
     * pairs are compared (block col = e.g. a cluster/label/LSH signature),
     * never all-pairs. Returns (a, b, score_r) with a < b, score ≥ minScore. */

@@ -124,6 +124,16 @@ object LlmOps {
         .orderBy("probe_id", "rank")
     }),
 
+    // Product quantization + asymmetric-distance scoring — the vector-
+    // compression ANN path: docs carry 4 sub-centroid codes instead of
+    // 64 floats; probes score via per-row lookup tables. Oracle-checked:
+    // DuckDB replays sub-codebook assignment (min-L2, ties cent asc) and
+    // the LUT reconstruction dot exactly.
+    "sim_topk_pq" -> ((s, d) =>
+      Similarity.pqTopK(
+        embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
+        .orderBy("probe_id", "rank")),
+
     // Token counting: whitespace tokens, BPE-ish regex tokens, char stats
     "ta_token_stats" -> ((s, d) => {
       val w = TextOps.tokens(col("text"))
@@ -267,6 +277,13 @@ object LlmOps {
         s"CASE WHEN ${duckDot("v", s"($lit)")} >= 0 THEN ${1L << p} ELSE 0 END"
       }
       .mkString("(", " + ", ")")
+
+  /** Slice dot product over subspace `s` (width 16): the PQ subspace
+    * arithmetic, same left fold as [[duckDot]]. */
+  private def duckSliceDot(a: String, b: String, s: Int): String = {
+    val off = s * 16
+    s"list_reduce(list_transform(range(1, 17), i -> $a[$off+i]*$b[$off+i]), (p9,q9) -> p9+q9)"
+  }
 
   /** One unrolled Lloyd iteration: assign by cosine (ties cent_id asc),
     * then per-dimension fixed-point mean — replays
@@ -414,6 +431,24 @@ object LlmOps {
         "scored AS (SELECT probes.probe_id, assigned.vec_id AS vec_id_n, " +
         "round(" + duckDot("probes.pv", "assigned.v") + " / (probes.pn * assigned.nm), 6) AS score_r " +
         "FROM assigned JOIN probes ON assigned.cent_id = probes.cent_id AND probes.probe_id <> assigned.vec_id) " +
+        "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
+        "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
+    // dense ids 0..15 make the positional sub-codebook index equal the
+    // vec_id, so cent_id doubles as the code value
+    "sim_topk_pq" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id < 16), " +
+        (0 until 4).map { s =>
+          s"k$s AS (SELECT e.vec_id, c.cent_id AS code FROM e, cents c " +
+            s"QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+            s"(${duckSliceDot("c.v", "c.v", s)} - 2*${duckSliceDot("e.v", "c.v", s)}) ASC, c.cent_id ASC) = 1)"
+        }.mkString(", ") + ", " +
+        "scored AS (SELECT p.vec_id AS probe_id, d.vec_id AS vec_id_n, " +
+        "round(" + (0 until 4).map(s => duckSliceDot("p.v", s"c$s.v", s)).mkString(" + ") + ", 6) AS score_r " +
+        "FROM e p JOIN e d ON p.vec_id < 10 AND d.vec_id <> p.vec_id " +
+        (0 until 4).map(s =>
+          s"JOIN k$s ON k$s.vec_id = d.vec_id JOIN cents c$s ON c$s.cent_id = k$s.code ").mkString +
+        ") " +
         "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
         "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
     "ta_token_stats" ->

@@ -90,6 +90,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqTopK ADC score is EXACT for docs that are sub-centroids") {
+    // a doc that IS one of the 8 codebook vectors quantizes to itself
+    // (sub-distance 0 in every subspace), so its reconstruction is
+    // lossless and the asymmetric score must equal the exact dot —
+    // the sharpest checkable property of ADC lookup scoring
+    val out = Similarity.pqTopK(
+      fixture, "vec_id", "embedding", col("vec_id") === 0, 44,
+      subspaces = 4, cents = 8).collect()
+    assert(out.nonEmpty && out.map(_.getAs[Int]("rank")).distinct.length == out.length)
+    val vecs = fixture.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val p = vecs(0L)
+    def sliceDot(a: Seq[Double], b: Seq[Double], s: Int): Double =
+      (s * 16 until (s + 1) * 16).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val checked = out.filter(r => r.getAs[Long]("vec_id_n") < 8)
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      val d = vecs(r.getAs[Long]("vec_id_n"))
+      val exact = (0 until 4).map(sliceDot(p, d, _)).sum
+      assert(r.getAs[Double]("score_r") ==
+        BigDecimal(exact).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("multi-table LSH recall dominates single-table recall") {
     // k=40 returns every candidate, so the result IS the candidate set
     def pairs(tables: Int) = Similarity.lshTopK(
