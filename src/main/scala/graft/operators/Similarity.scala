@@ -307,8 +307,15 @@ object Similarity {
         struct((lit(nrm2) - lit(2.0) * dot(sliceCol(s), typedlit(vec))).as("d2"),
           lit(j).as("cid"))
       }.toSeq: _*)), 1).getField("cid")
-    val encoded = base.select(
-      (col(idCol) +: (0 until subspaces).map(s => codeCol(s).as(s"code$s"))): _*)
+    // Generate barrier (explode of a 1-element array): without it,
+    // CollapseProject inlines the sort_array encode into every per-PAIR
+    // lookup below the cross join — per-doc work amplified to per-pair
+    // (measured 4×). The barrier materializes codes once per doc.
+    val encoded = base
+      .select(col(idCol), explode(array(struct(
+        (0 until subspaces).map(s => codeCol(s).as(s"code$s")): _*))).as("__c"))
+      .select((col(idCol) +:
+        (0 until subspaces).map(s => col(s"__c").getField(s"code$s").as(s"code$s"))): _*)
     // per-probe LUT: 16 slice-dots per subspace, built once per probe row
     def lutCol(s: Int): Column =
       array(cb(s).map { case (_, vec, _) => dot(sliceCol(s), typedlit(vec)) }
