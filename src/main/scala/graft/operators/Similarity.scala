@@ -42,6 +42,17 @@ object Similarity {
     df.withColumn("__vd", v).withColumn("__norm", sqrt(dot(v, v)))
   }
 
+  /** Shared ranking epilogue: per-probe top-k by rounded score with the
+    * deterministic (score desc, id asc) tie-break — the ONE place the
+    * output contract (and the oracle convention) lives. */
+  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score_r").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("vec_id_n"), col("rank"), col("score_r"))
+  }
+
   /** Exact top-k neighbours for each probe: broadcast probes × full scan.
     * Scores are rounded to 6dp BEFORE ranking so rank ties break on vec_id
     * deterministically. Excludes self-matches. */
@@ -54,11 +65,7 @@ object Similarity {
     val scored = base.join(broadcast(probes), col("probe_id") =!= col(idCol))
       .withColumn("score_r",
         round(dot(col("__pd"), col("__vd")) / (col("__pn") * col("__norm")), 6))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("score_r").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col(idCol).as("vec_id_n"), col("rank"), col("score_r"))
+    rankTopK(scored, idCol, k)
   }
 
   /** Deterministic ±1 hyperplane matrix derived from md5 — no RNG, fully
@@ -130,11 +137,7 @@ object Similarity {
         round(dot(col("__pd"), col("__vd")) / (col("__pn") * col("__norm")), 6))
       .select(col("probe_id"), col(idCol), col("score_r"))
       .distinct()
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("score_r").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col(idCol).as("vec_id_n"), col("rank"), col("score_r"))
+    rankTopK(scored, idCol, k)
   }
 
   /** Fixed-point scale for codebook means: integer sums are associative,
@@ -255,11 +258,7 @@ object Similarity {
       .filter(col("probe_id") =!= col(idCol))
       .withColumn("score_r",
         round(dot(col("__pd"), col("__vd")) / (col("__pn") * col("__norm")), 6))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("score_r").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col(idCol).as("vec_id_n"), col("rank"), col("score_r"))
+    rankTopK(scored, idCol, k)
   }
 
   /** Product-quantization top-k (inner-product ANN): the vector-
@@ -282,11 +281,12 @@ object Similarity {
   def pqTopK(
       emb: DataFrame, idCol: String, vecCol: String,
       probePred: Column, k: Int,
-      subspaces: Int = 4, cents: Int = 16): DataFrame = {
+      subspaces: Int = 4, cents: Int = 16, dims: Int = 0): DataFrame = {
     val base = withNorm(emb, vecCol)
-    val dims = embeddingDims(emb, vecCol)
-    require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
-    val width = dims / subspaces
+    val d0 = if (dims > 0) dims else embeddingDims(emb, vecCol)
+    require(d0 > 0 && d0 % subspaces == 0,
+      s"pqTopK: dims $d0 not divisible into $subspaces subspaces (empty input?)")
+    val width = d0 / subspaces
     // sub-codebooks: (subspace, cent) -> slice; a driver-side model artifact
     val cb: Array[Array[(Int, Seq[Double], Double)]] = {
       val rows = base.filter(col(idCol) < cents)
@@ -300,6 +300,8 @@ object Similarity {
         }
       }
     }
+    require(cb.head.nonEmpty,
+      s"pqTopK: empty sub-codebook — no ids < $cents in $idCol")
     def sliceCol(s: Int): Column =
       slice(col("__vd"), s * width + 1, width)
     def codeCol(s: Int): Column =
@@ -326,14 +328,11 @@ object Similarity {
     val approxDot = (0 until subspaces)
       .map(s => element_at(col(s"lut$s"), col(s"code$s") + 1))
       .reduce(_ + _)
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("score_r").desc, col(idCol).asc)
-    encoded.crossJoin(broadcast(probes))
-      .filter(col("probe_id") =!= col(idCol))
-      .withColumn("score_r", round(approxDot, 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col(idCol).as("vec_id_n"), col("rank"), col("score_r"))
+    rankTopK(
+      encoded.crossJoin(broadcast(probes))
+        .filter(col("probe_id") =!= col(idCol))
+        .withColumn("score_r", round(approxDot, 6)),
+      idCol, k)
   }
 
   /** Embedding-cosine near-dup pairs with key blocking: only same-block
