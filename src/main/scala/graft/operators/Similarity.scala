@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two paths, per the scale brief:
-  *  - [[bruteForceTopK]]: broadcast the (small) probe set against the full
-  *    table — one scan, no shuffle of the big side, exact results. Right
-  *    up to ~thousands of probes; the big table is never self-joined.
-  *  - [[lshTopK]]: random-hyperplane LSH — bucket both sides by a
-  *    signature over md5-derived deterministic hyperplanes and search only
-  *    same-bucket candidates. The 100 TB path: candidate count per probe
-  *    is bounded by bucket size, and the bucket join shuffles by signature.
+  * Four paths, per the scale brief:
+  *  - [[bruteForceTopK]]: broadcast probes × one scan — exact, the
+  *    baseline; the big table is never self-joined.
+  *  - [[lshTopK]]: multi-table random-hyperplane LSH — candidates from
+  *    same-signature buckets across L md5-seeded tables.
+  *  - [[ivfTopK]]: coarse cells + nprobe probing, narrow broadcast-
+  *    literal argmax assignment; codebook optionally TRAINED by
+  *    [[trainCodebook]] (fixed-point Lloyd's, hash-sampled slice).
+  *  - [[pqTopK]]: product quantization + asymmetric-distance lookup —
+  *    the vector-compression path (codes instead of floats).
   *
   * All arithmetic is double-precision with a single left-fold order so the
   * scores are bit-reproducible (and match the DuckDB oracle exactly).
