@@ -32,19 +32,24 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (1 ms) timings keep the JSON line under the driver's log-
+    // tail capture window — r04's full-precision line was truncated at the
+    // front and failed to parse ("parsed": null).
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","warm":true,"queries":$qs,"sf":"$sfDir"}"""
-    // stdout for the driver's log capture AND a file: the driver keeps only
-    // the log *tail*, which has truncated long JSON lines before.
-    println(json)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,"queries":$qs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     spark.stop()
+    // printed LAST — after spark.stop()'s log chatter — so the line sits
+    // intact at the very end of the driver's captured tail
+    println(json)
   }
 }

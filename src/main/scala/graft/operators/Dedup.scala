@@ -123,6 +123,37 @@ object Dedup {
         col("__sb.bandkeys").as("bandkeys"))
   }
 
+  /** Exact shingle-Jaccard verification of candidate pairs: the text
+    * kernel reruns ONLY for docs that appear in some pair (broadcast
+    * semi-join on the candidate id set). At scale the candidate set is a
+    * small fraction of the corpus, so this second pass is cheap, and
+    * nothing corpus-sized is ever cached — the only persisted frame is
+    * the per-candidate-doc shingle table, bounded by the candidate
+    * count. */
+  private def jaccardVerify(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      cands: DataFrame, thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val candIds = cands.select(col("a").as(idCol))
+      .union(cands.select(col("b").as(idCol))).distinct()
+    val needed = df
+      .select(col(idCol).cast("long").as(idCol), col(textCol))
+      .join(candIds, Seq(idCol), "left_semi")
+    val shing = withShinglesAndSigs(needed, idCol, textCol, k, numHashes = 2)
+      .select(col(idCol), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sa = shing.select(col(idCol).as("a"), col("shingles").as("sha"))
+    val sb = shing.select(col(idCol).as("b"), col("shingles").as("shb"))
+    cands.join(sa.hint("merge"), "a").join(sb.hint("merge"), "b")
+      .withColumn("n_inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("n_union", size(col("sha")) + size(col("shb")) - col("n_inter"))
+      // rational threshold num/den keeps the compare exact-integer at
+      // any corpus size (default 1/2 = Jaccard ≥ 0.5)
+      .filter(col("n_inter") * thresholdDen >= col("n_union") * thresholdNum)
+      .select(col("a"), col("b"),
+        col("n_inter").cast("long").as("n_inter"),
+        col("n_union").cast("long").as("n_union"))
+  }
+
   /** Candidate near-dup pairs via banded LSH, verified with exact shingle
     * Jaccard. Returns (a, b, n_inter, n_union) with a < b; a pair is
     * emitted iff 2·inter ≥ union (Jaccard ≥ 0.5).
@@ -143,11 +174,17 @@ object Dedup {
       thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
     require(thresholdNum > 0 && thresholdDen > 0,
       "Jaccard threshold must be a positive rational")
-    // No materialization inside the operator: caching the shingle arrays
-    // (larger than the corpus) would spill the whole input to executor
-    // disk at 100 TB. The three consumers below recompute the narrow
-    // kernel; at scale, checkpoint withShinglesAndSigs' output to parquet
-    // OUTSIDE this function if the kernel dominates (SCALE.md §dedup).
+    // Two kernel passes, neither corpus-cached:
+    //  1. candidate generation reads ONLY the band keys — the shingle
+    //    arrays are projected away before the explode, so the banded
+    //    table is fixed-width narrow rows and nothing corpus-sized is
+    //    shuffled or persisted;
+    //  2. Jaccard verification recomputes shingles for the candidate
+    //    docs alone (jaccardVerify's semi-join) — at 100 TB that is the
+    //    LSH collision set, a small fraction of the corpus.
+    // (The previous eager persist of the full (id, shingles) frame spilled
+    // more than the input corpus to executor disk; the previous
+    // persist-free form re-ran the full kernel for all four branches.)
     val docs = withShinglesAndSigs(df, idCol, textCol, k, numHashes)
     val allBanded = docs.select(
       col(idCol), posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
@@ -167,21 +204,16 @@ object Dedup {
     // whose size Catalyst under-estimates from the parquet scan (the
     // shingle explosion happens above the scan) — an auto-broadcast of an
     // amplified side is an executor OOM at scale, so the bucket joins
-    // must shuffle by key, never broadcast
+    // must shuffle by key, never broadcast. The two sides canonicalize to
+    // the same exchange, so ReuseExchange runs the band kernel once.
+    // Candidate pairs persist (lazily): they are read three times below
+    // (two verify joins + the id semi-join) and are collision-bounded
+    // tiny — never corpus-sized.
     val cands = x.hint("merge").join(y, Seq("band_idx", "band_hash"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val sa = docs.select(col(idCol).as("a"), col("shingles").as("sha"))
-    val sb = docs.select(col(idCol).as("b"), col("shingles").as("shb"))
-    cands.join(sa.hint("merge"), "a").join(sb.hint("merge"), "b")
-      .withColumn("n_inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("n_union", size(col("sha")) + size(col("shb")) - col("n_inter"))
-      // rational threshold num/den keeps the compare exact-integer at
-      // any corpus size (default 1/2 = Jaccard ≥ 0.5)
-      .filter(col("n_inter") * thresholdDen >= col("n_union") * thresholdNum)
-      .select(col("a"), col("b"),
-        col("n_inter").cast("long").as("n_inter"),
-        col("n_union").cast("long").as("n_union"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardVerify(df, idCol, textCol, k, cands, thresholdNum, thresholdDen)
   }
 
   private def simhashFrame(
@@ -295,14 +327,15 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("component").as("nbr")), "dst")
         .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+      // old label rides along so the fixpoint check is a filter over the
+      // SAME checkpointed frame — no extra join-per-iteration
+      val step = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
-      labels = next
+      changed = step.filter(col("component") =!= col("old")).count()
+      labels = step.select("id", "component")
     }
     labels
   }
@@ -328,24 +361,25 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup with cheap exact-prefix blocking: candidates
-    * share md5(prefix) buckets, then exact shingle Jaccard verifies. */
+    * share md5(prefix) buckets, then exact shingle Jaccard verifies.
+    *
+    * The blocking pass needs NO text kernel — just an md5 of the prefix —
+    * so the shingle kernel runs exactly once, on the candidate docs alone
+    * (jaccardVerify's semi-join). Docs shorter than k words drop out at
+    * verification (the kernel yields no shingles for them), matching the
+    * banded operators' semantics. Threshold 0/1 = report every candidate
+    * pair's exact (inter, union) rather than filtering. */
   def prefixBlockedJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       prefixLen: Int = 50, k: Int = 2): DataFrame = {
-    // no persist: same rationale as minhashNearDupPairs — never cache a
-    // corpus-sized intermediate inside the operator
-    val base = withShinglesAndSigs(df, idCol, textCol, k, numHashes = 2)
-      .drop("bandkeys")
-      .join(df.select(col(idCol),
-        md5(substring(col(textCol), 1, prefixLen)).as("blk")), idCol)
-    val a = base.select(col("blk"), col(idCol).as("a"), col("shingles").as("sha"))
-    val b = base.select(col("blk"), col(idCol).as("b"), col("shingles").as("shb"))
-    a.hint("merge").join(b, "blk").filter(col("a") < col("b"))
-      .withColumn("n_inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("n_union", size(col("sha")) + size(col("shb")) - col("n_inter"))
-      .select(col("a"), col("b"),
-        col("n_inter").cast("long").as("n_inter"),
-        col("n_union").cast("long").as("n_union"))
-      .distinct()
+    val blocks = df.select(col(idCol).cast("long").as(idCol),
+      md5(substring(col(textCol), 1, prefixLen)).as("blk"))
+    val a = blocks.select(col("blk"), col(idCol).as("a"))
+    val b = blocks.select(col("blk"), col(idCol).as("b"))
+    val cands = a.hint("merge").join(b, "blk").filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardVerify(df, idCol, textCol, k, cands,
+      thresholdNum = 0, thresholdDen = 1)
   }
 }

@@ -192,15 +192,22 @@ object Extended {
 
     // HLL++ sketch distinct counts — the 100 TB cardinality path:
     // mergeable fixed-size sketch, map-side partials, no exact-distinct
-    // re-shuffle. No DuckDB oracle (sketch internals differ by engine;
-    // the driver records the rows-only check) — the ≤5% relative-error
-    // bound vs exact is pinned in SamplingPackingSpec instead.
+    // re-shuffle. The sketch VALUE is engine-specific (DuckDB's HLL
+    // differs), so the oracle-checked contract is the error bound: the
+    // query emits the exact count plus an integer within-5%-of-exact
+    // flag, and the oracle asserts the flag is 1 for every group.
     "an_approx_distinct" -> ((s, d) =>
       events(s, d)
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct("user_id").as("approx_users"),
+          // rsd 1% (vs the 5% default): the emitted contract is the 5%
+          // bound, so the sketch runs at 5σ margin — deterministic for a
+          // given dataset, stable across scales
+          approx_count_distinct(col("user_id"), 0.01).as("approx"),
           countDistinct("user_id").as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")) * 20 <= col("exact_users"))
+            .cast("int").as("within_5pct"))
         .orderBy("event_type")),
 
     // CUBE: all 2^k subtotal combinations in ONE aggregation pass —
@@ -322,6 +329,10 @@ object Extended {
         "EXCEPT " +
         "SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000 " +
         "ORDER BY c_nationkey"),
+    "an_approx_distinct" ->
+      ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
+        "CAST(1 AS INTEGER) AS within_5pct " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "an_rollup_sets" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +

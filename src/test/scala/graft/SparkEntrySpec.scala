@@ -15,12 +15,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
-  test("every query is oracle-checked (sketch ops excepted, by name)") {
-    // HLL sketch internals are engine-specific, so no SQL oracle can
-    // hash-match; the error bound is pinned in SamplingPackingSpec
-    val rowsOnlyByDesign = Set("an_approx_distinct")
-    val unoracled = SparkEntry.queries.keySet
-      .diff(SparkEntry.oracleSql.keySet).diff(rowsOnlyByDesign)
+  test("every query is oracle-checked") {
+    val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(unoracled.isEmpty, s"unexpected unoracled: $unoracled")
   }
 }
