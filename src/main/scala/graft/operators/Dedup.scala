@@ -91,17 +91,27 @@ object Dedup {
     * Band key b = md5(sig_2b "|" sig_2b+1). Docs shorter than k words
     * produce a null struct and are dropped, like the previous RDD
     * formulation's flatMap-None. */
-  /** Narrow (id, text) projection, rebalanced when under-partitioned.
-    * The text kernels are CPU-bound (~100 µs/doc); a single-row-group
-    * local file gives one split, so without the rebalance the kernel
-    * would run on one core. On a cluster input with splits ≥ cores the
-    * check is a no-op. */
+  /** Narrow (id, text) projection, rebalanced when the SOURCE is
+    * under-split. The text kernels are CPU-bound (~100 µs/doc); a
+    * single-row-group local file gives one split, so without the
+    * rebalance the kernel would run on one core. On a cluster input with
+    * splits ≥ cores the check is a no-op.
+    *
+    * The probe is `inputFiles` (leaf-scan file count from the ANALYZED
+    * plan — no job, no physical planning): a `.rdd.getNumPartitions`
+    * probe would force physical planning and, under AQE, eagerly execute
+    * every upstream shuffle stage at DataFrame-construction time, and
+    * would then report shuffle-OUTPUT partitions, which say nothing
+    * about scan splits. Inputs with no file leaves (in-memory fixtures,
+    * frames already downstream of a shuffle) skip the rebalance — they
+    * are either tiny or already distributed by the exchange. */
   private def balancedNarrow(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val target = df.sparkSession.sparkContext.defaultParallelism
     val narrow = df.select(col(idCol).cast("long").as(idCol), col(textCol).as("__text"))
-    if (narrow.rdd.getNumPartitions < target) narrow.repartition(target)
+    val splits = df.inputFiles.length
+    if (splits > 0 && splits < target) narrow.repartition(target)
     else narrow
   }
 
@@ -129,7 +139,16 @@ object Dedup {
     * small fraction of the corpus, so this second pass is cheap, and
     * nothing corpus-sized is ever cached — the only persisted frame is
     * the per-candidate-doc shingle table, bounded by the candidate
-    * count. */
+    * count.
+    *
+    * Cache lifecycle: the persisted frames here and in the pair
+    * generators (all collision-bounded, never corpus-sized) stay
+    * registered until evicted — they must outlive the RETURNED frame,
+    * whose consumption time the operator cannot see, so they are not
+    * unpersisted eagerly. Long-lived sessions issuing many dedup calls
+    * should `spark.catalog.clearCache()` between pipelines (or unpersist
+    * via `spark.sparkContext.getPersistentRDDs`) to drop the scratch
+    * blocks deterministically. */
   private def jaccardVerify(
       df: DataFrame, idCol: String, textCol: String, k: Int,
       cands: DataFrame, thresholdNum: Int, thresholdDen: Int): DataFrame = {
@@ -303,20 +322,45 @@ object Dedup {
     * clusters is tiny. The fixpoint is the component-minimum id —
     * well-defined independent of iteration order, so the result is
     * deterministic and an external oracle (recursive-CTE transitive
-    * closure) reaches the same labels. `localCheckpoint` truncates the
-    * growing lineage each round — at cluster scale swap for a
-    * reliable checkpoint dir. Returns (id, component) for every node
-    * that appears in a pair. */
+    * closure) reaches the same labels.
+    *
+    * Lineage is truncated each round; ONE action per iteration drives
+    * both the truncation and the convergence check: the step frame is
+    * checkpoint-marked LAZILY, so the `changed` count materializes the
+    * checkpoint blocks and counts moved labels in the same job (an eager
+    * checkpoint + separate count paid two job launches per round).
+    *
+    * `checkpointDir = None` (default) uses `localCheckpoint` — blocks
+    * live on executors, fine for local mode and restartable jobs. On a
+    * real cluster pass a reliable dir (HDFS/object store): an executor
+    * loss mid-iteration then recovers from the checkpoint files instead
+    * of killing the job. The reliable path checkpoints eagerly with the
+    * frame persisted first, so the checkpoint write reads the persisted
+    * blocks rather than recomputing the iteration from scratch.
+    * Returns (id, component) for every node that appears in a pair. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isEmpty) df.localCheckpoint(eager)
+      else if (eager) {
+        // reliable checkpoint recomputes the RDD in a second pass unless
+        // the blocks are persisted — persist, checkpoint, then drop the
+        // scratch blocks (the checkpoint files carry the data from here)
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ck = cached.checkpoint(true)
+        cached.unpersist(false)
+        ck
+      } else df.checkpoint(false)
+    val edges = truncate(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct(), eager = true)
+    var labels = truncate(
+      edges.select(col("src").as("id"))
+        .distinct()
+        .withColumn("component", col("id")), eager = true)
     var changed = 1L
     var iters = 0
     while (changed > 0) {
@@ -328,12 +372,13 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("component").as("nbr")), "dst")
         .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
       // old label rides along so the fixpoint check is a filter over the
-      // SAME checkpointed frame — no extra join-per-iteration
-      val step = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("component").as("old"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
-        .localCheckpoint(true)
+      // SAME checkpointed frame — no extra join-per-iteration; the lazy
+      // checkpoint mark makes this count() the iteration's ONLY job
+      val step = truncate(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("component").as("old"),
+            least(col("component"), coalesce(col("nbr_min"), col("component")))
+              .as("component")), eager = false)
       changed = step.filter(col("component") =!= col("old")).count()
       labels = step.select("id", "component")
     }

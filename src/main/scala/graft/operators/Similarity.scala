@@ -227,26 +227,36 @@ object Similarity {
     * corpus. Centroids default to the first `centroids` vectors; pass
     * [[trainCodebook]]'s output for a k-means codebook — the plan shape is
     * identical either way. */
+  /** Default coarse codebook: the first `centroids` vectors by id — one
+    * tiny driver fetch (centroids × dims doubles), a model artifact, not
+    * data; same role as the literal hyperplanes in LSH. */
+  private def coarseCodebook(
+      base: DataFrame, idCol: String, centroids: Int): Array[(Long, Seq[Double], Double)] =
+    base.filter(col(idCol) < centroids)
+      .select(col(idCol).cast("long"), col("__vd"), col("__norm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** Ranked-cells column: `array<struct<negsim, cent_id>>` sorted
+    * ascending (= cosine desc, ties cent_id asc — the exact ordering the
+    * oracle's row_number replays). A narrow per-row expression over the
+    * broadcast-literal codebook — cell assignment never shuffles. */
+  private def cellsRankedCol(codebook: Array[(Long, Seq[Double], Double)]): Column =
+    sort_array(array(codebook.map {
+      case (cid, vec, nrm) =>
+        val sim = dot(col("__vd"), typedlit(vec)) / (col("__norm") * lit(nrm))
+        struct((-sim).as("negsim"), lit(cid).as("cent_id"))
+    }: _*))
+
   def ivfTopK(
       emb: DataFrame, idCol: String, vecCol: String,
       probePred: Column, k: Int, centroids: Int = 16, nprobe: Int = 4,
       codebookOpt: Option[Array[(Long, Seq[Double], Double)]] = None): DataFrame = {
     val base = withNorm(emb, vecCol)
-    val codebook: Array[(Long, Seq[Double], Double)] = codebookOpt.getOrElse {
-      // one tiny driver fetch (centroids × dims doubles) — a model
-      // artifact, not data; same role as the literal hyperplanes in LSH
-      base.filter(col(idCol) < centroids)
-        .select(col(idCol).cast("long"), col("__vd"), col("__norm"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-        .sortBy(_._1)
-    }
+    val codebook = codebookOpt.getOrElse(coarseCodebook(base, idCol, centroids))
     require(codebook.nonEmpty, "ivfTopK: empty codebook")
-    val cellsRanked: Column = sort_array(array(codebook.map {
-      case (cid, vec, nrm) =>
-        val sim = dot(col("__vd"), typedlit(vec)) / (col("__norm") * lit(nrm))
-        struct((-sim).as("negsim"), lit(cid).as("cent_id"))
-    }: _*))
+    val cellsRanked = cellsRankedCol(codebook)
     def cellAssign(df: DataFrame, keep: Int): DataFrame =
       df.withColumn("__cand", explode(slice(cellsRanked, 1, keep)))
         .withColumn("cent_id", col("__cand.cent_id"))
@@ -280,6 +290,48 @@ object Similarity {
     * centroid id, scores round before ranking. Here the candidate set is
     * all docs (the compression demo); in production gate by IVF cell
     * first — the encode/score shapes are unchanged. */
+  /** PQ sub-codebooks: (subspace, cent) → slice with its precomputed
+    * ‖c‖² (argmin ‖x−c‖² = argmin(‖c‖² − 2⟨x,c⟩)) — a driver-side model
+    * artifact, `subspaces × cents × width` doubles. */
+  private def subCodebooks(
+      base: DataFrame, idCol: String, cents: Int,
+      subspaces: Int, width: Int): Array[Array[(Int, Seq[Double], Double)]] = {
+    val rows = base.filter(col(idCol) < cents)
+      .select(col(idCol).cast("long"), col("__vd")).collect()
+      .sortBy(_.getLong(0))
+    Array.tabulate(subspaces) { s =>
+      rows.zipWithIndex.map { case (r, j) =>
+        val slice = r.getSeq[Double](1).slice(s * width, (s + 1) * width)
+        (j, slice, slice.foldLeft(0.0)((a, x) => a + x * x))
+      }
+    }
+  }
+
+  private def pqSliceCol(s: Int, width: Int): Column =
+    slice(col("__vd"), s * width + 1, width)
+
+  /** Per-doc PQ code for subspace `s`: nearest sub-centroid by L2, ties
+    * centroid id asc — narrow, oracle-replayable. */
+  private def pqCodeCol(
+      cb: Array[Array[(Int, Seq[Double], Double)]], s: Int, width: Int): Column =
+    element_at(sort_array(array(cb(s).map { case (j, vec, nrm2) =>
+      struct((lit(nrm2) - lit(2.0) * dot(pqSliceCol(s, width), typedlit(vec))).as("d2"),
+        lit(j).as("cid"))
+    }.toSeq: _*)), 1).getField("cid")
+
+  /** Per-probe LUT for subspace `s`: the probe's exact slice dotted with
+    * each sub-centroid — `cents` doubles, built once per probe row. */
+  private def pqLutCol(
+      cb: Array[Array[(Int, Seq[Double], Double)]], s: Int, width: Int): Column =
+    array(cb(s).map { case (_, vec, _) => dot(pqSliceCol(s, width), typedlit(vec)) }
+      .toSeq: _*)
+
+  /** Asymmetric-distance score: Σ over subspaces of LUT[code]. */
+  private def pqApproxDot(subspaces: Int): Column =
+    (0 until subspaces)
+      .map(s => element_at(col(s"lut$s"), col(s"code$s") + 1))
+      .reduce(_ + _)
+
   def pqTopK(
       emb: DataFrame, idCol: String, vecCol: String,
       probePred: Column, k: Int,
@@ -289,52 +341,128 @@ object Similarity {
     require(d0 > 0 && d0 % subspaces == 0,
       s"pqTopK: dims $d0 not divisible into $subspaces subspaces (empty input?)")
     val width = d0 / subspaces
-    // sub-codebooks: (subspace, cent) -> slice; a driver-side model artifact
-    val cb: Array[Array[(Int, Seq[Double], Double)]] = {
-      val rows = base.filter(col(idCol) < cents)
-        .select(col(idCol).cast("long"), col("__vd")).collect()
-        .sortBy(_.getLong(0))
-      Array.tabulate(subspaces) { s =>
-        rows.zipWithIndex.map { case (r, j) =>
-          val slice = r.getSeq[Double](1).slice(s * width, (s + 1) * width)
-          // ||c||² precomputed: argmin ||x-c||² = argmin(||c||² - 2<x,c>)
-          (j, slice, slice.foldLeft(0.0)((a, x) => a + x * x))
-        }
-      }
-    }
+    val cb = subCodebooks(base, idCol, cents, subspaces, width)
     require(cb.head.nonEmpty,
       s"pqTopK: empty sub-codebook — no ids < $cents in $idCol")
-    def sliceCol(s: Int): Column =
-      slice(col("__vd"), s * width + 1, width)
-    def codeCol(s: Int): Column =
-      element_at(sort_array(array(cb(s).map { case (j, vec, nrm2) =>
-        struct((lit(nrm2) - lit(2.0) * dot(sliceCol(s), typedlit(vec))).as("d2"),
-          lit(j).as("cid"))
-      }.toSeq: _*)), 1).getField("cid")
     // Generate barrier (explode of a 1-element array): without it,
     // CollapseProject inlines the sort_array encode into every per-PAIR
     // lookup below the cross join — per-doc work amplified to per-pair
     // (measured 4×). The barrier materializes codes once per doc.
     val encoded = base
       .select(col(idCol), explode(array(struct(
-        (0 until subspaces).map(s => codeCol(s).as(s"code$s")): _*))).as("__c"))
+        (0 until subspaces).map(s => pqCodeCol(cb, s, width).as(s"code$s")): _*))).as("__c"))
       .select((col(idCol) +:
         (0 until subspaces).map(s => col(s"__c").getField(s"code$s").as(s"code$s"))): _*)
-    // per-probe LUT: 16 slice-dots per subspace, built once per probe row
-    def lutCol(s: Int): Column =
-      array(cb(s).map { case (_, vec, _) => dot(sliceCol(s), typedlit(vec)) }
-        .toSeq: _*)
     val probes = base.filter(probePred).select(
       (col(idCol).as("probe_id") +:
-        (0 until subspaces).map(s => lutCol(s).as(s"lut$s"))): _*)
-    val approxDot = (0 until subspaces)
-      .map(s => element_at(col(s"lut$s"), col(s"code$s") + 1))
-      .reduce(_ + _)
+        (0 until subspaces).map(s => pqLutCol(cb, s, width).as(s"lut$s"))): _*)
     rankTopK(
       encoded.crossJoin(broadcast(probes))
         .filter(col("probe_id") =!= col(idCol))
-        .withColumn("score_r", round(approxDot, 6)),
+        .withColumn("score_r", round(pqApproxDot(subspaces), 6)),
       idCol, k)
+  }
+
+  /** IVF-gated PQ — the standard production ANN stack at 100 TB, composed
+    * from the two halves above UNCHANGED: [[ivfTopK]]'s narrow
+    * broadcast-literal cell routing bounds the candidate set to the
+    * probe's `nprobe` cells, and [[pqTopK]]'s code/LUT columns score those
+    * candidates by asymmetric distance (codes instead of floats). You
+    * quantize because n is huge — and then you must not scan all n per
+    * probe; this removes [[pqTopK]]'s all-docs candidate set.
+    *
+    * Plan shape: the doc side is ONE Generate barrier materializing
+    * (cell id, PQ codes) per doc — both the cell argmax and the encode
+    * are narrow broadcast-literal expressions, so below the probe join
+    * the job is a pure map of the scan. Probes broadcast with their
+    * per-row LUTs; the join is a broadcast HASH join on cent_id (never a
+    * nested loop over the corpus — pinned in PlanSpec). Per (probe, doc)
+    * pair the score is `subspaces` array lookups. */
+  def ivfPqTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, k: Int, centroids: Int = 16, nprobe: Int = 4,
+      subspaces: Int = 4, cents: Int = 16, dims: Int = 0,
+      codebookOpt: Option[Array[(Long, Seq[Double], Double)]] = None): DataFrame = {
+    val base = withNorm(emb, vecCol)
+    val codebook = codebookOpt.getOrElse(coarseCodebook(base, idCol, centroids))
+    require(codebook.nonEmpty, "ivfPqTopK: empty coarse codebook")
+    val cellsRanked = cellsRankedCol(codebook)
+    val d0 = if (dims > 0) dims else embeddingDims(emb, vecCol)
+    require(d0 > 0 && d0 % subspaces == 0,
+      s"ivfPqTopK: dims $d0 not divisible into $subspaces subspaces (empty input?)")
+    val width = d0 / subspaces
+    val cb = subCodebooks(base, idCol, cents, subspaces, width)
+    require(cb.head.nonEmpty,
+      s"ivfPqTopK: empty sub-codebook — no ids < $cents in $idCol")
+    // doc side: ONE Generate barrier materializes the coarse cell AND the
+    // PQ codes per doc (same CollapseProject hazard as pqTopK's encode)
+    val encoded = base
+      .select(col(idCol), explode(array(struct(
+        (element_at(cellsRanked, 1).getField("cent_id").as("cent_id") +:
+          (0 until subspaces).map(s => pqCodeCol(cb, s, width).as(s"code$s"))): _*))).as("__c"))
+      .select((col(idCol) +: col("__c.cent_id").as("cent_id") +:
+        (0 until subspaces).map(s => col("__c").getField(s"code$s").as(s"code$s"))): _*)
+    // probe side: nprobe cell rows per probe; the LUTs are projected
+    // BELOW the Generate (computed once per probe, replicated per cell)
+    val probes = base.filter(probePred).select(
+      (col(idCol).as("probe_id") +:
+        explode(slice(cellsRanked, 1, nprobe)).as("__cand") +:
+        (0 until subspaces).map(s => pqLutCol(cb, s, width).as(s"lut$s"))): _*)
+      .select((col("probe_id") +: col("__cand.cent_id").as("cent_id") +:
+        (0 until subspaces).map(s => col(s"lut$s"))): _*)
+    rankTopK(
+      encoded.join(broadcast(probes), Seq("cent_id"))
+        .filter(col("probe_id") =!= col(idCol))
+        .withColumn("score_r", round(pqApproxDot(subspaces), 6)),
+      idCol, k)
+  }
+
+  /** IVF with the cell assignment PERSISTED as a hive-partitioned parquet
+    * index (`partitionBy(cent_id)`) and the probe search reading it back
+    * through a static cell filter — so the scan PRUNES to the probes'
+    * nprobe cell directories (PartitionFilters carries cent_id; pinned in
+    * PlanSpec). This connects partition pruning to the ANN stack: at
+    * 100 TB the index build is a one-time map-only write, and each probe
+    * batch reads only `≤ centroids` directories instead of the corpus —
+    * a directory listing, not a scan.
+    *
+    * The probed cell-id set is a driver-side model artifact (≤ centroids
+    * longs, from the DISTINCT over the probes' cell rows — bounded by the
+    * codebook size, not the probe count, and needed as literals precisely
+    * so the filter is static partition pruning rather than a runtime
+    * join). Results are hash-identical to [[ivfTopK]]. */
+  def ivfPartitionedTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, k: Int, indexPath: String,
+      centroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val base = withNorm(emb, vecCol)
+    val codebook = coarseCodebook(base, idCol, centroids)
+    require(codebook.nonEmpty, "ivfPartitionedTopK: empty codebook")
+    val cellsRanked = cellsRankedCol(codebook)
+    // index build: one narrow pass over the corpus, written once per
+    // codebook generation (cent_id as int: parquet partition-value
+    // inference reads small integral dirs back as int, and a type
+    // mismatch would wrap the partition column in a cast that defeats
+    // static pruning)
+    base.withColumn("cent_id",
+      element_at(cellsRanked, 1).getField("cent_id").cast("int"))
+      .select(col(idCol), col("__vd"), col("__norm"), col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(indexPath)
+    val probes = base.filter(probePred)
+      .withColumn("__cand", explode(slice(cellsRanked, 1, nprobe)))
+      .select(col(idCol).as("probe_id"),
+        col("__cand.cent_id").cast("int").as("cent_id"),
+        col("__vd").as("__pd"), col("__norm").as("__pn"))
+    val probedCells = probes.select("cent_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val index = spark.read.parquet(indexPath)
+      .filter(col("cent_id").isin(probedCells.map(Int.box): _*))
+    val scored = index.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("probe_id") =!= col(idCol))
+      .withColumn("score_r",
+        round(dot(col("__pd"), col("__vd")) / (col("__pn") * col("__norm")), 6))
+    rankTopK(scored, idCol, k)
   }
 
   /** Embedding-cosine near-dup pairs with key blocking: only same-block

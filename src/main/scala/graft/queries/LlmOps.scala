@@ -37,6 +37,22 @@ object LlmOps {
       Dedup.minhashNearDupPairs(documents(s, d), "doc_id", "text")
         .orderBy("a", "b")),
 
+    // The minhash skew guard as a hash-checked contract: a planted
+    // boilerplate flood (30 identical synthetic docs derived from the
+    // fixture — both engines build the same augmented corpus) overflows
+    // its band buckets past maxBucketSize, so the capped run drops the
+    // flood's quadratic buckets and returns EXACTLY the organic pairs;
+    // the oracle applies the same bucket-size gate. Recall semantics of
+    // the cap are additionally unit-tested in DedupSpec.
+    "dd_minhash_capped" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val flood = documents(s, d).filter(col("doc_id") < 30)
+        .select((col("doc_id") + 1000000L).as("doc_id"), lit(FloodText).as("text"))
+      Dedup.minhashNearDupPairs(
+        docs.unionByName(flood), "doc_id", "text", maxBucketSize = 10)
+        .orderBy("a", "b")
+    }),
+
     // SimHash near-dup: 64-bit signatures, pigeonhole-banded candidates
     // (lossless at the Hamming threshold), exact Hamming verify. The
     // oracle is brute-force all-pairs, so it checks recall independently.
@@ -132,6 +148,26 @@ object LlmOps {
     "sim_topk_pq" -> ((s, d) =>
       Similarity.pqTopK(
         embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
+        .orderBy("probe_id", "rank")),
+
+    // IVF-gated PQ — the production ANN stack: coarse cells bound the
+    // candidate set to nprobe cells per probe, PQ codes + per-probe LUTs
+    // score within them. Oracle-checked by composing the two replays
+    // (cell CTEs from sim_topk_ivf, code/LUT CTEs from sim_topk_pq).
+    "sim_topk_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqTopK(
+        embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
+        .orderBy("probe_id", "rank")),
+
+    // IVF with a persisted, hive-partitioned cell index: the probe read
+    // back prunes to the probes' cell DIRECTORIES (PartitionFilters on
+    // cent_id, pinned in PlanSpec) — partition pruning wired into the
+    // ANN stack. Hash-identical to sim_topk_ivf by construction.
+    "sim_topk_ivf_pruned" -> ((s, d) =>
+      Similarity.ivfPartitionedTopK(
+        embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5,
+        indexPath = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_ivf_index").toString)
         .orderBy("probe_id", "rank")),
 
     // Token counting: whitespace tokens, BPE-ish regex tokens, char stats
@@ -251,8 +287,17 @@ object LlmOps {
     })
   )
 
-  private val wordsCte =
-    "SELECT doc_id, list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^a-z0-9 ]', ' ', 'g')), ' +'), x -> x <> '') AS ws FROM documents"
+  /** The boilerplate flood text for dd_minhash_capped — lowercase
+    * alphanumeric words so Spark's kernel tokenizer and the oracle's
+    * regex split agree trivially; 10 words → well past the 3-word
+    * shingle minimum. */
+  private val FloodText =
+    "boilerplate template header footer nav boilerplate template header footer nav"
+
+  private def wordsCteFrom(from: String): String =
+    s"SELECT doc_id, list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^a-z0-9 ]', ' ', 'g')), ' +'), x -> x <> '') AS ws FROM $from"
+
+  private val wordsCte = wordsCteFrom("documents")
 
   /** Left-fold dot product of two DuckDB double lists — the same
     * accumulation order as graft_dot, so doubles match bit-for-bit. */
@@ -301,9 +346,13 @@ object LlmOps {
 
   /** The minhash near-dup pair derivation (shingle → xor-permutation
     * signatures → band buckets → Jaccard-verified pairs) as a reusable
-    * CTE chain ending in `mpairs(a, b, n_inter, n_union)`. */
-  private val minhashPairCtes: String =
-    "w AS (" + wordsCte + "), " +
+    * CTE chain ending in `mpairs(a, b, n_inter, n_union)`. `from` swaps
+    * the document source (e.g. a flood-augmented derived table); `cap`
+    * > 0 replays the maxBucketSize skew guard — buckets holding more
+    * than `cap` docs are excluded from candidate generation, exactly
+    * Dedup.minhashNearDupPairs's gate. */
+  private def minhashPairCtesFrom(from: String = "documents", cap: Int = 0): String =
+    "w AS (" + wordsCteFrom(from) + "), " +
       "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [] ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) END AS shingles FROM w), " +
       "s AS (SELECT doc_id, shingles, " +
       "list_transform(shingles, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hashes, [" +
@@ -312,11 +361,39 @@ object LlmOps {
         .mkString(", ") +
       "] AS sigs FROM sh WHERE len(shingles) > 0), " +
       "bandrows AS (SELECT doc_id, b AS band_idx, md5(CAST(sigs[2*b+1] AS VARCHAR) || '|' || CAST(sigs[2*b+2] AS VARCHAR)) AS band_hash FROM s, unnest([0,1,2,3]) t(b)), " +
-      "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bandrows x JOIN bandrows y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id), " +
+      (if (cap > 0)
+        s"okb AS (SELECT band_idx, band_hash FROM bandrows GROUP BY 1, 2 HAVING count(*) <= $cap), " +
+          "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bandrows x JOIN okb ON okb.band_idx = x.band_idx AND okb.band_hash = x.band_hash JOIN bandrows y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id), "
+      else
+        "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bandrows x JOIN bandrows y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id), ") +
       "mpairs AS (SELECT c.a, c.b, CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter, " +
       "CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_union " +
       "FROM cand c JOIN s sa ON c.a = sa.doc_id JOIN s sb ON c.b = sb.doc_id " +
       "WHERE len(list_intersect(sa.shingles, sb.shingles)) * 2 >= len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))"
+
+  private val minhashPairCtes: String = minhashPairCtesFrom()
+
+  /** The IVF probe-search replay — shared verbatim by sim_topk_ivf and
+    * sim_topk_ivf_pruned (the partitioned index changes the read path,
+    * not the result). */
+  private val ivfOracleSql: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
+      "cents AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
+      // cell assignment: rank centroids by cosine, keep top `keep`
+      "assigned AS (SELECT vec_id, cent_id, v, nm FROM (" +
+      "SELECT n.vec_id, cents.cent_id, n.v, n.nm, " +
+      "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "cents.cv") + " / (n.nm * cents.cn) DESC, cents.cent_id ASC) AS cr " +
+      "FROM n, cents) WHERE cr <= 1), " +
+      "probes AS (SELECT vec_id AS probe_id, cent_id, v AS pv, nm AS pn FROM (" +
+      "SELECT n.vec_id, cents.cent_id, n.v, n.nm, " +
+      "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "cents.cv") + " / (n.nm * cents.cn) DESC, cents.cent_id ASC) AS cr " +
+      "FROM n, cents WHERE n.vec_id < 10) WHERE cr <= 4), " +
+      "scored AS (SELECT probes.probe_id, assigned.vec_id AS vec_id_n, " +
+      "round(" + duckDot("probes.pv", "assigned.v") + " / (probes.pn * assigned.nm), 6) AS score_r " +
+      "FROM assigned JOIN probes ON assigned.cent_id = probes.cent_id AND probes.probe_id <> assigned.vec_id) " +
+      "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
+      "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"
 
   def oracleSql: Map[String, String] = Map(
     "dd_exact_rownum" ->
@@ -325,6 +402,15 @@ object LlmOps {
       "SELECT md5(substring(text, 1, 50)) AS fp50, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1 ORDER BY keep_id",
     "dd_minhash_neardup" ->
       ("WITH " + minhashPairCtes +
+        " SELECT a, b, n_inter, n_union FROM mpairs ORDER BY a, b"),
+    // same chain over the flood-augmented corpus with the bucket-size
+    // gate replayed: the 30 identical flood docs exceed cap=10 in every
+    // bucket they occupy, so only organic pairs survive on BOTH engines
+    "dd_minhash_capped" ->
+      ("WITH " + minhashPairCtesFrom(
+        "(SELECT doc_id, text FROM documents UNION ALL " +
+          s"SELECT doc_id + 1000000 AS doc_id, '$FloodText' AS text " +
+          "FROM documents WHERE doc_id < 30) fdocs", cap = 10) +
         " SELECT a, b, n_inter, n_union FROM mpairs ORDER BY a, b"),
     // pairs → clusters: recursive-CTE transitive closure reaches the same
     // component-minimum labels as Spark's iterative min-label propagation
@@ -397,22 +483,37 @@ object LlmOps {
         (0 until 4).map(t => s"p.sig$t = c.sig$t").mkString(" OR ") + ")) " +
         "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
         "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
-    "sim_topk_ivf" ->
+    "sim_topk_ivf" -> ivfOracleSql,
+    // hash-identical to sim_topk_ivf by construction: the partitioned
+    // index round-trip changes WHERE the candidates are read from (pruned
+    // cell directories), not which candidates score
+    "sim_topk_ivf_pruned" -> ivfOracleSql,
+    // IVF×PQ composition: cell CTEs from sim_topk_ivf gate the candidate
+    // pairs; code/LUT CTEs from sim_topk_pq score them asymmetrically
+    "sim_topk_ivfpq" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
-        "cents AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
-        // cell assignment: rank centroids by cosine, keep top `keep`
-        "assigned AS (SELECT vec_id, cent_id, v, nm FROM (" +
-        "SELECT n.vec_id, cents.cent_id, n.v, n.nm, " +
-        "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "cents.cv") + " / (n.nm * cents.cn) DESC, cents.cent_id ASC) AS cr " +
-        "FROM n, cents) WHERE cr <= 1), " +
-        "probes AS (SELECT vec_id AS probe_id, cent_id, v AS pv, nm AS pn FROM (" +
-        "SELECT n.vec_id, cents.cent_id, n.v, n.nm, " +
-        "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "cents.cv") + " / (n.nm * cents.cn) DESC, cents.cent_id ASC) AS cr " +
-        "FROM n, cents WHERE n.vec_id < 10) WHERE cr <= 4), " +
-        "scored AS (SELECT probes.probe_id, assigned.vec_id AS vec_id_n, " +
-        "round(" + duckDot("probes.pv", "assigned.v") + " / (probes.pn * assigned.nm), 6) AS score_r " +
-        "FROM assigned JOIN probes ON assigned.cent_id = probes.cent_id AND probes.probe_id <> assigned.vec_id) " +
+        "cc AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
+        "assigned AS (SELECT vec_id, cent_id FROM (" +
+        "SELECT n.vec_id, cc.cent_id, " +
+        "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "cc.cv") + " / (n.nm * cc.cn) DESC, cc.cent_id ASC) AS cr " +
+        "FROM n, cc) WHERE cr <= 1), " +
+        "probes AS (SELECT vec_id AS probe_id, cent_id, pv FROM (" +
+        "SELECT n.vec_id, cc.cent_id, n.v AS pv, " +
+        "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "cc.cv") + " / (n.nm * cc.cn) DESC, cc.cent_id ASC) AS cr " +
+        "FROM n, cc WHERE n.vec_id < 10) WHERE cr <= 4), " +
+        "cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id < 16), " +
+        (0 until 4).map { s =>
+          s"k$s AS (SELECT e.vec_id, c.cent_id AS code FROM e, cents c " +
+            s"QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+            s"(${duckSliceDot("c.v", "c.v", s)} - 2*${duckSliceDot("e.v", "c.v", s)}) ASC, c.cent_id ASC) = 1)"
+        }.mkString(", ") + ", " +
+        "scored AS (SELECT p.probe_id, d.vec_id AS vec_id_n, " +
+        "round(" + (0 until 4).map(s => duckSliceDot("p.pv", s"c$s.v", s)).mkString(" + ") + ", 6) AS score_r " +
+        "FROM assigned d JOIN probes p ON d.cent_id = p.cent_id AND p.probe_id <> d.vec_id " +
+        (0 until 4).map(s =>
+          s"JOIN k$s ON k$s.vec_id = d.vec_id JOIN cents c$s ON c$s.cent_id = k$s.code ").mkString +
+        ") " +
         "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
         "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
     "sim_topk_ivf_trained" ->

@@ -59,6 +59,24 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 7)
   }
 
+  test("connectedComponents reliable-checkpoint mode matches local mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs, "a", "b",
+      checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(out(_) == 1L))
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert(out.size == 7)
+    // the reliable dir actually received checkpoint files (the property
+    // that survives an executor loss, unlike executor-local blocks)
+    def files(f: java.io.File): Iterator[java.io.File] =
+      Iterator(f) ++ Option(f.listFiles).iterator.flatten.flatMap(files)
+    assert(files(new java.io.File(dir)).exists(_.getName.startsWith("rdd-")),
+      s"no reliable checkpoint RDD dirs under $dir")
+  }
+
   test("exactKeepFirst keeps lowest id per key") {
     val out = Dedup.exactKeepFirst(
       docs.withColumn("fp", TextOps.fingerprint(col("text"))),

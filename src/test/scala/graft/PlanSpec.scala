@@ -60,6 +60,29 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nlj.isEmpty, "cell assignment regressed to a crossjoin")
   }
 
+  test("ivf-pq gates candidates by cell: hash join on cent_id, no nested loop over the corpus") {
+    val plan = planOf("sim_topk_ivfpq")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "expected a broadcast HASH probe join on cent_id")
+    val nlj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nlj.isEmpty,
+      "PQ scoring regressed to an un-gated all-docs nested loop")
+    val cart = collectWithSubqueries(plan) { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, "sim_topk_ivfpq plans a cartesian product")
+  }
+
+  test("ivf partitioned-index readback prunes to the probed cell directories") {
+    val plan = planOf("sim_topk_ivf_pruned").toString
+    // the cell list prints as `IN (…)` or, past the InSet-conversion
+    // threshold, `INSET …` — match the shared prefix
+    val pruned = "PartitionFilters: \\[[^\\]]*cent_id[^\\]]* IN".r
+      .findFirstIn(plan).isDefined
+    assert(pruned,
+      s"probed-cell predicate not in PartitionFilters:\n${plan.take(2000)}")
+  }
+
   test("partitioned readback prunes to the filtered partition directory") {
     // assert the PREDICATE is inside the PartitionFilters list — the key
     // itself prints unconditionally (as []), so a bare substring check
