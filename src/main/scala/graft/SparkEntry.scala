@@ -21,7 +21,7 @@ object SparkEntry {
       graft.queries.Sinks.queries ++ graft.queries.LlmOps.queries ++
       graft.queries.EtlQueries.queries ++ graft.queries.Analytics.queries ++
       graft.queries.TimeSeriesQueries.queries ++ graft.queries.Extended.queries ++
-      graft.queries.CurationOps.queries
+      graft.queries.CurationOps.queries ++ graft.queries.StreamingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -29,5 +29,5 @@ object SparkEntry {
       graft.queries.Sinks.oracleSql ++ graft.queries.LlmOps.oracleSql ++
       graft.queries.EtlQueries.oracleSql ++ graft.queries.Analytics.oracleSql ++
       graft.queries.TimeSeriesQueries.oracleSql ++ graft.queries.Extended.oracleSql ++
-      graft.queries.CurationOps.oracleSql
+      graft.queries.CurationOps.oracleSql ++ graft.queries.StreamingQueries.oracleSql
 }

@@ -32,6 +32,40 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out == Map("k_not_null" -> 0L, "name's quoted" -> 0L))
   }
 
+  test("LEGACY-only timestamp strings: the try_to_timestamp divergence is pinned") {
+    // ref transform_alchemer_data.py:44-50 sets
+    // spark.sql.legacy.timeParserPolicy=LEGACY before to_timestamp with
+    // 'MM/dd/yyyy h:mm:ss a'. The lenient SimpleDateFormat accepts
+    // single-digit month/day for MM/dd; the engine's try_to_timestamp
+    // (CORRECTED DateTimeFormatter) requires two digits and yields NULL.
+    // This test pins BOTH behaviors so the divergence is a documented
+    // contract, not an accident.
+    val fmt = "MM/dd/yyyy h:mm:ss a"
+    val df = Seq(
+      ("01/05/2024 3:07:02 PM"), // well-formed: both parsers accept
+      ("1/5/2024 3:07:02 PM")    // lenient-only: LEGACY accepts, CORRECTED nulls
+    ).toDF("t")
+    val corrected = df
+      .select(expr(s"try_to_timestamp(t, '$fmt')").as("ts"))
+      .collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(corrected(0).contains("2024-01-05 15:07:02.0"))
+    assert(corrected(1).isEmpty,
+      "single-digit month must NULL under the CORRECTED parser (Silver's path)")
+    val prev = spark.conf.getOption("spark.sql.legacy.timeParserPolicy")
+    spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
+    try {
+      val legacy = df
+        .select(expr(s"to_timestamp(t, '$fmt')").as("ts"))
+        .collect().map(r => Option(r.get(0)).map(_.toString))
+      assert(legacy(0).contains("2024-01-05 15:07:02.0"))
+      assert(legacy(1).contains("2024-01-05 15:07:02.0"),
+        "the reference's LEGACY policy accepts single-digit month/day")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.timeParserPolicy", v)
+      case None => spark.conf.unset("spark.sql.legacy.timeParserPolicy")
+    }
+  }
+
   test("null, empty, and whitespace-only text flow through text kernels") {
     val docs = Seq((1L, null: String), (2L, ""), (3L, "   "), (4L, "one word"))
       .toDF("doc_id", "text")

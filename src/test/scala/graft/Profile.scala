@@ -1,7 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-// Temporary profiling harness (not part of the library surface).
+// Dev-only profiling harness — lives in the TEST source set so it never
+// ships in the library jar (`sbt "Test/runMain graft.Profile" [names…]`).
+// Note the reported numbers are WARM-cache: each query runs twice and the
+// second run is the one timed, so persisted candidate frames from the
+// first run are already resident — use Bench for steady-state numbers.
 object Profile {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
