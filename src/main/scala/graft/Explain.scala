@@ -19,8 +19,8 @@ object Explain {
       else Seq("an_revenue_by_region", "an_top_customers", "an_brand_stats",
         "etl_rollup", "etl_census_merge", "dd_minhash_neardup",
         "sim_topk_brute", "a1_group_count", "p03_filter_eq",
-        "sim_topk_lsh", "sim_topk_ivf", "ta_tfidf", "ta_seq_pack",
-        "ta_hash_sample")
+        "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq", "ta_tfidf",
+        "ta_seq_pack", "ta_hash_sample", "ta_decontaminate")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -159,6 +159,17 @@ object LlmOps {
         embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
         .orderBy("probe_id", "rank")),
 
+    // IVF-PQ with a TRAINED coarse codebook: the full production recipe —
+    // Lloyd's-trained cells gate the candidates, PQ codes score them.
+    // DuckDB replays both training iterations AND the PQ reconstruction.
+    "sim_topk_ivfpq_trained" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cb = Similarity.trainCodebook(emb, "vec_id", "embedding", 16, 2)
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5,
+        codebookOpt = Some(cb))
+        .orderBy("probe_id", "rank")
+    }),
+
     // IVF with a persisted, hive-partitioned cell index: the probe read
     // back prunes to the probes' cell DIRECTORIES (PartitionFilters on
     // cent_id, pinned in PlanSpec) — partition pruning wired into the
@@ -262,6 +273,47 @@ object LlmOps {
           (id, bytes)
         }).toDF("doc_id", "content")
         .transform(df => Multimodal.ppmChannelSums(df).toDF())
+        .orderBy("doc_id")
+    }),
+
+    // REAL resize through the codec: encode the synthetic PPM, nearest-
+    // neighbour resize to a fixed 8×6 (decode → pixel remap → re-encode),
+    // then channel-sum the RESIZED bytes. The oracle computes the sums by
+    // applying the pixel formula at the remapped source coordinates —
+    // independent ground truth again, so a resize bug (wrong source
+    // index, channel swap, header drift) fails the hash compare.
+    "mm_ppm_resize" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 6 + (id % 7).toInt
+          val bytes = Multimodal.encodePpm(w, h, (x, y) => (
+            ((id + 7L * x + 13L * y) % 256).toInt,
+            ((id * 2 + 5L * x + 11L * y) % 256).toInt,
+            ((id * 3 + 3L * x + 17L * y) % 256).toInt))
+          (id, Multimodal.resizePpm(bytes, 8, 6))
+        }).toDF("doc_id", "content")
+        .transform(df => Multimodal.ppmChannelSums(df).toDF())
+        .orderBy("doc_id")
+    }),
+
+    // Decontamination: flag corpus docs sharing any 5-gram with the
+    // benchmark/eval split (here the deterministic doc_id % 97 == 0
+    // slice — in production, the held-out eval suites). The benchmark
+    // n-gram set is SMALL by construction (eval sets are MBs, not TBs),
+    // so it broadcasts and the corpus side stays a narrow map + one
+    // per-doc aggregate — the 100 TB shape for contamination checks.
+    "ta_decontaminate" -> ((s, d) => {
+      val grams = Dedup.withShinglesAndSigs(
+        documents(s, d), "doc_id", "text", k = 5, numHashes = 2)
+        .select(col("doc_id"), explode(col("shingles")).as("gram"))
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct()
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_hits"))
         .orderBy("doc_id")
     }),
 
@@ -395,6 +447,40 @@ object LlmOps {
       "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
       "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"
 
+  /** The IVF gate of the IVF-PQ replay: doc cell assignment (cr ≤ 1) and
+    * probe cells (cr ≤ 4) against the centroid CTE `cents` — shared by
+    * the first-16 and Lloyd-trained codebook variants. */
+  private def ivfPqGateSql(cents: String): String =
+    "assigned AS (SELECT vec_id, cent_id FROM (" +
+      s"SELECT n.vec_id, $cents.cent_id, " +
+      "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", s"$cents.cv") + s" / (n.nm * $cents.cn) DESC, $cents.cent_id ASC) AS cr " +
+      s"FROM n, $cents) WHERE cr <= 1), " +
+      "probes AS (SELECT vec_id AS probe_id, cent_id, pv FROM (" +
+      s"SELECT n.vec_id, $cents.cent_id, n.v AS pv, " +
+      "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", s"$cents.cv") + s" / (n.nm * $cents.cn) DESC, $cents.cent_id ASC) AS cr " +
+      s"FROM n, $cents WHERE n.vec_id < 10) WHERE cr <= 4)"
+
+  /** The PQ scoring tail of the IVF-PQ replay: sub-codebook encode (k0–k3
+    * over ALL docs — encoding is corpus-wide, gating is per-probe) and the
+    * asymmetric-distance rank, consuming `assigned`/`probes` from
+    * [[ivfPqGateSql]]. The PQ sub-codebooks are always the first-16 RAW
+    * vector slices, independent of how the coarse codebook was made. */
+  private val ivfPqTailSql: String =
+    "cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id < 16), " +
+      (0 until 4).map { s =>
+        s"k$s AS (SELECT e.vec_id, c.cent_id AS code FROM e, cents c " +
+          s"QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+          s"(${duckSliceDot("c.v", "c.v", s)} - 2*${duckSliceDot("e.v", "c.v", s)}) ASC, c.cent_id ASC) = 1)"
+      }.mkString(", ") + ", " +
+      "scored AS (SELECT p.probe_id, d.vec_id AS vec_id_n, " +
+      "round(" + (0 until 4).map(s => duckSliceDot("p.pv", s"c$s.v", s)).mkString(" + ") + ", 6) AS score_r " +
+      "FROM assigned d JOIN probes p ON d.cent_id = p.cent_id AND p.probe_id <> d.vec_id " +
+      (0 until 4).map(s =>
+        s"JOIN k$s ON k$s.vec_id = d.vec_id JOIN cents c$s ON c$s.cent_id = k$s.code ").mkString +
+      ") " +
+      "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
+      "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"
+
   def oracleSql: Map[String, String] = Map(
     "dd_exact_rownum" ->
       "SELECT doc_id, lang, source FROM documents QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1 ORDER BY doc_id",
@@ -494,28 +580,16 @@ object LlmOps {
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
         "cc AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
-        "assigned AS (SELECT vec_id, cent_id FROM (" +
-        "SELECT n.vec_id, cc.cent_id, " +
-        "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "cc.cv") + " / (n.nm * cc.cn) DESC, cc.cent_id ASC) AS cr " +
-        "FROM n, cc) WHERE cr <= 1), " +
-        "probes AS (SELECT vec_id AS probe_id, cent_id, pv FROM (" +
-        "SELECT n.vec_id, cc.cent_id, n.v AS pv, " +
-        "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "cc.cv") + " / (n.nm * cc.cn) DESC, cc.cent_id ASC) AS cr " +
-        "FROM n, cc WHERE n.vec_id < 10) WHERE cr <= 4), " +
-        "cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id < 16), " +
-        (0 until 4).map { s =>
-          s"k$s AS (SELECT e.vec_id, c.cent_id AS code FROM e, cents c " +
-            s"QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
-            s"(${duckSliceDot("c.v", "c.v", s)} - 2*${duckSliceDot("e.v", "c.v", s)}) ASC, c.cent_id ASC) = 1)"
-        }.mkString(", ") + ", " +
-        "scored AS (SELECT p.probe_id, d.vec_id AS vec_id_n, " +
-        "round(" + (0 until 4).map(s => duckSliceDot("p.pv", s"c$s.v", s)).mkString(" + ") + ", 6) AS score_r " +
-        "FROM assigned d JOIN probes p ON d.cent_id = p.cent_id AND p.probe_id <> d.vec_id " +
-        (0 until 4).map(s =>
-          s"JOIN k$s ON k$s.vec_id = d.vec_id JOIN cents c$s ON c$s.cent_id = k$s.code ").mkString +
-        ") " +
-        "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
-        "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
+        ivfPqGateSql("cc") + ", " + ivfPqTailSql),
+    // same composition with the coarse codebook TRAINED: the two Lloyd
+    // iterations replay first (exactly as in sim_topk_ivf_trained), then
+    // c2 gates the cells and the PQ tail scores
+    "sim_topk_ivfpq_trained" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
+        "c0 AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
+        duckLloydIter(1, "c0") + ", " + duckLloydIter(2, "c1") + ", " +
+        ivfPqGateSql("c2") + ", " + ivfPqTailSql),
     "sim_topk_ivf_trained" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
@@ -599,6 +673,25 @@ object LlmOps {
         "FROM dims d, range(0, 16) tx(x), range(0, 12) ty(y) " +
         "WHERE x < d.w AND y < d.h " +
         "GROUP BY d.doc_id, d.w, d.h ORDER BY d.doc_id"),
+    // remapped ground truth: out pixel (x, y) samples source
+    // (x·w/8, y·h/6) with integer division — the formula evaluates at the
+    // REMAPPED coordinates, never touching the engine's resized bytes
+    "mm_ppm_resize" ->
+      ("WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents) " +
+        "SELECT d.doc_id, CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height, " +
+        "CAST(sum((d.doc_id + 7 * ((x * d.w) // 8) + 13 * ((y * d.h) // 6)) % 256) AS BIGINT) AS sum_r, " +
+        "CAST(sum((d.doc_id * 2 + 5 * ((x * d.w) // 8) + 11 * ((y * d.h) // 6)) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(sum((d.doc_id * 3 + 3 * ((x * d.w) // 8) + 17 * ((y * d.h) // 6)) % 256) AS BIGINT) AS sum_b " +
+        "FROM dims d, range(0, 8) tx(x), range(0, 6) ty(y) " +
+        "GROUP BY d.doc_id ORDER BY d.doc_id"),
+    "ta_decontaminate" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' ')))) AS gram FROM w WHERE len(ws) >= 5), " +
+        "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) " +
+        "SELECT c.doc_id, CAST(count(DISTINCT c.gram) AS BIGINT) AS n_hits " +
+        "FROM g c JOIN bench b ON c.gram = b.gram " +
+        "WHERE c.doc_id % 97 <> 0 " +
+        "GROUP BY c.doc_id ORDER BY doc_id"),
     "mm_binary_features" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, 'text/plain' AS mime, " +
         "md5(text) AS content_md5, lower(hex(substring(text, 1, 8)::BLOB)) AS head_hex " +
