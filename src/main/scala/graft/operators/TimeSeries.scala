@@ -100,4 +100,38 @@ object TimeSeries {
         min(col(ts)).as("session_start"),
         max(col(ts)).as("session_end"),
         round(sum(col(valueCol)), 2).as("session_value"))
+
+  /** Bucketed interval join: match each point row to every same-key
+    * interval CONTAINING its timestamp (`start <= ts <= end`).
+    *
+    * The naive formulation — an inequality join — plans as a (broadcast)
+    * nested loop: O(points × intervals) per key, the first thing that
+    * dies at 100 TB. Here both sides map onto fixed time buckets: a
+    * point belongs to exactly ONE bucket (so no output dedup is needed),
+    * an interval EXPLODES into the buckets it covers (row amplification
+    * = span/bucket, bounded by construction when callers pick a bucket
+    * near the typical interval length), and candidates meet in ONE
+    * equi-shuffle on (key, bucket) before the exact containment filter.
+    * All comparisons are integer epoch-micros — exact, portable, and the
+    * same convention the as-of oracle replays. Hot (key, bucket) pairs
+    * are the residual hazard; salt the key upstream as with any skewed
+    * equi-join. */
+  def intervalJoin(
+      points: DataFrame, intervals: DataFrame,
+      key: String, tsCol: String, startCol: String, endCol: String,
+      bucketSecs: Long = 3600): DataFrame = {
+    require(bucketSecs > 0, "bucketSecs must be positive")
+    val bucketUs = bucketSecs * 1000000L
+    val pb = points
+      .withColumn("__t", unix_micros(col(tsCol)))
+      .withColumn("__bkt", expr(s"__t div ${bucketUs}L"))
+    val ib = intervals
+      .withColumn("__s", unix_micros(col(startCol)))
+      .withColumn("__e", unix_micros(col(endCol)))
+      .withColumn("__bkt",
+        explode(sequence(expr(s"__s div ${bucketUs}L"), expr(s"__e div ${bucketUs}L"))))
+    pb.join(ib, Seq(key, "__bkt"))
+      .filter(col("__t") >= col("__s") && col("__t") <= col("__e"))
+      .drop("__bkt", "__t", "__s", "__e")
+  }
 }

@@ -34,6 +34,27 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // Rare-token (OOV-rate) quality proxy — the integer-exact stand-in
+    // for a perplexity filter (CCNet-style): per doc, how many of its
+    // tokens are corpus-rare (frequency ≤ 2) and the summed corpus
+    // frequency of its tokens. Shape: token explode (narrow) → ONE
+    // vocabulary count shuffle (map-side partials) → token-key join
+    // co-partitioned with that shuffle → per-doc aggregate. All counts
+    // are exact integers — no log/float, so the compare is hash-exact
+    // (a real deployment maps sum_freq through log10 for the score).
+    "ta_rare_tokens" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("n_rare"),
+          sum(col("cnt")).as("sum_freq"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction over deterministic synthetic PII (the corpus itself
     // is clean word-soup, so the query plants an email + phone per doc —
     // identically in the oracle — and redacts them).
@@ -175,6 +196,15 @@ object CurationOps {
         s"CAST(len(regexp_extract_all(aug, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails, " +
         s"CAST(len(regexp_extract_all(aug, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones " +
         "FROM a ORDER BY doc_id"),
+    "ta_rare_tokens" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "tok AS (SELECT doc_id, unnest(ws) AS tok FROM w), " +
+        "freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok) " +
+        "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN f.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare, " +
+        "CAST(sum(f.cnt) AS BIGINT) AS sum_freq " +
+        "FROM tok t JOIN freq f ON t.tok = f.tok " +
+        "GROUP BY t.doc_id ORDER BY doc_id"),
     "ta_hash_sample" ->
       ("SELECT doc_id, source, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS bucket " +
         "FROM documents " +

@@ -73,6 +73,23 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     }),
 
+    // Bucketed interval join: every event inside a same-user 90-minute
+    // campaign window (windows anchored on the deterministic
+    // event_id % 101 slice). One equi-shuffle on (user, hour-bucket) +
+    // exact containment — never an inequality nested loop.
+    "ts_interval_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val ivals = ev.filter(col("event_id") % 101 === 0).select(
+        col("event_id").as("ival_id"), col("user_id"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 90 MINUTES")).as("end_ts"))
+      val pts = ev.select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      TimeSeries.intervalJoin(
+        pts, ivals, "user_id", "ts", "start_ts", "end_ts")
+        .select(col("ival_id"), col("event_id"), col("value"))
+        .orderBy("ival_id", "event_id")
+    }),
+
     // 30-minute-gap sessions per user, rolled up to per-session stats
     "ts_sessionize" -> ((s, d) => {
       val sess = TimeSeries.sessionize(
@@ -89,6 +106,15 @@ object TimeSeriesQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // plain inequality join — correct at oracle scale; the engine's
+    // bucketed plan must reproduce it exactly
+    "ts_interval_join" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events), " +
+        "iv AS (SELECT event_id AS ival_id, user_id, epoch_us(ts) AS s_us, " +
+        "epoch_us(ts) + 5400000000 AS e_us FROM events WHERE event_id % 101 = 0) " +
+        "SELECT iv.ival_id, e.event_id, e.value " +
+        "FROM e JOIN iv ON e.user_id = iv.user_id AND e.t >= iv.s_us AND e.t <= iv.e_us " +
+        "ORDER BY ival_id, event_id"),
     "ts_asof_join" ->
       ("""WITH tagged AS (
         |  SELECT user_id, ts, event_id AS tie, 1 AS side,

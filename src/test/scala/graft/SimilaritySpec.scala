@@ -57,6 +57,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK cell gate keeps planted twins and preserves PQ scores") {
+    // k exceeds the corpus → the result IS the gated candidate set.
+    // Recall property of the GATE: a near-identical twin always shares
+    // its original's coarse cell, so gating never loses it. (Rank-1 is
+    // NOT asserted — ADC is quantized; exactness is pinned separately by
+    // the sub-centroid test below and the DuckDB hash compare.)
+    val gated = Similarity.ivfPqTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 100,
+      centroids = 8, nprobe = 2, subspaces = 4, cents = 8)
+      .select("probe_id", "vec_id_n", "score_r")
+      .as[(Long, Long, Double)].collect()
+    val pairs = gated.map(r => (r._1, r._2)).toSet
+    (0L until 5L).foreach { p =>
+      assert(pairs.contains((p, p + 100L)),
+        s"cell gate dropped probe $p's planted twin")
+    }
+    // score consistency: the gate changes WHICH pairs score, never HOW
+    val ungated = Similarity.pqTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 100,
+      subspaces = 4, cents = 8)
+      .select("probe_id", "vec_id_n", "score_r")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    gated.foreach { case (p, c, s) =>
+      assert(ungated((p, c)) == s, s"ADC score drift for ($p, $c)")
+    }
+  }
+
+  test("ivfPqTopK scores a strict subset of pqTopK's candidates (cell gate)") {
+    // k exceeds the corpus so BOTH sides return their full candidate set
+    val gated = Similarity.ivfPqTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 100,
+      centroids = 8, nprobe = 2, subspaces = 4, cents = 8)
+      .select("probe_id", "vec_id_n").as[(Long, Long)].collect().toSet
+    val ungated = Similarity.pqTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 100,
+      subspaces = 4, cents = 8)
+      .select("probe_id", "vec_id_n").as[(Long, Long)].collect().toSet
+    assert(gated.subsetOf(ungated), "gating must only REMOVE candidates")
+    assert(gated.size < ungated.size,
+      "nprobe=2 of 8 cells must actually gate something on this fixture")
+  }
+
   test("trained codebook is deterministic and recalls planted near-dups") {
     val cb = Similarity.trainCodebook(fixture, "vec_id", "embedding", 8, 2)
     assert(cb.nonEmpty && cb.length <= 8)
