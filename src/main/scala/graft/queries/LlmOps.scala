@@ -276,6 +276,17 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Frame sampling on the hash path: 4 evenly spaced 16-byte slices per
+    // asset (1-to-N explode, no decode, narrow map). Payloads are ASCII
+    // fixture text, so the frame bytes compare as strings; the oracle
+    // replays the offset arithmetic (floor of the double division,
+    // matching Spark's truncating int cast).
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.toAssets(documents(s, d)), n = 4)
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame_bytes").cast("string").as("frame"))
+        .orderBy("doc_id", "frame_idx")),
+
     // REAL resize through the codec: encode the synthetic PPM, nearest-
     // neighbour resize to a fixed 8×6 (decode → pixel remap → re-encode),
     // then channel-sum the RESIZED bytes. The oracle computes the sums by
@@ -673,6 +684,12 @@ object LlmOps {
         "FROM dims d, range(0, 16) tx(x), range(0, 12) ty(y) " +
         "WHERE x < d.w AND y < d.h " +
         "GROUP BY d.doc_id, d.w, d.h ORDER BY d.doc_id"),
+    "mm_frame_sample" ->
+      ("WITH f AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_bytes, " +
+        "unnest([0, 1, 2, 3]) AS frame_idx FROM documents) " +
+        "SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, " +
+        "substring(text, CAST(floor(frame_idx * greatest(n_bytes / 4, 1.0)) AS INTEGER) + 1, 16) AS frame " +
+        "FROM f ORDER BY doc_id, frame_idx"),
     // remapped ground truth: out pixel (x, y) samples source
     // (x·w/8, y·h/6) with integer division — the formula evaluates at the
     // REMAPPED coordinates, never touching the engine's resized bytes
