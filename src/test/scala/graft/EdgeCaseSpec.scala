@@ -32,6 +32,40 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out == Map("k_not_null" -> 0L, "name's quoted" -> 0L))
   }
 
+  test("intervalJoin: inclusive bounds, multi-bucket spans, empty interval side") {
+    import graft.operators.TimeSeries
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pts = Seq(
+      (1L, 7L, ts("2026-01-01 10:00:00")),
+      (2L, 7L, ts("2026-01-01 13:30:00")),
+      (3L, 8L, ts("2026-01-01 10:00:00"))) // same instant, other key
+      .toDF("event_id", "user_id", "ts")
+    val ivs = Seq(
+      // zero-length interval: [t, t] must match a point exactly at t
+      (100L, 7L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:00:00")),
+      // 5-hour span: covers several hour buckets; matches both key-7
+      // points exactly once each (a point has ONE bucket — no dup)
+      (101L, 7L, ts("2026-01-01 09:00:00"), ts("2026-01-01 14:00:00")))
+      .toDF("ival_id", "user_id", "start_ts", "end_ts")
+    val out = TimeSeries.intervalJoin(
+      pts, ivs, "user_id", "ts", "start_ts", "end_ts")
+      .select("ival_id", "event_id").as[(Long, Long)].collect().toList
+    assert(out.sorted == List((100L, 1L), (101L, 1L), (101L, 2L)))
+    assert(TimeSeries.intervalJoin(
+      pts, ivs.limit(0), "user_id", "ts", "start_ts", "end_ts").count() == 0)
+  }
+
+  test("ivfPqTopK: empty probe set yields an empty frame, not a failure") {
+    import graft.operators.Similarity
+    val emb = (0L until 8L).map { id =>
+      (id, Array.tabulate(8)(i => (id * 8 + i + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopK(
+      emb, "vec_id", "embedding", lit(false), 3,
+      centroids = 4, nprobe = 2, subspaces = 4, cents = 4)
+    assert(out.count() == 0)
+  }
+
   test("LEGACY-only timestamp strings: the try_to_timestamp divergence is pinned") {
     // ref transform_alchemer_data.py:44-50 sets
     // spark.sql.legacy.timeParserPolicy=LEGACY before to_timestamp with
