@@ -54,6 +54,24 @@ object Sampling {
     df.filter(hashBucket16(col(keyCol)) < thr)
   }
 
+  /** Deterministic global shuffle: reorder the corpus by a seeded
+    * content hash of the key — the "shuffle the training data" step
+    * every epoch pipeline runs before sequence packing. RNG shuffles
+    * (`orderBy(rand(seed))`) are partitioning-dependent and unrepayable
+    * by an external engine; md5(seed ‖ key) gives the same permutation
+    * on every engine, run, retry, and partition layout, and a different
+    * seed gives an independent permutation per epoch.
+    *
+    * Scale shape: ONE range-partitioned total sort on the hash column —
+    * and because the sort key is a uniform hash, the range partitions
+    * are balanced BY CONSTRUCTION (no skewed-key hot partition, unlike
+    * sorting on a natural column). `shuffle_key` stays in the output so
+    * downstream packing can verify or resume the order. */
+  def deterministicShuffle(df: DataFrame, keyCol: String, seed: String): DataFrame =
+    df.withColumn("shuffle_key",
+      md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"))))
+      .orderBy("shuffle_key")
+
   /** Stratified deterministic sample: per-stratum rates, same hash. Strata
     * missing from `rates` fall back to `defaultRate`. The whole predicate
     * stays one narrow CASE filter — no per-stratum scans, no shuffle. */

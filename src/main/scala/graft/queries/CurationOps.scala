@@ -34,6 +34,15 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // Deterministic epoch shuffle: the corpus reordered by a seeded
+    // content hash — one balanced range-sort (uniform hash key), same
+    // permutation on every engine/run/retry, new seed per epoch.
+    "ta_shuffle" -> ((s, d) =>
+      Sampling.deterministicShuffle(
+        documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", seed = "epoch0")
+        .orderBy("shuffle_key", "doc_id")),
+
     // Rare-token (OOV-rate) quality proxy — the integer-exact stand-in
     // for a perplexity filter (CCNet-style): per doc, how many of its
     // tokens are corpus-rare (frequency ≤ 2) and the summed corpus
@@ -196,6 +205,9 @@ object CurationOps {
         s"CAST(len(regexp_extract_all(aug, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails, " +
         s"CAST(len(regexp_extract_all(aug, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones " +
         "FROM a ORDER BY doc_id"),
+    "ta_shuffle" ->
+      ("SELECT doc_id, source, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key " +
+        "FROM documents ORDER BY shuffle_key, doc_id"),
     "ta_rare_tokens" ->
       ("WITH w AS (" + wordsCte + "), " +
         "tok AS (SELECT doc_id, unnest(ws) AS tok FROM w), " +
