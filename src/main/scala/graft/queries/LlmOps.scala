@@ -147,7 +147,8 @@ object LlmOps {
     // the LUT reconstruction dot exactly.
     "sim_topk_pq" -> ((s, d) =>
       Similarity.pqTopK(
-        embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
+        embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5,
+        dims = 64)
         .orderBy("probe_id", "rank")),
 
     // IVF-gated PQ — the production ANN stack: coarse cells bound the
@@ -156,7 +157,8 @@ object LlmOps {
     // (cell CTEs from sim_topk_ivf, code/LUT CTEs from sim_topk_pq).
     "sim_topk_ivfpq" -> ((s, d) =>
       Similarity.ivfPqTopK(
-        embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
+        embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5,
+        dims = 64)
         .orderBy("probe_id", "rank")),
 
     // IVF-PQ with a TRAINED coarse codebook: the full production recipe —
@@ -166,7 +168,7 @@ object LlmOps {
       val emb = embeddings(s, d)
       val cb = Similarity.trainCodebook(emb, "vec_id", "embedding", 16, 2)
       Similarity.ivfPqTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5,
-        codebookOpt = Some(cb))
+        dims = 64, codebookOpt = Some(cb))
         .orderBy("probe_id", "rank")
     }),
 

@@ -83,6 +83,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"probed-cell predicate not in PartitionFilters:\n${plan.take(2000)}")
   }
 
+  test("interval join buckets candidates: equi-join, no nested loop") {
+    val plan = planOf("ts_interval_join")
+    val cart = collectWithSubqueries(plan) { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, "interval join plans a cartesian product")
+    val nlj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nlj.isEmpty,
+      "interval join regressed to an inequality nested loop")
+  }
+
   test("partitioned readback prunes to the filtered partition directory") {
     // assert the PREDICATE is inside the PartitionFilters list — the key
     // itself prints unconditionally (as []), so a bare substring check
