@@ -20,4 +20,43 @@ object TableSink {
         System.err.println(s"[TableSink] $mode of $table failed: ${e.getMessage}")
         false
     }
+
+  /** Overwrite with Delta-style reader isolation, parquet-native: the
+    * ref's `delta.columnMapping.mode=name` table (utils.py:139) gives
+    * ACID overwrite-while-read, which plain parquet `overwrite` lacks —
+    * a reader mid-scan can see the directory being rewritten under it.
+    * The standard parquet-native repair is write-new-then-swap: each
+    * overwrite lands in a FRESH versioned directory (`v1`, `v2`, …), and
+    * the catalog name repoints via `CREATE OR REPLACE VIEW` — a single
+    * metastore operation, so a reader either resolves the old version's
+    * path (whose files are never mutated) or the new one, never a
+    * half-rewritten directory. Old versions stay on disk for in-flight
+    * readers / time travel until `keepVersions` prunes them (only
+    * versions older than the previous one are ever deleted — the
+    * previous version may still be mid-scan).
+    * Returns the version number written. */
+  def overwriteViaSwap(
+      df: DataFrame, table: String, baseDir: String,
+      keepVersions: Int = 2): Long = {
+    val spark = df.sparkSession
+    val dir = new java.io.File(baseDir, table)
+    dir.mkdirs()
+    def versions: Seq[Long] = Option(dir.listFiles).iterator.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).toSeq.sorted
+    val next = versions.lastOption.getOrElse(0L) + 1
+    val path = new java.io.File(dir, s"v$next").toString
+    df.write.mode("overwrite").parquet(path)
+    // the swap: one catalog statement; old version files are untouched
+    spark.sql(
+      s"CREATE OR REPLACE VIEW `$table` AS SELECT * FROM parquet.`$path`")
+    versions.dropRight(keepVersions - 1).filter(_ < next).foreach { v =>
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles).iterator.flatten.foreach(rec)
+        f.delete(); ()
+      }
+      rec(new java.io.File(dir, s"v$v"))
+    }
+    next
+  }
 }
