@@ -465,6 +465,56 @@ object Similarity {
     rankTopK(scored, idCol, k)
   }
 
+  /** Semantic near-duplicate pairs (SemDeDup-style): k-means clusters
+    * over the embedding space become the blocking key, then only
+    * same-cluster pairs are cosine-compared — never all-pairs. This is
+    * the embedding analogue of MinHash banding: the cluster bounds the
+    * candidate set, the exact cosine verifies it.
+    *
+    * Scale shape: training is [[trainCodebook]] (hash-sampleable, model
+    * artifact on the driver); cluster assignment is the same NARROW
+    * broadcast-literal argmax [[ivfTopK]] uses (map-only, no shuffle);
+    * the self-join shuffles both sides once on the cluster id, and each
+    * cluster's pair count is bounded by (corpus/centroids)² per cell —
+    * at 100 TB you raise `centroids` so cells stay bounded (the paper
+    * uses k ≈ √n) and train on a [[Sampling.bernoulli]] slice.
+    *
+    * Deterministic and oracle-replayable end to end: fixed-point Lloyd
+    * training, argmax ties broken cent_id-asc, scores rounded to 6dp
+    * before thresholding. */
+  def semanticNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String, minScore: Double,
+      centroids: Int = 16, iters: Int = 2,
+      codebookOpt: Option[Array[(Long, Seq[Double], Double)]] = None): DataFrame = {
+    val codebook = codebookOpt.getOrElse(
+      trainCodebook(emb, idCol, vecCol, centroids, iters))
+    // Explicit shuffle barrier on the cluster key BEFORE the self-join:
+    // both join sides then read the SAME exchange (ReusedExchange), so
+    // the broadcast-literal argmax runs once per input row — without it
+    // the planner duplicates the assignment subtree into both sides (and
+    // its pushed-down isnotnull join-key filter re-evaluates it again),
+    // and at sf-scale happily broadcasts the full corpus side. One wide
+    // exchange + co-partitioned self-join is the 100 TB shape.
+    cosineNearDupPairs(
+      semanticClustered(emb, idCol, vecCol, codebook)
+        .repartition(col("__cell")),
+      idCol, vecCol, "__cell", minScore)
+  }
+
+  /** Cluster-assignment half of [[semanticNearDupPairs]]: each vector
+    * plus its nearest-centroid cell id `__cell` (narrow broadcast-literal
+    * argmax — map-only). Exposed so pipelines can reuse one assignment
+    * pass for blocking, stats, and mixture decisions. */
+  def semanticClustered(
+      emb: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[(Long, Seq[Double], Double)]): DataFrame = {
+    require(codebook.nonEmpty, "semanticClustered: empty codebook")
+    withNorm(emb, vecCol)
+      .withColumn("__cell",
+        element_at(cellsRankedCol(codebook), 1).getField("cent_id"))
+      .select(col(idCol), col(vecCol), col("__cell"))
+  }
+
   /** Embedding-cosine near-dup pairs with key blocking: only same-block
     * pairs are compared (block col = e.g. a cluster/label/LSH signature),
     * never all-pairs. Returns (a, b, score_r) with a < b, score ≥ minScore. */

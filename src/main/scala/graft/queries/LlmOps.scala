@@ -99,6 +99,33 @@ object LlmOps {
         embeddings(s, d), "vec_id", "embedding", "label", 0.35)
         .orderBy("a", "b")),
 
+    // SemDeDup-style semantic near-dup: k-means clusters (2 Lloyd
+    // iterations, fixed-point means) are the blocking key, exact cosine
+    // verifies within each cluster. Oracle-checked end to end: DuckDB
+    // replays BOTH training iterations, the argmax assignment, and the
+    // pair scores.
+    "dd_semantic" -> ((s, d) =>
+      Similarity.semanticNearDupPairs(
+        embeddings(s, d), "vec_id", "embedding", 0.35)
+        .orderBy("a", "b")),
+
+    // The semantic-dedup keep decision a pipeline ships: drop any vector
+    // with a same-cluster neighbour of lower id at score ≥ τ, then
+    // per-label survivor stats (the label here standing in for a
+    // source/domain column).
+    "dd_semantic_keep" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val drops = Similarity.semanticNearDupPairs(
+        emb, "vec_id", "embedding", 0.35)
+        .select(col("b").as("vec_id")).distinct()
+      emb.join(drops, Seq("vec_id"), "left_anti")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("vec_id")).as("min_id"),
+          max(col("vec_id")).as("max_id"))
+        .orderBy("label")
+    }),
+
     // Brute-force cosine top-5 for the first 10 probe vectors
     "sim_topk_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(
@@ -438,6 +465,25 @@ object LlmOps {
 
   private val minhashPairCtes: String = minhashPairCtesFrom()
 
+  /** The SemDeDup replay — Lloyd-trained clusters as the blocking key,
+    * exact cosine within each cluster. Ends in `spairs(a, b, score_r)`;
+    * shared by dd_semantic (the pairs) and dd_semantic_keep (the
+    * keep/drop decision built on them). */
+  private val semanticPairCtes: String =
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
+      "c0 AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
+      duckLloydIter(1, "c0") + ", " + duckLloydIter(2, "c1") + ", " +
+      "cells AS (SELECT vec_id, cent_id, v, nm FROM (" +
+      "SELECT n.vec_id, c2.cent_id, n.v, n.nm, " +
+      "row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+      duckDot("n.v", "c2.cv") + " / (n.nm * c2.cn) DESC, c2.cent_id ASC) AS cr " +
+      "FROM n, c2) WHERE cr = 1), " +
+      "spairs AS (SELECT a.vec_id AS a, b.vec_id AS b, " +
+      "round(" + duckDot("a.v", "b.v") + " / (a.nm * b.nm), 6) AS score_r " +
+      "FROM cells a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id " +
+      "WHERE round(" + duckDot("a.v", "b.v") + " / (a.nm * b.nm), 6) >= 0.35)"
+
   /** The IVF probe-search replay — shared verbatim by sim_topk_ivf and
     * sim_topk_ivf_pruned (the partitioned index changes the read path,
     * not the result). */
@@ -563,6 +609,20 @@ object LlmOps {
         "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id " +
         "WHERE round(list_reduce(list_transform(range(1, 65), i -> a.v[i]*b.v[i]), (p,q) -> p+q) / (a.nm * b.nm), 6) >= 0.35 " +
         "ORDER BY a, b"),
+    // SemDeDup replay: both Lloyd iterations unroll (exactly as in
+    // sim_topk_ivf_trained), the argmax assigns each vector its cluster,
+    // and only same-cluster pairs score
+    "dd_semantic" ->
+      ("WITH " + semanticPairCtes +
+        " SELECT a, b, score_r FROM spairs ORDER BY a, b"),
+    // the keep decision: drop any vector with a lower-id same-cluster
+    // neighbour at score >= 0.35, then per-label survivor stats
+    "dd_semantic_keep" ->
+      ("WITH " + semanticPairCtes + " " +
+        "SELECT emb.label, count(*) AS n_kept, " +
+        "min(emb.vec_id) AS min_id, max(emb.vec_id) AS max_id " +
+        "FROM embeddings emb WHERE emb.vec_id NOT IN (SELECT b FROM spairs) " +
+        "GROUP BY emb.label ORDER BY emb.label"),
     "sim_topk_brute" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(range(1, 65), i -> v[i]*v[i]), (p,q) -> p+q)) AS nm FROM e), " +

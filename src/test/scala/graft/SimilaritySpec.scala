@@ -182,4 +182,27 @@ class SimilaritySpec extends SparkSpec {
     // every LSH-scored pair must carry the exact brute-force score
     assert(lsh.except(brute).count() == 0)
   }
+
+  test("semanticNearDupPairs recalls planted twins; precision is exact") {
+    val pairs = Similarity.semanticNearDupPairs(
+      fixture, "vec_id", "embedding", 0.99, centroids = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every planted twin shares its original's cluster (cos ≈ 1 beats
+    // any centroid split) and must surface as a pair
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    (0L until 5L).foreach(id => assert(found.contains((id, id + 100L))))
+    // precision: within-cluster scores are EXACT cosines, so every
+    // reported pair clears the threshold by construction
+    pairs.foreach(p => assert(p._3 >= 0.99))
+  }
+
+  test("semanticNearDupPairs is a subset of all-pairs at the threshold") {
+    // cluster blocking can only DROP pairs vs the unblocked all-pairs
+    // scan; what survives carries the identical rounded score
+    val all = Similarity.cosineNearDupPairs(
+      fixture.withColumn("one", lit(1)), "vec_id", "embedding", "one", 0.5)
+    val sem = Similarity.semanticNearDupPairs(
+      fixture, "vec_id", "embedding", 0.5, centroids = 8)
+    assert(sem.except(all).count() == 0)
+  }
 }
