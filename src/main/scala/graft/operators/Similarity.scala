@@ -382,7 +382,18 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       probePred: Column, k: Int, centroids: Int = 16, nprobe: Int = 4,
       subspaces: Int = 4, cents: Int = 16, dims: Int = 0,
-      codebookOpt: Option[Array[(Long, Seq[Double], Double)]] = None): DataFrame = {
+      codebookOpt: Option[Array[(Long, Seq[Double], Double)]] = None): DataFrame =
+    rankTopK(ivfPqScored(emb, idCol, vecCol, probePred, centroids, nprobe,
+      subspaces, cents, dims, codebookOpt), idCol, k)
+
+  /** The IVF-gated ADC-scored frame (probe_id, id, score_r) shared by
+    * [[ivfPqTopK]] (rank it) and [[ivfPqRefinedTopK]] (oversample it,
+    * then re-rank exactly). */
+  private def ivfPqScored(
+      emb: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, centroids: Int, nprobe: Int,
+      subspaces: Int, cents: Int, dims: Int,
+      codebookOpt: Option[Array[(Long, Seq[Double], Double)]]): DataFrame = {
     val base = withNorm(emb, vecCol)
     val codebook = codebookOpt.getOrElse(coarseCodebook(base, idCol, centroids))
     require(codebook.nonEmpty, "ivfPqTopK: empty coarse codebook")
@@ -410,11 +421,48 @@ object Similarity {
         (0 until subspaces).map(s => pqLutCol(cb, s, width).as(s"lut$s"))): _*)
       .select((col("probe_id") +: col("__cand.cent_id").as("cent_id") +:
         (0 until subspaces).map(s => col(s"lut$s"))): _*)
-    rankTopK(
-      encoded.join(broadcast(probes), Seq("cent_id"))
-        .filter(col("probe_id") =!= col(idCol))
-        .withColumn("score_r", round(pqApproxDot(subspaces), 6)),
-      idCol, k)
+    encoded.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("probe_id") =!= col(idCol))
+      .withColumn("score_r", round(pqApproxDot(subspaces), 6))
+  }
+
+  /** IVF-PQ with an exact REFINE stage — the full production recipe
+    * (FAISS's IndexRefine / IVFPQR): the ADC pass oversamples
+    * `refine × k` candidates per probe from the gated cells, then only
+    * those candidates' FULL vectors are fetched and re-scored by exact
+    * cosine for the final top-k. Quantization error moves the true
+    * neighbour down the ADC order but rarely out of the oversampled set,
+    * so the refine recovers brute-force-grade precision at ADC cost.
+    *
+    * Scale shape: the candidate set is `probes × refine·k` ids — tiny —
+    * and is BROADCAST into a second corpus scan (hash join on id, never
+    * a shuffle of the corpus), exactly how a production store fetches
+    * candidate vectors by key. Both ranking cuts use the shared
+    * (score desc, id asc) tie-break so the DuckDB replay is exact. */
+  def ivfPqRefinedTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, k: Int, refine: Int = 3,
+      centroids: Int = 16, nprobe: Int = 4,
+      subspaces: Int = 4, cents: Int = 16, dims: Int = 0,
+      codebookOpt: Option[Array[(Long, Seq[Double], Double)]] = None): DataFrame = {
+    require(refine >= 1, s"ivfPqRefinedTopK: refine $refine must be >= 1")
+    val adc = ivfPqScored(emb, idCol, vecCol, probePred, centroids, nprobe,
+      subspaces, cents, dims, codebookOpt)
+    val wAdc = Window.partitionBy("probe_id")
+      .orderBy(col("score_r").desc, col(idCol).asc)
+    val cand = adc.withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= k * refine)
+      .select(col("probe_id"), col(idCol))
+    val base = withNorm(emb, vecCol)
+    val docs = base.select(
+      col(idCol), col("__vd").as("__dv"), col("__norm").as("__dn"))
+    val probes = base.filter(probePred).select(
+      col(idCol).as("probe_id"), col("__vd").as("__pv"), col("__norm").as("__pn"))
+    val exact = docs.join(broadcast(cand), Seq(idCol))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("score_r",
+        round(dot(col("__pv"), col("__dv")) / (col("__pn") * col("__dn")), 6))
+    rankTopK(exact, idCol, k)
   }
 
   /** IVF with the cell assignment PERSISTED as a hive-partitioned parquet

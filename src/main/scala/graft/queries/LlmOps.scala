@@ -199,6 +199,17 @@ object LlmOps {
         .orderBy("probe_id", "rank")
     }),
 
+    // IVF-PQ + exact refine — ADC oversamples 3k candidates per probe,
+    // then ONLY those candidates' full vectors are fetched (broadcast id
+    // join into a second scan) and re-scored by exact cosine. Recovers
+    // quantization-error losses at ADC cost; the oracle replays both the
+    // oversample cut and the exact re-rank.
+    "sim_topk_ivfpq_refined" -> ((s, d) =>
+      Similarity.ivfPqRefinedTopK(
+        embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5,
+        refine = 3, dims = 64)
+        .orderBy("probe_id", "rank")),
+
     // IVF with a persisted, hive-partitioned cell index: the probe read
     // back prunes to the probes' cell DIRECTORIES (PartitionFilters on
     // cent_id, pinned in PlanSpec) — partition pruning wired into the
@@ -540,6 +551,31 @@ object LlmOps {
       "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
       "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"
 
+  /** The REFINED IVF-PQ tail: the same ADC scoring, but cut to an
+    * oversampled refine·k = 15 candidates per probe (ties vec_id asc,
+    * exactly ivfPqRefinedTopK's row_number cut), then re-scored by EXACT
+    * cosine over the full vectors and ranked to the final top-5. */
+  private val ivfPqRefinedTailSql: String =
+    "cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id < 16), " +
+      (0 until 4).map { s =>
+        s"k$s AS (SELECT e.vec_id, c.cent_id AS code FROM e, cents c " +
+          s"QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+          s"(${duckSliceDot("c.v", "c.v", s)} - 2*${duckSliceDot("e.v", "c.v", s)}) ASC, c.cent_id ASC) = 1)"
+      }.mkString(", ") + ", " +
+      "adc AS (SELECT p.probe_id, d.vec_id AS vec_id_n, " +
+      "round(" + (0 until 4).map(s => duckSliceDot("p.pv", s"c$s.v", s)).mkString(" + ") + ", 6) AS adc_r " +
+      "FROM assigned d JOIN probes p ON d.cent_id = p.cent_id AND p.probe_id <> d.vec_id " +
+      (0 until 4).map(s =>
+        s"JOIN k$s ON k$s.vec_id = d.vec_id JOIN cents c$s ON c$s.cent_id = k$s.code ").mkString +
+      "), " +
+      "cand AS (SELECT probe_id, vec_id_n FROM adc " +
+      "QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY adc_r DESC, vec_id_n ASC) <= 15), " +
+      "scored AS (SELECT c.probe_id, c.vec_id_n, " +
+      "round(" + duckDot("pp.v", "dd.v") + " / (pp.nm * dd.nm), 6) AS score_r " +
+      "FROM cand c JOIN n pp ON pp.vec_id = c.probe_id JOIN n dd ON dd.vec_id = c.vec_id_n) " +
+      "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
+      "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"
+
   def oracleSql: Map[String, String] = Map(
     "dd_exact_rownum" ->
       "SELECT doc_id, lang, source FROM documents QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1 ORDER BY doc_id",
@@ -654,6 +690,13 @@ object LlmOps {
         "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
         "cc AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
         ivfPqGateSql("cc") + ", " + ivfPqTailSql),
+    // ADC oversample (refine·k = 15, ties vec_id asc) then exact cosine
+    // re-rank — both cuts replayed
+    "sim_topk_ivfpq_refined" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
+        "cc AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
+        ivfPqGateSql("cc") + ", " + ivfPqRefinedTailSql),
     // same composition with the coarse codebook TRAINED: the two Lloyd
     // iterations replay first (exactly as in sim_topk_ivf_trained), then
     // c2 gates the cells and the PQ tail scores

@@ -73,6 +73,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(cart.isEmpty, "sim_topk_ivfpq plans a cartesian product")
   }
 
+  test("ivf-pq refine fetches candidates by broadcast id join: no nested loop, no cartesian") {
+    val plan = planOf("sim_topk_ivfpq_refined")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    // ≥2 hash joins: the ADC probe join on cent_id + the candidate-id
+    // fetch into the second scan (both broadcast; corpus never shuffles
+    // below them)
+    assert(bhj.size >= 2,
+      s"expected broadcast hash joins for gate + candidate fetch, got ${bhj.size}")
+    val nlj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nlj.isEmpty, "refine fetch regressed to a nested loop over the corpus")
+    val cart = collectWithSubqueries(plan) { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, "sim_topk_ivfpq_refined plans a cartesian product")
+  }
+
   test("ivf partitioned-index readback prunes to the probed cell directories") {
     val plan = planOf("sim_topk_ivf_pruned").toString
     // the cell list prints as `IN (…)` or, past the InSet-conversion

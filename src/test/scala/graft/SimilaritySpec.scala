@@ -100,6 +100,37 @@ class SimilaritySpec extends SparkSpec {
       "nprobe=2 of 8 cells must actually gate something on this fixture")
   }
 
+  test("ivfPqRefinedTopK puts the planted twin back at rank 1 with its EXACT score") {
+    // The refine's whole point: ADC quantization can demote the true
+    // neighbour within the candidate set, but the exact re-rank restores
+    // it — rank-1 IS asserted here (vs. the ADC-only test above, where it
+    // deliberately isn't), with the brute-force-exact rounded score.
+    val out = Similarity.ivfPqRefinedTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 3, refine = 3,
+      centroids = 8, nprobe = 2, subspaces = 4, cents = 8)
+      .filter(col("rank") === 1).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("vec_id_n") == r.getAs[Long]("probe_id") + 100L,
+        s"refine lost probe ${r.getAs[Long]("probe_id")}'s planted twin")
+      assert(r.getAs[Double]("score_r") > 0.999, "refined score is not exact")
+    }
+    // every refined score equals the brute-force exact score for its pair
+    val exact = Similarity.bruteForceTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 100)
+      .select("probe_id", "vec_id_n", "score_r")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    Similarity.ivfPqRefinedTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 3, refine = 3,
+      centroids = 8, nprobe = 2, subspaces = 4, cents = 8)
+      .select("probe_id", "vec_id_n", "score_r")
+      .as[(Long, Long, Double)].collect()
+      .foreach { case (p, c, s) =>
+        assert(exact((p, c)) == s, s"refined score for ($p, $c) is not exact")
+      }
+  }
+
   test("trained codebook is deterministic and recalls planted near-dups") {
     val cb = Similarity.trainCodebook(fixture, "vec_id", "embedding", 8, 2)
     assert(cb.nonEmpty && cb.length <= 8)
