@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension upserts — the MERGE-shaped maintenance op a
+  * warehouse runs against its dimensions. The reference keeps its tables
+  * in a format whose `MERGE INTO` does this transactionally
+  * (ref `utils.py:139` sets delta table properties); on plain parquet the
+  * equivalent is a deterministic full-outer merge producing the new table
+  * version, then an atomic overwrite (see [[graft.sources.TableSink]]).
+  * This operator is that merge, Type-2 flavored: history rows are closed
+  * rather than overwritten, so every key keeps its full version chain.
+  *
+  * Scale shape: ONE full-outer join on the key (updates are typically a
+  * day's delta — Catalyst broadcasts them when small; at parity the join
+  * shuffles both sides by key once) followed by a narrow union of the
+  * closed-history and new-version projections. Nothing corpus-sized is
+  * collected or iterated.
+  */
+object Scd {
+
+  /** Apply an SCD Type-2 upsert.
+    *
+    * @param target    current dimension snapshot; must carry `keyCol`,
+    *                  `carryCols` and `trackCols`
+    * @param updates   change set; must carry `keyCol`, `trackCols` (the
+    *                  NEW values) and `effDateCol` (version boundary,
+    *                  string yyyy-MM-dd)
+    * @param carryCols identity columns copied from the target (null on
+    *                  rows inserted for brand-new keys)
+    * @param trackCols columns whose history is versioned
+    * @param initDate  valid_from stamped on the pre-existing version
+    * @return one row per (key, version): pre-existing versions get
+    *         `valid_to` = the update's effective date (null when never
+    *         updated, `is_current` = true); updated/inserted keys add a
+    *         current row with the new values
+    */
+  def scd2(target: DataFrame, updates: DataFrame, keyCol: String,
+      carryCols: Seq[String], trackCols: Seq[String],
+      effDateCol: String, initDate: String): DataFrame = {
+    val u = updates.select(
+      (col(keyCol) +: trackCols.map(c => col(c).as(s"__u_$c")) :+
+        col(effDateCol).as("__eff")): _*)
+      .withColumn("__u", lit(true))
+    val t = target.withColumn("__t", lit(true))
+    val joined = t.join(u, Seq(keyCol), "full_outer")
+    val closed = joined.filter(col("__t"))
+      .select((col(keyCol) +: (carryCols ++ trackCols).map(col) :+
+        lit(initDate).as("valid_from") :+
+        col("__eff").as("valid_to") :+
+        col("__u").isNull.as("is_current")): _*)
+    val fresh = joined.filter(col("__u"))
+      .select((col(keyCol) +: carryCols.map(col) ++:
+        trackCols.map(c => col(s"__u_$c").as(c)) :+
+        col("__eff").as("valid_from") :+
+        lit(null).cast("string").as("valid_to") :+
+        lit(true).as("is_current")): _*)
+    closed.unionByName(fresh)
+  }
+}

@@ -64,6 +64,34 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // Cross-doc boilerplate detection (Lee et al. "Deduplicating Training
+    // Data" at fixed n; the C4 repeated-line rule generalized to 3-gram
+    // windows): a shingle appearing in >= 5 DISTINCT docs is boilerplate,
+    // and each doc reports how much of it is boilerplate. Shape: distinct-
+    // shingle explode (narrow) → ONE shingle-count shuffle (map-side
+    // partials; per-doc distinct makes count() = distinct-doc count) →
+    // shingle-key join co-partitioned with that shuffle → per-doc
+    // aggregate; short docs ride back in on a left join. All integers.
+    "ta_boilerplate" -> ((s, d) => {
+      val docs = documents(s, d)
+      val sh = docs.select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      val flood = sh.groupBy("sh").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 5)
+      val per = sh.join(flood, Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("nd").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          (coalesce(col("n_boiler"), lit(0L)) * 5 >=
+            coalesce(col("n_shingles"), lit(0L))).as("boilerplate_heavy"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction over deterministic synthetic PII (the corpus itself
     // is clean word-soup, so the query plants an email + phone per doc —
     // identically in the oracle — and redacts them).
@@ -187,6 +215,21 @@ object CurationOps {
     "SELECT doc_id, source, list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^a-z0-9 ]', ' ', 'g')), ' +'), x -> x <> '') AS ws FROM documents"
 
   def oracleSql: Map[String, String] = Map(
+    // distinct 3-gram shingles per doc (ws[i:i+2] is DuckDB's inclusive
+    // 3-slice), flood = shingles in >= 5 docs, per-doc boilerplate counts;
+    // docs shorter than 3 tokens re-enter on the left join with zeros
+    "ta_boilerplate" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1), i -> array_to_string(ws[i:i+2], ' ')))) AS sh " +
+        "FROM w WHERE len(ws) >= 3), " +
+        "flood AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 5), " +
+        "per AS (SELECT s.doc_id, count(*) AS n_shingles, " +
+        "CAST(sum(CASE WHEN f.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler " +
+        "FROM sh s LEFT JOIN flood f ON s.sh = f.sh GROUP BY s.doc_id) " +
+        "SELECT d.doc_id, COALESCE(per.n_shingles, 0) AS n_shingles, " +
+        "COALESCE(per.n_boiler, 0) AS n_boiler, " +
+        "COALESCE(per.n_boiler, 0) * 5 >= COALESCE(per.n_shingles, 0) AS boilerplate_heavy " +
+        "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id ORDER BY d.doc_id"),
     "ta_repetition" ->
       ("WITH w AS (" + wordsCte + "), " +
         "g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' '))) AS gram FROM w), " +

@@ -168,6 +168,30 @@ object EtlQueries {
           col("Additional Responses Needed").as("additional_needed"),
           col("Total Responses").as("total_responses"),
           col("Data Last Updated").as("last_updated"))
+    }),
+
+    // SCD Type-2 upsert — the MERGE-shaped dimension maintenance the
+    // reference delegates to its table format's MERGE INTO (ref
+    // utils.py:139 table properties), re-expressed as one deterministic
+    // full-outer merge: a change set derived from orders (every 7th
+    // customer's balance restated to its order total, effective at its
+    // last order date) plus 3 planted brand-new keys, applied against the
+    // customer dimension with full version history.
+    "etl_scd2_upsert" -> ((s, d) => {
+      val upd = orders(s, d).filter(col("o_custkey") % 7 === 0)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(round(sum("o_totalprice"), 2).as("c_acctbal"),
+          date_format(max("o_orderdate"), "yyyy-MM-dd").as("eff_date"))
+      val inserts = customer(s, d).filter(col("c_custkey") <= 3)
+        .select((col("c_custkey") + 9000000).as("c_custkey"),
+          round(col("c_acctbal") * 2, 2).as("c_acctbal"),
+          lit("1999-01-01").as("eff_date"))
+      graft.operators.Scd.scd2(
+        customer(s, d).select("c_custkey", "c_name", "c_acctbal"),
+        upd.unionByName(inserts), "c_custkey",
+        carryCols = Seq("c_name"), trackCols = Seq("c_acctbal"),
+        effDateCol = "eff_date", initDate = "1992-01-01")
+        .orderBy("c_custkey", "valid_from")
     })
   )
 
@@ -343,6 +367,23 @@ object EtlQueries {
           "Household Income" -> "income", "Language" -> "language",
           "CM Name" -> "cm")
           .map { case (n, c) => rollupBlock(n, c) }.mkString(" UNION ALL ") +
-        ") ORDER BY demographic, category")
+        ") ORDER BY demographic, category"),
+    // closed = every pre-existing version (valid_to stamped when a change
+    // set row matched); fresh = the new current version per changed or
+    // inserted key, carry columns riding in from the target (null for
+    // brand-new keys)
+    "etl_scd2_upsert" ->
+      ("WITH upd0 AS (SELECT o_custkey AS c_custkey, round(sum(o_totalprice), 2) AS c_acctbal, " +
+        "strftime(max(o_orderdate), '%Y-%m-%d') AS eff_date FROM orders WHERE o_custkey % 7 = 0 GROUP BY 1), " +
+        "ins AS (SELECT c_custkey + 9000000 AS c_custkey, round(c_acctbal * 2, 2) AS c_acctbal, " +
+        "'1999-01-01' AS eff_date FROM customer WHERE c_custkey <= 3), " +
+        "upd AS (SELECT * FROM upd0 UNION ALL SELECT * FROM ins), " +
+        "closed AS (SELECT c.c_custkey, c.c_name, c.c_acctbal, '1992-01-01' AS valid_from, " +
+        "u.eff_date AS valid_to, u.c_custkey IS NULL AS is_current " +
+        "FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey), " +
+        "fresh AS (SELECT u.c_custkey, c.c_name, u.c_acctbal, u.eff_date AS valid_from, " +
+        "CAST(NULL AS VARCHAR) AS valid_to, true AS is_current " +
+        "FROM upd u LEFT JOIN customer c ON c.c_custkey = u.c_custkey) " +
+        "SELECT * FROM closed UNION ALL SELECT * FROM fresh ORDER BY c_custkey, valid_from")
   )
 }
