@@ -55,6 +55,15 @@ object GraftFunctions {
             "graft_simhash: bits must be an integer literal")
         }
         Simhash(children.head, bits)
+      }),
+    (
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_bloom_contains takes (serialized_filter, value)")
+        BloomMightContain(children.head, children(1))
       }))
 
   /** Idempotent per-session registration. */

@@ -368,6 +368,36 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Decontamination with a BLOOM GATE — the same contract as
+    // ta_decontaminate (identical oracle), but the corpus side first
+    // tests each 5-gram against a bloom filter of the benchmark grams
+    // INSIDE the scan (graft_bloom_contains, codegen'd, no shuffle), and
+    // only the survivors — false positives included — reach the exact
+    // broadcast join that removes them. At 100 TB the gate cuts the join
+    // input by the filter's fpp (~3%) while the result stays exact. The
+    // filter itself is a driver-side model artifact (built from the
+    // MB-scale eval set, like the ANN codebooks), shipped as a literal.
+    "ta_decontaminate_bloom" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val grams = Dedup.withShinglesAndSigs(
+        documents(s, d), "doc_id", "text", k = 5, numHashes = 2)
+        .select(col("doc_id"), explode(col("shingles")).as("gram"))
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct()
+      val bloom = bench.stat.bloomFilter("gram", 1L << 16, 0.03)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      }
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .filter(call_function("graft_bloom_contains", lit(bytes), col("gram")))
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     // Composite curation pipeline: language gate → length/quality gate →
     // exact content dedup (keep lowest id) → per-source corpus stats.
     // Every stage is a narrow filter or a single keyed shuffle; this is
@@ -555,6 +585,18 @@ object LlmOps {
     * oversampled refine·k = 15 candidates per probe (ties vec_id asc,
     * exactly ivfPqRefinedTopK's row_number cut), then re-scored by EXACT
     * cosine over the full vectors and ranked to the final top-5. */
+  /** Shared by ta_decontaminate and ta_decontaminate_bloom: the bloom
+    * variant changes the execution shape (scan-side pre-filter), never
+    * the result. */
+  private val decontaminateOracleSql: String =
+    "WITH w AS (" + wordsCte + "), " +
+      "g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' ')))) AS gram FROM w WHERE len(ws) >= 5), " +
+      "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) " +
+      "SELECT c.doc_id, CAST(count(DISTINCT c.gram) AS BIGINT) AS n_hits " +
+      "FROM g c JOIN bench b ON c.gram = b.gram " +
+      "WHERE c.doc_id % 97 <> 0 " +
+      "GROUP BY c.doc_id ORDER BY doc_id"
+
   private val ivfPqRefinedTailSql: String =
     "cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id < 16), " +
       (0 until 4).map { s =>
@@ -806,14 +848,11 @@ object LlmOps {
         "CAST(sum((d.doc_id * 3 + 3 * ((x * d.w) // 8) + 17 * ((y * d.h) // 6)) % 256) AS BIGINT) AS sum_b " +
         "FROM dims d, range(0, 8) tx(x), range(0, 6) ty(y) " +
         "GROUP BY d.doc_id ORDER BY d.doc_id"),
-    "ta_decontaminate" ->
-      ("WITH w AS (" + wordsCte + "), " +
-        "g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' ')))) AS gram FROM w WHERE len(ws) >= 5), " +
-        "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) " +
-        "SELECT c.doc_id, CAST(count(DISTINCT c.gram) AS BIGINT) AS n_hits " +
-        "FROM g c JOIN bench b ON c.gram = b.gram " +
-        "WHERE c.doc_id % 97 <> 0 " +
-        "GROUP BY c.doc_id ORDER BY doc_id"),
+    "ta_decontaminate" -> decontaminateOracleSql,
+    // the bloom gate only PRE-FILTERS the exact join's input; false
+    // positives die in the join, so the contract — and the oracle — is
+    // identical to ta_decontaminate
+    "ta_decontaminate_bloom" -> decontaminateOracleSql,
     "mm_binary_features" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, 'text/plain' AS mime, " +
         "md5(text) AS content_md5, lower(hex(substring(text, 1, 8)::BLOB)) AS head_hex " +
