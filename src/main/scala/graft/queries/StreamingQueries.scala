@@ -70,6 +70,50 @@ object StreamingQueries {
           col("event_type"), col("n_events"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy("window_start", "event_type")
+    }),
+
+    // Watermark-bounded streaming dedup under AT-LEAST-ONCE delivery: the
+    // events file lands in the drop directory TWICE (a re-delivered
+    // ingest batch), dropDuplicatesWithinWatermark(event_id) collapses
+    // the duplicates with state bounded by the watermark horizon, and
+    // the read-back aggregates to per-type totals. Whether AvailableNow
+    // takes both files in one micro-batch (in-batch dedup) or two (the
+    // second copy is all-late and dropped by the advanced watermark),
+    // the sink converges to exactly one row per event — which is what
+    // the batch oracle asserts.
+    "st_dedup" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$d/events.parquet"
+      val rawSchema = s.read.parquet(path).schema
+      val srcDir = tmp("dedup_src")
+      rmrf(srcDir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      Seq("events_a.parquet", "events_b.parquet").foreach { f =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(path),
+          java.nio.file.Paths.get(srcDir, f))
+      }
+      val stream = s.readStream.schema(rawSchema).parquet(srcDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val outDir = tmp("dedup_out")
+      val ckDir = tmp("dedup_ck")
+      rmrf(ckDir)
+      rmrf(outDir)
+      val q = EventStream.dedupWithinWatermark(stream, "10 minutes")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
     })
   )
 
@@ -78,6 +122,11 @@ object StreamingQueries {
     "st_window_counts" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, " +
         "event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value " +
-        "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type")
+        "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
+    // duplicates collapsed ⇒ the totals equal plain batch totals over the
+    // ONE copy of the events table
+    "st_dedup" ->
+      ("SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value " +
+        "FROM events GROUP BY 1 ORDER BY event_type")
   )
 }
