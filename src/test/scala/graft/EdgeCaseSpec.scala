@@ -66,6 +66,41 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("ivfPqRefinedTopK: empty probes and refine=1 degenerate cleanly") {
+    import graft.operators.Similarity
+    val emb = (0L until 8L).map { id =>
+      (id, Array.tabulate(8)(i => (id * 8 + i + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    assert(Similarity.ivfPqRefinedTopK(
+      emb, "vec_id", "embedding", lit(false), 3,
+      centroids = 4, nprobe = 2, subspaces = 4, cents = 4).count() == 0)
+    // refine=1: candidate set == final k — still ranks, never throws
+    assert(Similarity.ivfPqRefinedTopK(
+      emb, "vec_id", "embedding", col("vec_id") === 0L, 3, refine = 1,
+      centroids = 4, nprobe = 2, subspaces = 4, cents = 4).count() <= 3)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqRefinedTopK(
+        emb, "vec_id", "embedding", lit(true), 3, refine = 0,
+        centroids = 4, nprobe = 2, subspaces = 4, cents = 4)
+    }
+  }
+
+  test("scd2: empty change set leaves every key a single open version") {
+    import graft.operators.Scd
+    val target = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "bal")
+    val empty = Seq.empty[(Long, Double, String)].toDF("id", "bal", "eff")
+    val out = Scd.scd2(target, empty, "id",
+      Seq("name"), Seq("bal"), "eff", "2020-01-01")
+    assert(out.count() == 2)
+    assert(out.filter(col("is_current") && col("valid_to").isNull).count() == 2)
+    // and an empty TARGET takes pure inserts without a hiccup
+    val out2 = Scd.scd2(target.limit(0),
+      Seq((9L, 9.0, "2024-01-01")).toDF("id", "bal", "eff"), "id",
+      Seq("name"), Seq("bal"), "eff", "2020-01-01")
+    assert(out2.count() == 1 &&
+      out2.head.getAs[String]("name") == null)
+  }
+
   test("LEGACY-only timestamp strings: the try_to_timestamp divergence is pinned") {
     // ref transform_alchemer_data.py:44-50 sets
     // spark.sql.legacy.timeParserPolicy=LEGACY before to_timestamp with
