@@ -81,6 +81,27 @@ object Sinks {
         .orderBy("o_orderkey")
     }),
 
+    // S10 — z-order layout round-trip: lineitem rewritten along the
+    // Morton curve of (l_orderkey, l_partkey), read back through a range
+    // filter on the SECOND dimension — the one a linear sort can't skip
+    // on. The result is layout-independent (that's the point: z-order
+    // changes WHERE rows sit, never WHAT they are), so the oracle is the
+    // plain filter; the skipping selectivity itself is measured in
+    // ZOrderSpec against a linear layout.
+    "s10_zorder" -> ((s, d) => {
+      val out = tmp("s10_zorder")
+      graft.sources.ZOrder.writeZOrdered(
+        lineitem(s, d).select(
+          "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
+        "l_orderkey", "l_partkey", out)
+      s.read.parquet(out)
+        .filter(col("l_partkey").between(500, 600))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_partkey")
+    }),
+
     // S7 — single-file CSV export with header (ref write_to_volume.py:15-16)
     "s7_csv_single_file" -> ((s, d) => {
       val dest = tmp("s7.csv")
@@ -110,6 +131,10 @@ object Sinks {
       ("SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS name_len FROM region " +
         "UNION ALL " +
         "SELECT r_regionkey, r_name, CAST(length(r_name) AS BIGINT) FROM region " +
-        "ORDER BY r_regionkey, name_len NULLS FIRST")
+        "ORDER BY r_regionkey, name_len NULLS FIRST"),
+    "s10_zorder" ->
+      ("SELECT l_partkey, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem WHERE l_partkey BETWEEN 500 AND 600 " +
+        "GROUP BY l_partkey ORDER BY l_partkey")
   )
 }
