@@ -235,6 +235,55 @@ object Dedup {
     jaccardVerify(df, idCol, textCol, k, cands, thresholdNum, thresholdDen)
   }
 
+  /** INCREMENTAL near-dup: pairs where at least one side is in the new
+    * ingest `batch` — the batch against the standing corpus, and the
+    * batch against itself — with the corpus NEVER paired against itself.
+    * That corpus×corpus pairing is the cost already paid when the corpus
+    * was deduped; a daily ingest at 100 TB pays only O(batch·bands) new
+    * band rows joined against the corpus's band table (which at scale is
+    * the persisted LSH index — the same build-once/probe-many pattern as
+    * [[graft.operators.Similarity.ivfPartitionedTopK]]'s cell index; here
+    * both sides are recomputed because the fixtures are small).
+    *
+    * Same candidates and the same exact-Jaccard verification a full
+    * [[minhashNearDupPairs]] over corpus ∪ batch would produce for the
+    * batch-involving pairs: a pair is a candidate iff it shares a band
+    * bucket, regardless of which run found it. Returns (a, b, n_inter,
+    * n_union) with a < b. Assumes disjoint id spaces (an ingest that
+    * re-delivers known ids belongs to exact dedup, not near-dup). */
+  def incrementalMinhashPairs(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 8,
+      thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > 0,
+      "Jaccard threshold must be a positive rational")
+    def banded(df: DataFrame): DataFrame =
+      withShinglesAndSigs(df, idCol, textCol, k, numHashes).select(
+        col(idCol), posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
+    val bandedBatch = banded(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandedCorpus = banded(corpus)
+    val x = bandedBatch.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
+    // batch × corpus: every bucket collision, either orientation
+    val crossCands = x.hint("merge")
+      .join(bandedCorpus.select(
+        col("band_idx"), col("band_hash"), col(idCol).as("b")),
+        Seq("band_idx", "band_hash"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+    // batch × batch: the within-ingest duplicates
+    val withinCands = x.hint("merge")
+      .join(bandedBatch.select(
+        col("band_idx"), col("band_hash"), col(idCol).as("b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val cands = crossCands.union(withinCands).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardVerify(corpus.unionByName(batch), idCol, textCol, k, cands,
+      thresholdNum, thresholdDen)
+  }
+
   private def simhashFrame(
       df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame =
     // null text coalesces to "" → signature 0: presence, not silence,

@@ -349,6 +349,20 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Incremental near-dup: the doc_id % 5 == 0 slice plays a fresh
+    // ingest batch deduping against the standing corpus (the other 4/5)
+    // and itself — the corpus never pairs with itself. The oracle is the
+    // FULL minhash pair chain restricted to batch-involving pairs, which
+    // is exactly what the incremental operator must reproduce.
+    "dd_incremental" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.incrementalMinhashPairs(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+        .orderBy("a", "b")
+    }),
+
     // Decontamination: flag corpus docs sharing any 5-gram with the
     // benchmark/eval split (here the deterministic doc_id % 97 == 0
     // slice — in production, the held-out eval suites). The benchmark
@@ -626,6 +640,13 @@ object LlmOps {
     "dd_minhash_neardup" ->
       ("WITH " + minhashPairCtes +
         " SELECT a, b, n_inter, n_union FROM mpairs ORDER BY a, b"),
+    // the full pair chain restricted to pairs touching the ingest slice:
+    // candidate generation shares band buckets either way, so the
+    // incremental run finds exactly these
+    "dd_incremental" ->
+      ("WITH " + minhashPairCtes +
+        " SELECT a, b, n_inter, n_union FROM mpairs " +
+        "WHERE a % 5 = 0 OR b % 5 = 0 ORDER BY a, b"),
     // same chain over the flood-augmented corpus with the bucket-size
     // gate replayed: the 30 identical flood docs exceed cap=10 in every
     // bucket they occupy, so only organic pairs survive on BOTH engines

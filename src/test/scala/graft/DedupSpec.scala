@@ -47,6 +47,26 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((1L, 2L))) // flood gone, genuine pair intact
   }
 
+  test("incrementalMinhashPairs equals the full run restricted to batch-involving pairs") {
+    // batch = odd ids, corpus = even ids; the incremental contract is the
+    // full-run pair set minus corpus-internal pairs, nothing else
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val incremental = Dedup.incrementalMinhashPairs(
+      corpus, batch, "doc_id", "text")
+      .select("a", "b", "n_inter", "n_union")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val full = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      .select("a", "b", "n_inter", "n_union")
+      .as[(Long, Long, Long, Long)].collect().toSet
+      .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(incremental == full)
+    assert(incremental.nonEmpty, "fixture should produce batch-involving pairs")
+    // corpus-internal pairs (1,4 are odd — use the even exact dup check):
+    // no pair with BOTH sides even may appear
+    assert(incremental.forall(p => p._1 % 2 == 1 || p._2 % 2 == 1))
+  }
+
   test("connectedComponents converges a path graph to the component min") {
     // 1-2-3-4-5 is a diameter-4 path (forces multiple propagation
     // rounds); 10-11 is a separate component
