@@ -17,7 +17,8 @@ object Analytics {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // Revenue per region: lineitem ⋈ orders (shuffle) ⋈ customer (shuffle)
     // ⋈ nation ⋈ region (broadcast both)
     "an_revenue_by_region" -> ((s, d) => {
@@ -56,6 +57,51 @@ object Analytics {
           max(cents(col("p_retailprice"))).as("max_price_cents"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy("brand"))
+  ) ++ behavioralQueries
+
+  /** Event-behavior analytics: funnel conversion and cohort retention —
+    * the product-analytics staples. Both are single-keyed-shuffle shapes:
+    * funnel is one per-user conditional-min aggregate then a global
+    * conditional count; cohorts are one per-user first-event aggregate
+    * joined back on user_id (co-partitioned with the event shuffle) and
+    * one distinct-count per (cohort, week) cell. */
+  private def behavioralQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered funnel view → click → purchase on each user's FIRST event
+    // per stage; a stage counts only when strictly after the previous
+    // one. Null stage times fall out of the CASE comparisons identically
+    // in Spark and the oracle.
+    "an_funnel" -> ((s, d) => {
+      val firsts = events(s, d).groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      firsts.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t_view") < col("t_click"), 1L).otherwise(0L))
+          .as("n_view_click"),
+        sum(when(col("t_view") < col("t_click") &&
+          col("t_click") < col("t_purchase"), 1L).otherwise(0L))
+          .as("n_full_funnel"))
+    }),
+
+    // Weekly cohort retention: cohort = Monday-truncated week of the
+    // user's first event; each (cohort, weeks-since) cell counts the
+    // cohort's users active that week.
+    "an_cohort_retention" -> ((s, d) => {
+      val e = events(s, d)
+      val cohorts = e.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      e.join(cohorts, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7)
+            .cast("long").as("week_n"))
+        .distinct()
+        .groupBy(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_n"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_week", "week_n")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -75,6 +121,28 @@ object Analytics {
         "max(CAST(round(p_retailprice * 100) AS BIGINT)) AS max_price_cents, " +
         "round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
-        "GROUP BY 1 ORDER BY brand")
+        "GROUP BY 1 ORDER BY brand"),
+    // NULL stage times drop out of the CASE comparisons on both engines
+    "an_funnel" ->
+      ("WITH firsts AS (SELECT user_id, " +
+        "min(CASE WHEN event_type = 'view' THEN ts END) AS t_view, " +
+        "min(CASE WHEN event_type = 'click' THEN ts END) AS t_click, " +
+        "min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT count(*) AS n_users, " +
+        "CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view, " +
+        "CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click, " +
+        "CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel " +
+        "FROM firsts"),
+    // date_trunc('week') is Monday-based on both engines; the session
+    // timezone is UTC on both
+    "an_cohort_retention" ->
+      ("WITH cohorts AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week " +
+        "FROM events GROUP BY user_id), " +
+        "cells AS (SELECT DISTINCT e.user_id, c.cohort_week, " +
+        "date_diff('day', c.cohort_week, date_trunc('week', e.ts)) // 7 AS week_n " +
+        "FROM events e JOIN cohorts c ON e.user_id = c.user_id) " +
+        "SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_n, " +
+        "count(*) AS n_active FROM cells GROUP BY 1, 2 ORDER BY cohort_week, week_n")
   )
 }
