@@ -20,7 +20,10 @@ object Explain {
         "etl_rollup", "etl_census_merge", "dd_minhash_neardup",
         "sim_topk_brute", "a1_group_count", "p03_filter_eq",
         "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq", "ta_tfidf",
-        "ta_seq_pack", "ta_hash_sample", "ta_decontaminate")
+        "ta_seq_pack", "ta_hash_sample", "ta_decontaminate",
+        "sim_topk_ivfpq_refined", "ta_decontaminate_bloom", "dd_incremental",
+        "ta_boilerplate", "etl_scd2_upsert", "an_funnel",
+        "an_cohort_retention")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

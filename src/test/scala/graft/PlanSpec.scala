@@ -36,7 +36,7 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("near-dup candidate generation never plans a cartesian product") {
     Seq("dd_minhash_neardup", "dd_simhash_neardup", "dd_ngram_jaccard",
-      "dd_cosine_neardup").foreach { q =>
+      "dd_cosine_neardup", "dd_incremental").foreach { q =>
       val cart = collectWithSubqueries(planOf(q)) {
         case c: CartesianProductExec => c
       }
