@@ -21,7 +21,9 @@ object Explain {
         "sim_topk_brute", "a1_group_count", "p03_filter_eq",
         "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq", "ta_tfidf",
         "ta_seq_pack", "ta_hash_sample", "ta_decontaminate",
-        "sim_topk_ivfpq_refined", "ta_decontaminate_bloom", "dd_incremental",
+        // NOT ta_decontaminate_bloom: its construction runs the bloom
+        // build (a real job) — this main prints plans, it doesn't run jobs
+        "sim_topk_ivfpq_refined", "dd_incremental",
         "ta_boilerplate", "etl_scd2_upsert", "an_funnel",
         "an_cohort_retention")
     val spark = SparkSession.builder()

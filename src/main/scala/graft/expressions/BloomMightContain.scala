@@ -65,3 +65,13 @@ case class BloomMightContain(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): BloomMightContain =
     copy(left = newLeft, right = newRight)
 }
+
+object BloomMightContain {
+  /** The serialization this expression's lazy `readFrom` mirrors — the
+    * one place the filter-bytes contract lives. */
+  def serialize(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+}

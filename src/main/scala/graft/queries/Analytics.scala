@@ -122,12 +122,16 @@ object Analytics {
         "round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY 1 ORDER BY brand"),
-    // NULL stage times drop out of the CASE comparisons on both engines
+    // NULL stage times drop out of the CASE comparisons on both engines.
+    // ts::TIMESTAMP truncates DuckDB's nanosecond fixture timestamps to
+    // the microsecond precision Spark reads (Tables.events), so a
+    // same-microsecond view/click that differs only in nanos can never
+    // split the two engines' strict-order comparisons.
     "an_funnel" ->
       ("WITH firsts AS (SELECT user_id, " +
-        "min(CASE WHEN event_type = 'view' THEN ts END) AS t_view, " +
-        "min(CASE WHEN event_type = 'click' THEN ts END) AS t_click, " +
-        "min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase " +
+        "min(CASE WHEN event_type = 'view' THEN ts::TIMESTAMP END) AS t_view, " +
+        "min(CASE WHEN event_type = 'click' THEN ts::TIMESTAMP END) AS t_click, " +
+        "min(CASE WHEN event_type = 'purchase' THEN ts::TIMESTAMP END) AS t_purchase " +
         "FROM events GROUP BY user_id) " +
         "SELECT count(*) AS n_users, " +
         "CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view, " +

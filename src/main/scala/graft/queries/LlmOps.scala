@@ -398,12 +398,8 @@ object LlmOps {
         .select(col("doc_id"), explode(col("shingles")).as("gram"))
       val bench = grams.filter(col("doc_id") % 97 === 0)
         .select("gram").distinct()
-      val bloom = bench.stat.bloomFilter("gram", 1L << 16, 0.03)
-      val bytes = {
-        val bos = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(bos)
-        bos.toByteArray
-      }
+      val bytes = graft.expressions.BloomMightContain.serialize(
+        bench.stat.bloomFilter("gram", 1L << 16, 0.03))
       grams.filter(col("doc_id") % 97 =!= 0)
         .filter(call_function("graft_bloom_contains", lit(bytes), col("gram")))
         .join(broadcast(bench), Seq("gram"))
@@ -595,10 +591,6 @@ object LlmOps {
       "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
       "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"
 
-  /** The REFINED IVF-PQ tail: the same ADC scoring, but cut to an
-    * oversampled refine·k = 15 candidates per probe (ties vec_id asc,
-    * exactly ivfPqRefinedTopK's row_number cut), then re-scored by EXACT
-    * cosine over the full vectors and ranked to the final top-5. */
   /** Shared by ta_decontaminate and ta_decontaminate_bloom: the bloom
     * variant changes the execution shape (scan-side pre-filter), never
     * the result. */
@@ -611,6 +603,10 @@ object LlmOps {
       "WHERE c.doc_id % 97 <> 0 " +
       "GROUP BY c.doc_id ORDER BY doc_id"
 
+  /** The REFINED IVF-PQ tail: the same ADC scoring, but cut to an
+    * oversampled refine·k = 15 candidates per probe (ties vec_id asc,
+    * exactly ivfPqRefinedTopK's row_number cut), then re-scored by EXACT
+    * cosine over the full vectors and ranked to the final top-5. */
   private val ivfPqRefinedTailSql: String =
     "cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id < 16), " +
       (0 until 4).map { s =>

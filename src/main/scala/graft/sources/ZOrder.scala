@@ -39,10 +39,19 @@ object ZOrder {
   /** Min-max bucketing of a long key into [0, 2^bits): the linear rescale
     * is monotonic, so range predicates on the raw key stay range
     * predicates on the bucket. Degenerate (constant) dimensions collapse
-    * to bucket 0. */
+    * to bucket 0.
+    *
+    * The rescale goes through DOUBLE division: the integer form
+    * `(c - mn) * (2^bits - 1) / (mx - mn)` overflows the long multiply
+    * once the key range exceeds ~Long.Max/2^bits (an epoch-nanos key
+    * spanning years) — an ANSI ArithmeticException at write time. The
+    * normalized ratio is in [0, 1] and bits ≤ 31, so the double path
+    * loses nothing representable in the bucket. */
   def bucket(c: Column, mn: Long, mx: Long, bits: Int): Column =
     if (mx <= mn) lit(0L)
-    else (c.cast("long") - mn) * ((1L << bits) - 1) / (mx - mn)
+    else floor(
+      (c.cast("long") - mn).cast("double") / (mx - mn).toDouble *
+        ((1L << bits) - 1).toDouble).cast("long")
 
   /** The z-value column for two long-typed dimension columns of `df`,
     * with the min/max normalization bounds computed in one bounded

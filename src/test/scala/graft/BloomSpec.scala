@@ -6,11 +6,8 @@ import org.apache.spark.sql.functions._
 class BloomSpec extends SparkSpec {
   import spark.implicits._
 
-  private def serialize(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    bos.toByteArray
-  }
+  private def serialize(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] =
+    graft.expressions.BloomMightContain.serialize(bf)
 
   test("graft_bloom_contains never false-negatives on inserted members") {
     GraftFunctions.register(spark)
