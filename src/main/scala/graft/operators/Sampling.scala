@@ -72,6 +72,28 @@ object Sampling {
       md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"))))
       .orderBy("shuffle_key")
 
+  /** Deterministic N-way split (train/val/test): cumulative cut points
+    * over the same 16-bit content hash label every row with exactly one
+    * split — a pure narrow projection (no shuffle, no RNG), so the same
+    * row lands in the same split on every engine, run, retry, and after
+    * any future append (new rows never move old rows between splits —
+    * the property that keeps eval sets uncontaminated as the corpus
+    * grows). Fractions must sum to 1; cut points accumulate the per-split
+    * rounding so the thresholds are reproducible integers. */
+  def split(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val cuts = splits.scanLeft(0L) {
+      case (acc, (_, f)) => acc + math.round(f * 65536)
+    }.tail
+    val b = hashBucket16(col(keyCol))
+    val labeled = splits.zip(cuts).init.foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((name, _), cut)) => acc.when(b < cut, lit(name))
+    }.otherwise(lit(splits.last._1))
+    df.withColumn("split", labeled)
+  }
+
   /** Stratified deterministic sample: per-stratum rates, same hash. Strata
     * missing from `rates` fall back to `defaultRate`. The whole predicate
     * stays one narrow CASE filter — no per-stratum scans, no shuffle. */

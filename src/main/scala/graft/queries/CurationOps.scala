@@ -121,6 +121,35 @@ object CurationOps {
           Sampling.hashBucket16(col("doc_id")).as("bucket"))
         .orderBy("doc_id")),
 
+    // Array-function battery over the token arrays: size/slice/sort/
+    // contains/distinct/reverse — the §2.7-style breadth for collection
+    // columns. `get` (0-based, null OOB) instead of element_at keeps the
+    // empty-array behavior identical to DuckDB's 1-based list indexing
+    // under ANSI mode.
+    "f27_array_battery" -> ((s, d) => {
+      val w = TextOps.tokens(col("text"))
+      documents(s, d).select(
+        col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        concat_ws(" ", slice(w, 1, 3)).as("first3"),
+        get(sort_array(w), lit(0)).as("min_word"),
+        array_contains(w, "the").as("has_the"),
+        size(array_distinct(w)).cast("long").as("n_uniq"),
+        get(reverse(w), lit(0)).as("last_word"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic train/val/test split: cumulative hash cut points
+    // label each doc once, appends never move old rows between splits.
+    // Cut points: round(0.8*65536)=52429, +round(0.1*65536)=58983.
+    "ta_split" -> ((s, d) =>
+      Sampling.split(documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("split")),
+
     // Sequence packing: concat-then-chunk into 2048-token bins per
     // source stream — one window shuffle, integer prefix sums.
     "ta_seq_pack" -> ((s, d) =>
@@ -266,6 +295,24 @@ object CurationOps {
         "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) < " +
         "CASE WHEN source = 'src0' THEN 13107 ELSE 6554 END " +
         "ORDER BY doc_id"),
+    // ws[1:3] / ws[-1] clamp on short lists exactly like Spark's
+    // slice/get-null behavior
+    "f27_array_battery" ->
+      ("WITH w AS (" + wordsCte + ") " +
+        "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+        "array_to_string(ws[1:3], ' ') AS first3, " +
+        "list_sort(ws)[1] AS min_word, " +
+        "list_contains(ws, 'the') AS has_the, " +
+        "CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq, " +
+        "ws[-1] AS last_word FROM w ORDER BY doc_id"),
+    // same cumulative cut points as Sampling.split's scanLeft rounding
+    "ta_split" ->
+      ("WITH b AS (SELECT n_chars, " +
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS bkt " +
+        "FROM documents) " +
+        "SELECT CASE WHEN bkt < 52429 THEN 'train' WHEN bkt < 58983 THEN 'val' ELSE 'test' END AS split, " +
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+        "FROM b GROUP BY 1 ORDER BY split"),
     "ta_seq_pack" ->
       ("WITH w AS (" + wordsCte + "), " +
         "t AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tok FROM w), " +

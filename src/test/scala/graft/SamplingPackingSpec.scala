@@ -28,6 +28,30 @@ class SamplingPackingSpec extends SparkSpec {
     assert(math.abs(out("lo") - 250) < 80, s"lo=${out("lo")}")
   }
 
+  test("split labels every row exactly once and appends never move old rows") {
+    val df = (0L until 10000L).map(i => (i, i % 7)).toDF("id", "x")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = Sampling.split(df, "id", splits)
+    // a partition: every row gets exactly one of the declared labels
+    assert(labeled.count() == 10000L)
+    val counts = labeled.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") - 8000) < 300, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000) < 150, s"val=${counts("val")}")
+    // append stability: the first 5k rows' labels are identical whether
+    // the other 5k exist or not — eval membership never drifts as the
+    // corpus grows
+    val half = Sampling.split(df.filter(col("id") < 5000), "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val full = labeled.filter(col("id") < 5000)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(half == full)
+    intercept[IllegalArgumentException] {
+      Sampling.split(df, "id", Seq("a" -> 0.5, "b" -> 0.4)) // sums to 0.9
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact (an_approx_distinct)") {
     // the CORRECTNESS row hashes the within_5pct flag; this pins the same
     // bound executable-y at a second scale
