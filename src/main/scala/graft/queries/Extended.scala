@@ -159,6 +159,39 @@ object Extended {
         .orderBy("event_id")
     }),
 
+    // Event-time RANGE frame: per-user trailing-hour counts/sums — the
+    // sliding-window feature every real-time feature store computes.
+    // RANGE (not ROWS) so equal-timestamp peers land in the same frame on
+    // both engines; the order key is integer epoch-seconds.
+    "w6_range_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+        .rangeBetween(-3599, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          round(sum("value").over(w), 2).as("sum_last_hour"))
+        .orderBy("event_id")
+    }),
+
+    // Statistical aggregate battery: sample stddev/variance and Pearson
+    // correlation per event type — rounded to 4dp so double-accumulation
+    // order (~1e-10 relative) can never split the engines.
+    "an_stats_battery" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"), col("value"),
+          unix_timestamp(col("ts")).cast("double").as("ts_sec"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg("value"), 4).as("avg_value"),
+          round(stddev_samp(col("value")), 4).as("sd_value"),
+          round(var_samp(col("value")), 4).as("var_value"),
+          round(corr(col("value"), col("ts_sec")), 4).as("corr_ts"))
+        .orderBy("event_type")),
+
     // Date arithmetic battery: add/diff/truncate/boundary — the calendar
     // verbs of every reporting rollup.
     "f26_date_battery" -> ((s, d) =>
@@ -356,6 +389,22 @@ object Extended {
         "CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY event_id) AS INTEGER) AS quartile, " +
         "round(percent_rank() OVER (PARTITION BY event_type ORDER BY event_id), 6) AS prank " +
         "FROM events WHERE user_id < 20 ORDER BY event_id"),
+    // floor(epoch(ts)) matches Spark's unix_timestamp truncation; RANGE
+    // frames include equal-key peers identically on both engines
+    "w6_range_frame" ->
+      ("WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events) " +
+        "SELECT event_id, user_id, " +
+        "count(*) OVER w AS n_last_hour, " +
+        "round(sum(value) OVER w, 2) AS sum_last_hour " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
+    "an_stats_battery" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "round(avg(value), 4) AS avg_value, " +
+        "round(stddev_samp(value), 4) AS sd_value, " +
+        "round(var_samp(value), 4) AS var_value, " +
+        "round(corr(value, CAST(floor(epoch(ts)) AS BIGINT)::DOUBLE), 4) AS corr_ts " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "f26_date_battery" ->
       ("SELECT o_orderkey, " +
         "strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_dt, " +
