@@ -58,6 +58,20 @@ class ZOrderSpec extends SparkSpec {
       s"z-order ($zB) should touch < half the files the linear layout does ($linB) on dim b")
   }
 
+  test("degenerate inputs: constant dimension collapses, empty input fails fast") {
+    import org.apache.spark.sql.functions.lit
+    val const = spark.range(100).select(
+      lit(7L).as("a"), org.apache.spark.sql.functions.col("id").as("b"))
+    val p = tmp("zconst")
+    // constant dim buckets to 0 everywhere — the layout degrades to a
+    // linear sort on b, never a failure
+    ZOrder.writeZOrdered(const, "a", "b", p, bits = 8, maxRecordsPerFile = 10)
+    assert(spark.read.parquet(p).count() == 100)
+    intercept[IllegalArgumentException] {
+      ZOrder.zValue(spark.range(0).selectExpr("id as a", "id as b"), "a", "b", 8)
+    }
+  }
+
   test("z-value interleave is monotone in each bucketed dimension block") {
     // bit-level sanity: interleaving known small values
     val df = spark.range(1).select(
