@@ -159,6 +159,33 @@ object Extended {
         .orderBy("event_id")
     }),
 
+    // Distribution drift (PSI): compare the order-value distribution
+    // before/after a cutover date in fixed price buckets — the population
+    // stability index every production pipeline monitors between
+    // snapshots. Integer bucket counts ride ONE groupBy; the per-bucket
+    // PSI term is computed against broadcast totals and rounded 6dp
+    // (ratios are exact rationals; ln differs only in the last ulp
+    // across libm implementations).
+    "qa_drift" -> ((s, d) => {
+      val o = orders(s, d).select(
+        when(col("o_orderdate") < lit("1995-01-01").cast("timestamp"), "base")
+          .otherwise("cur").as("half"),
+        floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      val counts = o.groupBy("bucket").agg(
+        sum(when(col("half") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("half") === "cur", 1L).otherwise(0L)).as("n_cur"))
+      val totals = counts.agg(
+        sum("n_base").cast("double").as("t_base"),
+        sum("n_cur").cast("double").as("t_cur"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("psi_term",
+          when(col("n_base") > 0 && col("n_cur") > 0,
+            round((col("n_cur") / col("t_cur") - col("n_base") / col("t_base")) *
+              log((col("n_cur") / col("t_cur")) / (col("n_base") / col("t_base"))), 6)))
+        .select("bucket", "n_base", "n_cur", "psi_term")
+        .orderBy("bucket")
+    }),
+
     // Event-time RANGE frame: per-user trailing-hour counts/sums — the
     // sliding-window feature every real-time feature store computes.
     // RANGE (not ROWS) so equal-timestamp peers land in the same frame on
@@ -389,6 +416,17 @@ object Extended {
         "CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY event_id) AS INTEGER) AS quartile, " +
         "round(percent_rank() OVER (PARTITION BY event_type ORDER BY event_id), 6) AS prank " +
         "FROM events WHERE user_id < 20 ORDER BY event_id"),
+    // count ratios are exact rationals; ln agrees to well under 6dp
+    "qa_drift" ->
+      ("WITH o AS (SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 'base' ELSE 'cur' END AS half, " +
+        "CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket FROM orders), " +
+        "c AS (SELECT bucket, CAST(sum(CASE WHEN half = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_base, " +
+        "CAST(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur FROM o GROUP BY bucket), " +
+        "t AS (SELECT CAST(sum(n_base) AS DOUBLE) AS t_base, CAST(sum(n_cur) AS DOUBLE) AS t_cur FROM c) " +
+        "SELECT bucket, n_base, n_cur, " +
+        "CASE WHEN n_base > 0 AND n_cur > 0 THEN " +
+        "round((n_cur / t.t_cur - n_base / t.t_base) * ln((n_cur / t.t_cur) / (n_base / t.t_base)), 6) END AS psi_term " +
+        "FROM c, t ORDER BY bucket"),
     // floor(epoch(ts)) matches Spark's unix_timestamp truncation; RANGE
     // frames include equal-key peers identically on both engines
     "w6_range_frame" ->
