@@ -108,11 +108,35 @@ object Dedup {
   private def balancedNarrow(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
     val narrow = df.select(col(idCol).cast("long").as(idCol), col(textCol).as("__text"))
-    val splits = df.inputFiles.length
-    if (splits > 0 && splits < target) narrow.repartition(target)
-    else narrow
+    val files = df.inputFiles
+    if (files.isEmpty) narrow // in-memory or post-shuffle: already distributed
+    else {
+      // Estimate the SCAN partition count the same way FilePartition
+      // bin-packs: ceil((bytes + files·openCost) / maxPartitionBytes).
+      // A raw file count over-counts (64 small files pack into ~1 scan
+      // split — the kernel would run on one core) and under-counts (one
+      // large file yields many splits — a repartition would be a useless
+      // full shuffle); the byte estimate gets both directions right.
+      // Driver-side metadata only — Spark lists the same statuses to plan
+      // the scan anyway. Unreadable paths fall back to the file count.
+      import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+      val maxPart = byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+      val openCost = byteStringAsBytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+      val conf = spark.sparkContext.hadoopConfiguration
+      val est = scala.util.Try {
+        val bytes = files.iterator.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+        math.max(1L, (bytes + files.length * openCost + maxPart - 1) / maxPart)
+      }.getOrElse(files.length.toLong)
+      if (est < target) narrow.repartition(target) else narrow
+    }
   }
 
   def withShinglesAndSigs(
@@ -393,15 +417,20 @@ object Dedup {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame, eager: Boolean): DataFrame =
       if (checkpointDir.isEmpty) df.localCheckpoint(eager)
-      else if (eager) {
+      else {
         // reliable checkpoint recomputes the RDD in a second pass unless
         // the blocks are persisted — persist, checkpoint, then drop the
-        // scratch blocks (the checkpoint files carry the data from here)
+        // scratch blocks (the checkpoint files carry the data from here).
+        // ALWAYS eager in this mode: a lazy reliable checkpoint without
+        // persist would recompute the whole step from lineage in the
+        // checkpoint-write job — every iteration would pay 2× its compute.
+        // The iteration's fixpoint count then reads the checkpoint files
+        // (cheap IO), so the per-iteration cost stays one compute pass.
         val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ck = cached.checkpoint(true)
         cached.unpersist(false)
         ck
-      } else df.checkpoint(false)
+      }
     val edges = truncate(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -421,8 +450,10 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("component").as("nbr")), "dst")
         .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
       // old label rides along so the fixpoint check is a filter over the
-      // SAME checkpointed frame — no extra join-per-iteration; the lazy
-      // checkpoint mark makes this count() the iteration's ONLY job
+      // SAME checkpointed frame — no extra join-per-iteration. Local mode:
+      // the lazy checkpoint mark makes the count() the iteration's ONLY
+      // job. Reliable mode: truncate is eager (compute+write once), and
+      // the count reads the checkpoint files — still one compute pass.
       val step = truncate(
         labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"), col("component").as("old"),

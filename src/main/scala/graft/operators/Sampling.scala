@@ -70,7 +70,10 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, keyCol: String, seed: String): DataFrame =
     df.withColumn("shuffle_key",
       md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"))))
-      .orderBy("shuffle_key")
+      // secondary key: duplicate keyCol values hash identically, and a
+      // hash-only sort would leave their relative order partition-layout-
+      // dependent — breaking the "same permutation everywhere" contract
+      .orderBy(col("shuffle_key"), col(keyCol))
 
   /** Deterministic N-way split (train/val/test): cumulative cut points
     * over the same 16-bit content hash label every row with exactly one

@@ -552,7 +552,14 @@ object Similarity {
   /** Cluster-assignment half of [[semanticNearDupPairs]]: each vector
     * plus its nearest-centroid cell id `__cell` (narrow broadcast-literal
     * argmax — map-only). Exposed so pipelines can reuse one assignment
-    * pass for blocking, stats, and mixture decisions. */
+    * pass for blocking, stats, and mixture decisions.
+    *
+    * Deliberately DROPS the `__vd`/`__norm` scratch columns even though
+    * the downstream pair scorer recomputes them: keeping the double-cast
+    * vector through [[semanticNearDupPairs]]'s cluster-key exchange would
+    * double the shuffle width (float + double copies of every vector),
+    * and at corpus scale shuffle bytes are scarcer than the 64-wide dot
+    * product recomputed after the exchange. */
   def semanticClustered(
       emb: DataFrame, idCol: String, vecCol: String,
       codebook: Array[(Long, Seq[Double], Double)]): DataFrame = {

@@ -115,19 +115,36 @@ object TimeSeries {
     * All comparisons are integer epoch-micros — exact, portable, and the
     * same convention the as-of oracle replays. Hot (key, bucket) pairs
     * are the residual hazard; salt the key upstream as with any skewed
-    * equi-join. */
+    * equi-join.
+    *
+    * `maxSpanBuckets` fails fast on runaway intervals: ONE open-ended
+    * sentinel row (`end = 9999-12-31`) would otherwise materialize a
+    * ~70M-element bucket array for that row — hundreds of MB before the
+    * explode, an executor OOM with no useful error. A per-row guard
+    * raises a diagnostic naming the bad span instead; widen the limit
+    * (or pre-clamp sentinel ends) deliberately, not by accident. */
   def intervalJoin(
       points: DataFrame, intervals: DataFrame,
       key: String, tsCol: String, startCol: String, endCol: String,
-      bucketSecs: Long = 3600): DataFrame = {
+      bucketSecs: Long = 3600, maxSpanBuckets: Long = 1000000L): DataFrame = {
     require(bucketSecs > 0, "bucketSecs must be positive")
+    require(maxSpanBuckets > 0, "maxSpanBuckets must be positive")
     val bucketUs = bucketSecs * 1000000L
     val pb = points
       .withColumn("__t", unix_micros(col(tsCol)))
       .withColumn("__bkt", expr(s"__t div ${bucketUs}L"))
+    val span = expr(s"unix_micros(`$endCol`) div ${bucketUs}L - " +
+      s"unix_micros(`$startCol`) div ${bucketUs}L")
+    val spanError = raise_error(concat(
+      lit(s"intervalJoin: interval spans more than $maxSpanBuckets " +
+        s"buckets of ${bucketSecs}s (start="), col(startCol).cast("string"),
+      lit(", end="), col(endCol).cast("string"),
+      lit(") — clamp sentinel end timestamps or raise maxSpanBuckets")))
     val ib = intervals
       .withColumn("__s", unix_micros(col(startCol)))
-      .withColumn("__e", unix_micros(col(endCol)))
+      .withColumn("__e",
+        when(span > maxSpanBuckets, spanError.cast("long"))
+          .otherwise(unix_micros(col(endCol))))
       .withColumn("__bkt",
         explode(sequence(expr(s"__s div ${bucketUs}L"), expr(s"__e div ${bucketUs}L"))))
     pb.join(ib, Seq(key, "__bkt"))

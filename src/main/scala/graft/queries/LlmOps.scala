@@ -217,8 +217,11 @@ object LlmOps {
     "sim_topk_ivf_pruned" -> ((s, d) =>
       Similarity.ivfPartitionedTopK(
         embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5,
+        // applicationId-scoped: two JVMs on one host (Bench ∥ Verify in
+        // CI) must not overwrite each other's index mid-scan
         indexPath = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_ivf_index").toString)
+          sys.props("java.io.tmpdir"),
+          s"graft_ivf_index_${s.sparkContext.applicationId}").toString)
         .orderBy("probe_id", "rank")),
 
     // Token counting: whitespace tokens, BPE-ish regex tokens, char stats

@@ -14,8 +14,12 @@ import graft.streaming.EventStream
   */
 object StreamingQueries {
 
-  private def tmp(name: String): String =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft_stream_$name").toString
+  /** applicationId-scoped: two JVMs on one host (Bench ∥ Verify in CI)
+    * must not share source/checkpoint/output directories — interleaved
+    * checkpoints corrupt both runs. */
+  private def tmp(s: org.apache.spark.sql.SparkSession, name: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_${name}_${s.sparkContext.applicationId}").toString
 
   private def rmrf(path: String): Unit = {
     def rec(f: java.io.File): Unit = {
@@ -43,7 +47,7 @@ object StreamingQueries {
       // the file stream source monitors DIRECTORIES; the fixture is a
       // single parquet file, so stage it into one (the "files landing in
       // a drop directory" shape a streaming ingest actually has)
-      val srcDir = tmp("win_src")
+      val srcDir = tmp(s, "win_src")
       rmrf(srcDir)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
       java.nio.file.Files.copy(
@@ -51,8 +55,8 @@ object StreamingQueries {
         java.nio.file.Paths.get(srcDir, "events.parquet"))
       val stream = s.readStream.schema(rawSchema).parquet(srcDir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val outDir = tmp("win_out")
-      val ckDir = tmp("win_ck")
+      val outDir = tmp(s, "win_out")
+      val ckDir = tmp(s, "win_ck")
       rmrf(ckDir) // fresh checkpoint: each invocation reprocesses the file
       val q = EventStream.windowedTypeCounts(stream, "10 minutes", "1 hour")
         .writeStream
@@ -85,7 +89,7 @@ object StreamingQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val path = s"$d/events.parquet"
       val rawSchema = s.read.parquet(path).schema
-      val srcDir = tmp("dedup_src")
+      val srcDir = tmp(s, "dedup_src")
       rmrf(srcDir)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
       Seq("events_a.parquet", "events_b.parquet").foreach { f =>
@@ -95,8 +99,8 @@ object StreamingQueries {
       }
       val stream = s.readStream.schema(rawSchema).parquet(srcDir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val outDir = tmp("dedup_out")
-      val ckDir = tmp("dedup_ck")
+      val outDir = tmp(s, "dedup_out")
+      val ckDir = tmp(s, "dedup_ck")
       rmrf(ckDir)
       rmrf(outDir)
       val q = EventStream.dedupWithinWatermark(stream, "10 minutes")

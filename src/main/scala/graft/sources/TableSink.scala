@@ -50,7 +50,11 @@ object TableSink {
     // the swap: one catalog statement; old version files are untouched
     spark.sql(
       s"CREATE OR REPLACE VIEW `$table` AS SELECT * FROM parquet.`$path`")
-    versions.dropRight(keepVersions - 1).filter(_ < next).foreach { v =>
+    // `versions` re-lists AFTER the write, so it already includes v`next`:
+    // dropping keepVersions from the right keeps the new version plus the
+    // keepVersions-1 most recent old ones (the documented contract — the
+    // immediately-previous version may still be mid-scan and must survive)
+    versions.dropRight(keepVersions).filter(_ < next).foreach { v =>
       def rec(f: java.io.File): Unit = {
         Option(f.listFiles).iterator.flatten.foreach(rec)
         f.delete(); ()

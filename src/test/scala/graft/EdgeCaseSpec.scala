@@ -53,6 +53,16 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.sorted == List((100L, 1L), (101L, 1L), (101L, 2L)))
     assert(TimeSeries.intervalJoin(
       pts, ivs.limit(0), "user_id", "ts", "start_ts", "end_ts").count() == 0)
+    // a sentinel open-ended interval (end = 9999-12-31) would explode a
+    // ~70M-bucket array per row — the span guard fails fast instead
+    val sentinel = Seq(
+      (200L, 7L, ts("2026-01-01 00:00:00"), ts("9999-12-31 00:00:00")))
+      .toDF("ival_id", "user_id", "start_ts", "end_ts")
+    val err = intercept[Exception] {
+      TimeSeries.intervalJoin(
+        pts, sentinel, "user_id", "ts", "start_ts", "end_ts").count()
+    }
+    assert(err.getMessage != null || err.getCause != null)
   }
 
   test("ivfPqTopK: empty probe set yields an empty frame, not a failure") {

@@ -32,4 +32,19 @@ class TableSinkSpec extends SparkSpec {
     val df = Seq((1, "a")).toDF("id", "v")
     assert(!TableSink.writeTable(df, "not a legal.table.name!"))
   }
+
+  test("overwriteViaSwap keeps the new version plus keepVersions-1 old ones") {
+    val base = java.nio.file.Files.createTempDirectory("tsink_swap").toString
+    def write(n: Int) = TableSink.overwriteViaSwap(
+      Seq((n, s"v$n")).toDF("id", "v"), "tsink_swap_t", base, keepVersions = 2)
+    assert(write(1) == 1L)
+    assert(write(2) == 2L)
+    assert(write(3) == 3L)
+    val dirs = new java.io.File(base, "tsink_swap_t").listFiles
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    // the immediately-previous version (v2) MUST survive: a reader that
+    // resolved the view just before the swap may still be mid-scan in it
+    assert(dirs == Seq("v2", "v3"), s"retention broke: $dirs")
+    assert(spark.table("tsink_swap_t").collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
 }
