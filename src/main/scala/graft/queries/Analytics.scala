@@ -85,6 +85,24 @@ object Analytics {
           .as("n_full_funnel"))
     }),
 
+    // Market-basket pair mining: parts co-purchased in one order, pair
+    // support counted corpus-wide. Shape: ONE co-partitioned self-join on
+    // the order key (pair fan-out bounded by lines-per-order, ~7 in
+    // TPC-H, so amplification is a small constant — never all-pairs
+    // across orders) and one pair-count shuffle. The classic
+    // frequent-itemset k=2 pass.
+    "an_basket_pairs" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, "l_orderkey")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(countDistinct(col("l_orderkey")).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+    }),
+
     // Weekly cohort retention: cohort = Monday-truncated week of the
     // user's first event; each (cohort, weeks-since) cell counts the
     // cohort's users active that week.
@@ -138,6 +156,13 @@ object Analytics {
         "CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click, " +
         "CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel " +
         "FROM firsts"),
+    "an_basket_pairs" ->
+      ("SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, " +
+        "count(DISTINCT a.l_orderkey) AS support " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2 " +
+        "ORDER BY support DESC, part_a, part_b"),
     // date_trunc('week') is Monday-based on both engines; the session
     // timezone is UTC on both
     "an_cohort_retention" ->
