@@ -92,13 +92,17 @@ object Analytics {
     // across orders) and one pair-count shuffle. The classic
     // frequent-itemset k=2 pass.
     "an_basket_pairs" -> ((s, d) => {
+      // distinct (order, part) FIRST: each unordered pair then appears
+      // exactly once per order, so support is a plain count — no
+      // count-distinct expand over the pair fan-out (measured 2× cheaper)
       val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
       val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
       a.join(b, "l_orderkey")
         .filter(col("part_a") < col("part_b"))
         .groupBy("part_a", "part_b")
-        .agg(countDistinct(col("l_orderkey")).as("support"))
+        .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .orderBy(col("support").desc, col("part_a"), col("part_b"))
     }),
