@@ -411,6 +411,43 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // THE capstone composite — a pretrain data pipeline end to end in ONE
+    // plan: language/length gate (narrow filter) → exact content dedup
+    // keep-first (one fp-keyed window shuffle) → decontamination
+    // anti-join against the eval slice's 5-grams (broadcast bench set,
+    // contaminated docs dropped entirely) → deterministic train/val/test
+    // split (narrow hash projection) → per-(split, source) corpus stats.
+    // Four subsystems composing without materialization between stages —
+    // at 100 TB this is one pass over the corpus plus the two bounded
+    // shuffles the semantics require.
+    "llm_pretrain_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gated = documents(s, d)
+        .filter(col("lang") === "en" && col("n_chars").between(50, 5000))
+        .withColumn("fp", md5(col("text")))
+      val kept = gated
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+      val grams = Dedup.withShinglesAndSigs(
+        documents(s, d), "doc_id", "text", k = 5, numHashes = 2)
+        .select(col("doc_id"), explode(col("shingles")).as("gram"))
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct()
+      val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("gram"))
+        .select("doc_id").distinct()
+      val clean = kept
+        .filter(col("doc_id") % 97 =!= 0) // the eval slice itself never trains
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      graft.operators.Sampling.split(clean, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("split", "source")
+    }),
+
     // Composite curation pipeline: language gate → length/quality gate →
     // exact content dedup (keep lowest id) → per-source corpus stats.
     // Every stage is a narrow filter or a single keyed shuffle; this is
@@ -869,6 +906,25 @@ object LlmOps {
         "FROM dims d, range(0, 8) tx(x), range(0, 6) ty(y) " +
         "GROUP BY d.doc_id ORDER BY d.doc_id"),
     "ta_decontaminate" -> decontaminateOracleSql,
+    // the capstone replay: gate + keep-first dedup CTEs (llm_curate's),
+    // contamination CTEs (ta_decontaminate's), split cut points
+    // (ta_split's) — composed exactly as the Spark plan composes them
+    "llm_pretrain_mix" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' ')))) AS gram FROM w WHERE len(ws) >= 5), " +
+        "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0), " +
+        "contaminated AS (SELECT DISTINCT c.doc_id FROM g c JOIN bench b ON c.gram = b.gram WHERE c.doc_id % 97 <> 0), " +
+        "gated AS (SELECT doc_id, source, n_chars, md5(text) AS fp FROM documents " +
+        "WHERE lang = 'en' AND n_chars BETWEEN 50 AND 5000), " +
+        "kept AS (SELECT * FROM gated QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1), " +
+        "clean AS (SELECT k.* FROM kept k WHERE k.doc_id % 97 <> 0 " +
+        "AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)), " +
+        "lbl AS (SELECT source, n_chars, " +
+        "CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) < 52429 THEN 'train' " +
+        "WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) < 58983 THEN 'val' " +
+        "ELSE 'test' END AS split FROM clean) " +
+        "SELECT split, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+        "FROM lbl GROUP BY 1, 2 ORDER BY split, source"),
     // the bloom gate only PRE-FILTERS the exact join's input; false
     // positives die in the join, so the contract — and the oracle — is
     // identical to ta_decontaminate
