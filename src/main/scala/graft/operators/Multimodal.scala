@@ -7,14 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads with a typed
   * metadata struct, plus per-partition batched decode operators.
   *
-  * Two tiers of honesty: the PPM (P6) path is a REAL codec — encode,
-  * decode, pixel features, nearest-neighbour resize, all pure Scala and
-  * oracle-verified against independent ground truth. Heavy codecs
-  * (JPEG/audio/video) are not in this container, so [[decodeFeatures]] /
-  * [[resizeAssets]] keep that tier's decode a documented STUB while the
-  * Spark-side shape — binary + struct schema, lazy per-partition batch
-  * iteration (the mapInPandas shape), narrow no-shuffle decode — is real
-  * and load-bearing for both tiers.
+  * Two real codec tiers: the PPM (P6) path is a pure-Scala codec —
+  * encode, decode, pixel features, nearest-neighbour resize, all
+  * oracle-verified against independent ground truth — and the
+  * PNG/JPEG/BMP/GIF tier runs the JDK's bundled `javax.imageio` codecs
+  * (no external dependency): [[imageChannelSums]] decodes real
+  * compressed bytes, [[resizeImage]] decodes → remaps → re-encodes.
+  * [[decodeFeatures]] sniffs each payload with ImageIO and emits
+  * decoded dimensions for recognized images, falling back to
+  * fingerprint features for opaque payloads. The Spark-side shape is
+  * shared across tiers — binary + struct schema, lazy per-partition
+  * batch iteration (the mapInPandas shape), narrow no-shuffle decode.
   */
 object Multimodal {
 
@@ -35,13 +38,16 @@ object Multimodal {
         col("lang").as("lang")).as("meta"))
 
   case class DecodedFeature(
-      doc_id: Long, n_bytes: Long, content_md5: String, head_hex: String)
+      doc_id: Long, n_bytes: Long, kind: String,
+      content_md5: String, head_hex: String)
 
-  /** Batched per-partition decode. The inner `decodeBytes` is the stub —
-    * a real deployment swaps in an image/audio codec with this exact
-    * signature; the iterator shape (one partition in, lazily one feature
-    * row out per asset, no materialization of the whole partition) is the
-    * production shape. */
+  /** Batched per-partition decode with real format sniffing: each payload
+    * is probed with the JDK's ImageIO registry; recognized images decode
+    * (for real — the compressed bytes are parsed) and report
+    * `"<format>:<w>x<h>"`, opaque payloads report `"opaque"` plus
+    * fingerprint features. The iterator shape (one partition in, lazily
+    * one feature row out per asset, no materialization of the whole
+    * partition) is the production shape. */
   def decodeFeatures(assets: DataFrame): Dataset[DecodedFeature] = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -49,27 +55,43 @@ object Multimodal {
       .mapPartitions { batch =>
         val md = java.security.MessageDigest.getInstance("MD5")
         batch.map { case (id, bytes) =>
-          val feature = decodeBytes(md, bytes)
-          DecodedFeature(id, bytes.length.toLong, feature._1, feature._2)
+          md.reset()
+          val digest = md.digest(bytes).map("%02x".format(_)).mkString
+          val head = bytes.take(8).map("%02x".format(_)).mkString
+          val kind = sniffImage(bytes)
+            .map { case (fmt, img) => s"$fmt:${img.getWidth}x${img.getHeight}" }
+            .getOrElse("opaque")
+          DecodedFeature(id, bytes.length.toLong, kind, digest, head)
         }
       }
   }
 
-  /** STUB decode: deterministic fake features (md5 + head bytes) standing
-    * in for codec output. Replace with a real decoder off-container. */
-  private def decodeBytes(
-      md: java.security.MessageDigest, bytes: Array[Byte]): (String, String) = {
-    md.reset()
-    val digest = md.digest(bytes).map("%02x".format(_)).mkString
-    val head = bytes.take(8).map("%02x".format(_)).mkString
-    (digest, head)
+  /** Probe bytes with the ImageIO reader registry; on a match, REALLY
+    * decode (returns the format name and the decoded image). Returns None
+    * for payloads no installed codec recognizes. */
+  private def sniffImage(bytes: Array[Byte])
+      : Option[(String, java.awt.image.BufferedImage)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          Some((reader.getFormatName.toLowerCase, reader.read(0)))
+        } catch {
+          case _: java.io.IOException => None
+        } finally reader.dispose()
+      }
+    } finally iis.close()
   }
 
-  // ---- Real codec path: binary PPM (P6) ----------------------------------
-  // Heavy codecs (JPEG/PNG/audio) stay out of this container, but P6 PPM
-  // needs none — so this decode path is REAL: bytes are parsed, pixel
-  // features computed, and the oracle checks them against independently
-  // derived ground truth (not a replay of the same code).
+  // ---- Real codec path #1: binary PPM (P6), pure Scala -------------------
+  // This decode path is REAL: bytes are parsed, pixel features computed,
+  // and the oracle checks them against independently derived ground truth
+  // (not a replay of the same code).
 
   case class PpmImage(width: Int, height: Int, pixels: Array[Byte])
 
@@ -176,20 +198,107 @@ object Multimodal {
   case class ResizedAsset(doc_id: Long, content: Array[Byte],
       mime: String, n_bytes: Long)
 
-  /** Resize stub with the production signature: batched per-partition
-    * transform of payload bytes that also EVOLVES the metadata (new size,
-    * derived mime) — the part a column-level slice can't model. The byte
-    * transform itself (truncate) stands in for a codec re-encode. */
-  def resizeAssets(assets: DataFrame, maxBytes: Int): Dataset[ResizedAsset] = {
+  /** Batched per-partition resize that also EVOLVES the metadata (new
+    * size, derived mime) — the part a column-level slice can't model.
+    * ImageIO-decodable payloads go through a REAL codec round-trip
+    * (decode → nearest-neighbour remap to `imgW`×`imgH` → re-encode in
+    * the source format); opaque payloads fall back to a byte-cap
+    * truncation. */
+  def resizeAssets(assets: DataFrame, maxBytes: Int,
+      imgW: Int = 8, imgH: Int = 6): Dataset[ResizedAsset] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select("doc_id", "content", "meta.mime")
       .as[(Long, Array[Byte], String)]
       .mapPartitions { batch =>
         batch.map { case (id, bytes, mime) =>
-          val out = if (bytes.length <= maxBytes) bytes else bytes.take(maxBytes)
-          ResizedAsset(id, out, mime + ";resized", out.length.toLong)
+          sniffImage(bytes) match {
+            case Some((fmt, img)) =>
+              val out = encodeImage(imgW, imgH, fmt, (x, y) => {
+                val rgb = img.getRGB(x * img.getWidth / imgW,
+                  y * img.getHeight / imgH)
+                ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+              })
+              ResizedAsset(id, out, s"image/$fmt;resized", out.length.toLong)
+            case None =>
+              val out =
+                if (bytes.length <= maxBytes) bytes else bytes.take(maxBytes)
+              ResizedAsset(id, out, mime + ";resized", out.length.toLong)
+          }
         }
       }
+  }
+
+  // ---- Real codec path #2: JDK ImageIO (PNG/JPEG/BMP/GIF) ----------------
+  // The JDK bundles real image codecs in javax.imageio — no external
+  // dependency. PNG is lossless, so a formula-generated image
+  // round-trips exactly and the oracle checks channel sums against the
+  // generating formula (the PPM pattern); JPEG is lossy, so the oracle
+  // checks the decoded dimensions instead.
+
+  /** Encode an RGB image through a JDK ImageIO writer ("png", "jpeg",
+    * "bmp", ...). */
+  def encodeImage(width: Int, height: Int, format: String,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, baos),
+      s"no ImageIO writer for format '$format'")
+    baos.toByteArray
+  }
+
+  case class ImageFeature(doc_id: Long, format: String,
+      width: Int, height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Batched per-partition REAL image decode via `ImageIO.read`: the
+    * compressed payload (PNG/JPEG/...) is parsed by the JDK codec and
+    * reduced to per-channel pixel sums (exact integers, hash-stable).
+    * Narrow map — same shape as [[ppmChannelSums]]. */
+  def imageChannelSums(assets: DataFrame): Dataset[ImageFeature] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (fmt, img) = sniffImage(bytes).getOrElse(
+          throw new IllegalArgumentException(
+            s"asset $id: no installed ImageIO codec recognizes the payload"))
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeature(id, fmt, img.getWidth, img.getHeight, sr, sg, sb)
+      })
+  }
+
+  /** Real resize through a real codec: ImageIO decode → nearest-neighbour
+    * remap → re-encode in `format`. */
+  def resizeImage(bytes: Array[Byte], newW: Int, newH: Int,
+      format: String): Array[Byte] = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(src != null, "no installed ImageIO codec recognizes the payload")
+    encodeImage(newW, newH, format, (x, y) => {
+      val rgb = src.getRGB(x * src.getWidth / newW, y * src.getHeight / newH)
+      ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+    })
   }
 }

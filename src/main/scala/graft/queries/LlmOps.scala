@@ -352,6 +352,65 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // REAL PNG decode through the JDK's bundled codec: the same
+    // deterministic pixel formula is encoded as compressed PNG bytes
+    // (ImageIO writer), then decodeed back via ImageIO.read and reduced
+    // to channel sums. PNG is lossless, so the oracle — the pixel
+    // formula summed directly in SQL, never touching the bytes — is
+    // independent ground truth for a real compressed-image round trip.
+    "mm_png_decode" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 6 + (id % 7).toInt
+          (id, Multimodal.encodeImage(w, h, "png", (x, y) => (
+            ((id + 7L * x + 13L * y) % 256).toInt,
+            ((id * 2 + 5L * x + 11L * y) % 256).toInt,
+            ((id * 3 + 3L * x + 17L * y) % 256).toInt)))
+        }).toDF("doc_id", "content")
+        .transform(df => Multimodal.imageChannelSums(df).toDF())
+        .orderBy("doc_id")
+    }),
+
+    // REAL PNG resize: ImageIO decode → nearest-neighbour remap →
+    // PNG re-encode → ImageIO decode again for the sums. Oracle applies
+    // the pixel formula at the remapped source coordinates.
+    "mm_png_resize" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 6 + (id % 7).toInt
+          val bytes = Multimodal.encodeImage(w, h, "png", (x, y) => (
+            ((id + 7L * x + 13L * y) % 256).toInt,
+            ((id * 2 + 5L * x + 11L * y) % 256).toInt,
+            ((id * 3 + 3L * x + 17L * y) % 256).toInt))
+          (id, Multimodal.resizeImage(bytes, 8, 6, "png"))
+        }).toDF("doc_id", "content")
+        .transform(df => Multimodal.imageChannelSums(df).toDF())
+        .orderBy("doc_id")
+    }),
+
+    // JPEG tier: lossy, so pixel sums aren't formula-checkable — the
+    // decoded DIMENSIONS and sniffed format are. The payload really is
+    // a JPEG (JDK writer) and really is parsed back (JDK reader).
+    "mm_jpeg_dims" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 6 + (id % 7).toInt
+          (id, Multimodal.encodeImage(w, h, "jpeg", (x, y) => (
+            ((id + 7L * x + 13L * y) % 256).toInt,
+            ((id * 2 + 5L * x + 11L * y) % 256).toInt,
+            ((id * 3 + 3L * x + 17L * y) % 256).toInt)))
+        }).toDF("doc_id", "content")
+        .transform(df => Multimodal.imageChannelSums(df).toDF())
+        .select("doc_id", "format", "width", "height")
+        .orderBy("doc_id")
+    }),
+
     // Incremental near-dup: the doc_id % 5 == 0 slice plays a fresh
     // ingest batch deduping against the standing corpus (the other 4/5)
     // and itself — the corpus never pairs with itself. The oracle is the
@@ -888,6 +947,30 @@ object LlmOps {
         "FROM dims d, range(0, 16) tx(x), range(0, 12) ty(y) " +
         "WHERE x < d.w AND y < d.h " +
         "GROUP BY d.doc_id, d.w, d.h ORDER BY d.doc_id"),
+    // same independent ground truth, exercised through the JDK PNG codec
+    // (lossless, so the compressed round trip must reproduce the formula)
+    "mm_png_decode" ->
+      ("WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents) " +
+        "SELECT d.doc_id, 'png' AS format, CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height, " +
+        "CAST(sum((d.doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r, " +
+        "CAST(sum((d.doc_id * 2 + 5 * x + 11 * y) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(sum((d.doc_id * 3 + 3 * x + 17 * y) % 256) AS BIGINT) AS sum_b " +
+        "FROM dims d, range(0, 16) tx(x), range(0, 12) ty(y) " +
+        "WHERE x < d.w AND y < d.h " +
+        "GROUP BY d.doc_id, d.w, d.h ORDER BY d.doc_id"),
+    "mm_png_resize" ->
+      ("WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents) " +
+        "SELECT d.doc_id, 'png' AS format, CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height, " +
+        "CAST(sum((d.doc_id + 7 * ((x * d.w) // 8) + 13 * ((y * d.h) // 6)) % 256) AS BIGINT) AS sum_r, " +
+        "CAST(sum((d.doc_id * 2 + 5 * ((x * d.w) // 8) + 11 * ((y * d.h) // 6)) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(sum((d.doc_id * 3 + 3 * ((x * d.w) // 8) + 17 * ((y * d.h) // 6)) % 256) AS BIGINT) AS sum_b " +
+        "FROM dims d, range(0, 8) tx(x), range(0, 6) ty(y) " +
+        "GROUP BY d.doc_id ORDER BY d.doc_id"),
+    // lossy JPEG: the decoded dimensions (header-derived) are the
+    // formula-checkable surface
+    "mm_jpeg_dims" ->
+      ("SELECT doc_id, 'jpeg' AS format, CAST(8 + doc_id % 9 AS INTEGER) AS width, " +
+        "CAST(6 + doc_id % 7 AS INTEGER) AS height FROM documents ORDER BY doc_id"),
     "mm_frame_sample" ->
       ("WITH f AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_bytes, " +
         "unnest([0, 1, 2, 3]) AS frame_idx FROM documents) " +

@@ -53,9 +53,59 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.decodeFeatures(Multimodal.toAssets(docs))
       .collect().sortBy(_.doc_id)
     assert(feats(0).n_bytes == 11L)
+    assert(feats(0).kind == "opaque") // text bytes: no codec claims them
     // md5("hello world")
     assert(feats(0).content_md5 == "5eb63bbbe01eeed093cb22bb8f5acdc3")
     assert(feats(0).head_hex == "68656c6c6f20776f") // "hello wo"
+  }
+
+  test("decodeFeatures sniffs and really decodes PNG payloads") {
+    val png = Multimodal.encodeImage(5, 3, "png", (x, y) => (x * 40, y * 80, 0))
+    val assets = Seq((9L, png)).toDF("doc_id", "content")
+    val f = Multimodal.decodeFeatures(assets).collect().head
+    assert(f.kind == "png:5x3")
+  }
+
+  test("ImageIO PNG encode→decode round-trips channel sums losslessly") {
+    val png = Multimodal.encodeImage(4, 2, "png", (x, y) => (x * 50, y * 100, 7))
+    val df = Seq((3L, png)).toDF("doc_id", "content")
+    val out = Multimodal.imageChannelSums(df).collect().head
+    // sums from the formula: r = 2*(0+50+100+150), g = 4*(0+100), b = 8*7
+    assert(out == Multimodal.ImageFeature(3L, "png", 4, 2, 600L, 400L, 56L))
+  }
+
+  test("JPEG payloads decode to the right dimensions") {
+    val jpg = Multimodal.encodeImage(7, 5, "jpeg", (x, y) => (x * 30, y * 40, 9))
+    val df = Seq((4L, jpg)).toDF("doc_id", "content")
+    val out = Multimodal.imageChannelSums(df).collect().head
+    assert(out.format == "jpeg" && out.width == 7 && out.height == 5)
+  }
+
+  test("resizeImage remaps pixels through the JDK codec") {
+    val png = Multimodal.encodeImage(4, 4, "png", (x, y) => (x * 60, y * 60, 0))
+    val small = Multimodal.resizeImage(png, 2, 2, "png")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    // output (1,1) samples source (2,2): r=120, g=120
+    val rgb = img.getRGB(1, 1)
+    assert(((rgb >> 16) & 0xff) == 120 && ((rgb >> 8) & 0xff) == 120)
+  }
+
+  test("resizeAssets re-encodes decodable images through the codec") {
+    val png = Multimodal.encodeImage(16, 12, "png", (x, y) => (x, y, 0))
+    val assets = Seq((8L, png)).toDF("doc_id", "content")
+      .withColumn("meta", struct(
+        lit("image/png").as("mime"),
+        length(col("content")).cast("long").as("n_bytes"),
+        lit("n/a").as("lang")))
+    val out = Multimodal.resizeAssets(assets, maxBytes = 5, imgW = 8, imgH = 6)
+      .collect().head
+    assert(out.mime == "image/png;resized")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.content))
+    assert(img.getWidth == 8 && img.getHeight == 6)
+    // output (3,2) samples source (6,4) → r=6, g=4
+    val rgb = img.getRGB(3, 2)
+    assert(((rgb >> 16) & 0xff) == 6 && ((rgb >> 8) & 0xff) == 4)
   }
 
   test("sampleBytes slices payload without decode") {
