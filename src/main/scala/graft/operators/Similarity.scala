@@ -284,9 +284,9 @@ object Similarity {
     * (16 slice-dots against broadcast centroid literals), never a
     * 64-float read of the doc.
     *
-    * Everything deterministic and oracle-replayable: sub-codebooks are
-    * the first `cents` vectors' slices (swap in per-subspace
-    * [[trainCodebook]] output at deployment), encoding ties break on
+    * Everything deterministic and oracle-replayable: sub-codebooks
+    * default to the first `cents` vectors' slices ([[trainSubCodebooks]]
+    * supplies per-subspace Lloyd's-trained ones), encoding ties break on
     * centroid id, scores round before ranking. Here the candidate set is
     * all docs (the compression demo); in production gate by IVF cell
     * first — the encode/score shapes are unchanged. */
@@ -309,6 +309,57 @@ object Similarity {
 
   private def pqSliceCol(s: Int, width: Int): Column =
     slice(col("__vd"), s * width + 1, width)
+
+  /** Per-subspace k-means sub-codebooks by fixed-point Lloyd's — the real
+    * FAISS PQ training recipe, reusing [[trainCodebook]]'s determinism
+    * contract on sliced vectors:
+    *  - init = the first `cents` vectors' slices, coded by id-rank
+    *    (exactly [[subCodebooks]]'s layout);
+    *  - assignment = min-L2 via the ‖c‖² − 2⟨x,c⟩ form (ties code asc) —
+    *    the same narrow broadcast-literal argmax [[pqCodeCol]] uses;
+    *  - means in FIXED POINT (per dimension sum(floor(x·2^20)) as long →
+    *    exact, partition-order-proof), then one double division — so an
+    *    external SQL oracle replays training bit-exactly;
+    *  - a sub-cell that loses all members drops out (mirrored by the
+    *    oracle).
+    * Each iteration per subspace is one narrow assign + one
+    * (cents·width)-row driver aggregate — the codebook is a model
+    * artifact, never corpus-sized. At 100 TB train on a
+    * [[Sampling.bernoulli]] slice exactly like [[trainCodebook]]. */
+  def trainSubCodebooks(
+      emb: DataFrame, idCol: String, vecCol: String,
+      subspaces: Int = 4, cents: Int = 16, iters: Int = 2,
+      dims: Int = 0): Array[Array[(Int, Seq[Double], Double)]] = {
+    val base = withNorm(emb, vecCol)
+    val d0 = if (dims > 0) dims else embeddingDims(emb, vecCol)
+    require(d0 > 0 && d0 % subspaces == 0,
+      s"trainSubCodebooks: dims $d0 not divisible into $subspaces subspaces")
+    val width = d0 / subspaces
+    val init = subCodebooks(base, idCol, cents, subspaces, width)
+    Array.tabulate(subspaces) { s =>
+      var cb = init(s)
+      require(cb.nonEmpty, s"trainSubCodebooks: empty seed for subspace $s")
+      for (_ <- 0 until iters) {
+        val codeCol = element_at(sort_array(array(cb.map { case (j, vec, nrm2) =>
+          struct((lit(nrm2) - lit(2.0) * dot(pqSliceCol(s, width), typedlit(vec))).as("d2"),
+            lit(j).as("cid"))
+        }.toSeq: _*)), 1).getField("cid")
+        val sums = base
+          .select(codeCol.as("cid"), posexplode(pqSliceCol(s, width)).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(sum(floor(col("x") * MeanScale).cast("long")).as("sm"),
+            count(lit(1)).as("n"))
+          .collect()
+        cb = sums.groupBy(_.getAs[Int]("cid")).map { case (cid, rows) =>
+          val vec = rows.sortBy(_.getAs[Int]("pos")).map { r =>
+            r.getAs[Long]("sm").toDouble / r.getAs[Long]("n") / MeanScale.toDouble
+          }.toSeq
+          (cid, vec, vec.foldLeft(0.0)((a, x) => a + x * x))
+        }.toArray.sortBy(_._1)
+      }
+      cb
+    }
+  }
 
   /** Per-doc PQ code for subspace `s`: nearest sub-centroid by L2, ties
     * centroid id asc — narrow, oracle-replayable. */
@@ -382,9 +433,10 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       probePred: Column, k: Int, centroids: Int = 16, nprobe: Int = 4,
       subspaces: Int = 4, cents: Int = 16, dims: Int = 0,
-      codebookOpt: Option[Array[(Long, Seq[Double], Double)]] = None): DataFrame =
+      codebookOpt: Option[Array[(Long, Seq[Double], Double)]] = None,
+      subCbOpt: Option[Array[Array[(Int, Seq[Double], Double)]]] = None): DataFrame =
     rankTopK(ivfPqScored(emb, idCol, vecCol, probePred, centroids, nprobe,
-      subspaces, cents, dims, codebookOpt), idCol, k)
+      subspaces, cents, dims, codebookOpt, subCbOpt), idCol, k)
 
   /** The IVF-gated ADC-scored frame (probe_id, id, score_r) shared by
     * [[ivfPqTopK]] (rank it) and [[ivfPqRefinedTopK]] (oversample it,
@@ -393,7 +445,8 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       probePred: Column, centroids: Int, nprobe: Int,
       subspaces: Int, cents: Int, dims: Int,
-      codebookOpt: Option[Array[(Long, Seq[Double], Double)]]): DataFrame = {
+      codebookOpt: Option[Array[(Long, Seq[Double], Double)]],
+      subCbOpt: Option[Array[Array[(Int, Seq[Double], Double)]]] = None): DataFrame = {
     val base = withNorm(emb, vecCol)
     val codebook = codebookOpt.getOrElse(coarseCodebook(base, idCol, centroids))
     require(codebook.nonEmpty, "ivfPqTopK: empty coarse codebook")
@@ -402,7 +455,10 @@ object Similarity {
     require(d0 > 0 && d0 % subspaces == 0,
       s"ivfPqTopK: dims $d0 not divisible into $subspaces subspaces (empty input?)")
     val width = d0 / subspaces
-    val cb = subCodebooks(base, idCol, cents, subspaces, width)
+    val cb = subCbOpt.getOrElse(subCodebooks(base, idCol, cents, subspaces, width))
+    subCbOpt.foreach(t => require(t.length == subspaces &&
+      t.forall(_.forall(_._2.length == width)),
+      s"ivfPqTopK: trained sub-codebooks don't match $subspaces×$width"))
     require(cb.head.nonEmpty,
       s"ivfPqTopK: empty sub-codebook — no ids < $cents in $idCol")
     // doc side: ONE Generate barrier materializes the coarse cell AND the
@@ -444,10 +500,11 @@ object Similarity {
       probePred: Column, k: Int, refine: Int = 3,
       centroids: Int = 16, nprobe: Int = 4,
       subspaces: Int = 4, cents: Int = 16, dims: Int = 0,
-      codebookOpt: Option[Array[(Long, Seq[Double], Double)]] = None): DataFrame = {
+      codebookOpt: Option[Array[(Long, Seq[Double], Double)]] = None,
+      subCbOpt: Option[Array[Array[(Int, Seq[Double], Double)]]] = None): DataFrame = {
     require(refine >= 1, s"ivfPqRefinedTopK: refine $refine must be >= 1")
     val adc = ivfPqScored(emb, idCol, vecCol, probePred, centroids, nprobe,
-      subspaces, cents, dims, codebookOpt)
+      subspaces, cents, dims, codebookOpt, subCbOpt)
     val wAdc = Window.partitionBy("probe_id")
       .orderBy(col("score_r").desc, col(idCol).asc)
     val cand = adc.withColumn("__r", row_number().over(wAdc))

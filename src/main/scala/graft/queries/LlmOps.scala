@@ -199,6 +199,20 @@ object LlmOps {
         .orderBy("probe_id", "rank")
     }),
 
+    // The FULLY trained production stack: Lloyd's-trained coarse cells
+    // gate AND per-subspace Lloyd's-trained PQ sub-codebooks score (the
+    // real FAISS recipe — both levels trained). DuckDB replays the coarse
+    // iterations AND all four subspaces' training iterations unrolled.
+    "sim_topk_ivfpq_trained_pq" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cb = Similarity.trainCodebook(emb, "vec_id", "embedding", 16, 2)
+      val pq = Similarity.trainSubCodebooks(emb, "vec_id", "embedding",
+        subspaces = 4, cents = 16, iters = 2, dims = 64)
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5,
+        dims = 64, codebookOpt = Some(cb), subCbOpt = Some(pq))
+        .orderBy("probe_id", "rank")
+    }),
+
     // IVF-PQ + exact refine — ADC oversamples 3k candidates per probe,
     // then ONLY those candidates' full vectors are fetched (broadcast id
     // join into a second scan) and re-scored by exact cosine. Recovers
@@ -586,6 +600,61 @@ object LlmOps {
       s"c${i}l AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM m$i GROUP BY cent_id), " +
       s"c$i AS (SELECT cent_id, cv, sqrt(${duckDot("cv", "cv")}) AS cn FROM c${i}l)"
 
+  /** Norm² of a width-16 centroid LIST (trained PQ centroids are 16-wide
+    * lists, unlike the 64-wide vector slices [[duckSliceDot]] indexes). */
+  private def duckListNorm2(c: String): String =
+    s"list_reduce(list_transform(range(1, 17), i -> $c[i]*$c[i]), (p8,q8) -> p8+q8)"
+
+  /** Dot of subspace `s` of a 64-wide vector with a width-16 centroid
+    * list — same left fold as [[duckSliceDot]]. */
+  private def duckSliceDotList(a: String, c: String, s: Int): String = {
+    val off = s * 16
+    s"list_reduce(list_transform(range(1, 17), i -> $a[$off+i]*$c[i]), (p7,q7) -> p7+q7)"
+  }
+
+  /** One unrolled per-subspace PQ Lloyd iteration: assign by min-L2
+    * (‖c‖² − 2⟨x,c⟩, ties code asc), then per-dimension fixed-point mean —
+    * replays Similarity.trainSubCodebooks exactly (same integer sums,
+    * same division order). Emits pa/pm/pc CTEs for subspace `s`. */
+  private def duckPqLloydIter(s: Int, i: Int, prev: String): String = {
+    val off = s * 16
+    s"pa${s}_$i AS (SELECT vec_id, v, cid FROM (SELECT e.vec_id, e.v, $prev.cid, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY (${duckListNorm2(s"$prev.cv")} - 2*${duckSliceDotList("e.v", s"$prev.cv", s)}) ASC, $prev.cid ASC) AS cr " +
+      s"FROM e, $prev) WHERE cr = 1), " +
+      s"pm${s}_$i AS (SELECT cid, i, CAST(sum(CAST(floor(v[$off+i]*1048576) AS BIGINT)) AS DOUBLE)/count(*)/1048576.0 AS m " +
+      s"FROM pa${s}_$i, range(1,17) t(i) GROUP BY cid, i), " +
+      s"pc${s}_$i AS (SELECT cid, list(m ORDER BY i) AS cv FROM pm${s}_$i GROUP BY cid)"
+  }
+
+  /** Seed sub-codebook for subspace `s`: the first-16 vectors' slices,
+    * coded by id-rank (Similarity.subCodebooks' layout). */
+  private def duckPqSeed(s: Int): String = {
+    val off = s * 16
+    s"pc${s}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, " +
+      s"v[${off + 1}:${off + 16}] AS cv FROM e WHERE vec_id < 16)"
+  }
+
+  /** The TRAINED-PQ scoring tail: all four subspaces' 2-iteration Lloyd
+    * replays unrolled, encode against the trained pc{s}_2 lists, ADC rank
+    * — consuming `assigned`/`probes` from [[ivfPqGateSql]]. */
+  private val ivfPqTrainedPqTailSql: String =
+    (0 until 4).map(s => duckPqSeed(s) + ", " +
+      duckPqLloydIter(s, 1, s"pc${s}_0") + ", " +
+      duckPqLloydIter(s, 2, s"pc${s}_1")).mkString(", ") + ", " +
+      (0 until 4).map { s =>
+        s"k$s AS (SELECT e.vec_id, c.cid AS code FROM e, pc${s}_2 c " +
+          s"QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+          s"(${duckListNorm2("c.cv")} - 2*${duckSliceDotList("e.v", "c.cv", s)}) ASC, c.cid ASC) = 1)"
+      }.mkString(", ") + ", " +
+      "scored AS (SELECT p.probe_id, d.vec_id AS vec_id_n, " +
+      "round(" + (0 until 4).map(s => duckSliceDotList("p.pv", s"c$s.cv", s)).mkString(" + ") + ", 6) AS score_r " +
+      "FROM assigned d JOIN probes p ON d.cent_id = p.cent_id AND p.probe_id <> d.vec_id " +
+      (0 until 4).map(s =>
+        s"JOIN k$s ON k$s.vec_id = d.vec_id JOIN pc${s}_2 c$s ON c$s.cid = k$s.code ").mkString +
+      ") " +
+      "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
+      "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"
+
   /** The minhash near-dup pair derivation (shingle → xor-permutation
     * signatures → band buckets → Jaccard-verified pairs) as a reusable
     * CTE chain ending in `mpairs(a, b, n_inter, n_union)`. `from` swaps
@@ -864,6 +933,14 @@ object LlmOps {
         "c0 AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
         duckLloydIter(1, "c0") + ", " + duckLloydIter(2, "c1") + ", " +
         ivfPqGateSql("c2") + ", " + ivfPqTailSql),
+    // both levels trained: coarse Lloyd replay gates (c2), per-subspace
+    // PQ Lloyd replays (pc{s}_2) encode and score
+    "sim_topk_ivfpq_trained_pq" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
+        "c0 AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
+        duckLloydIter(1, "c0") + ", " + duckLloydIter(2, "c1") + ", " +
+        ivfPqGateSql("c2") + ", " + ivfPqTrainedPqTailSql),
     "sim_topk_ivf_trained" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +

@@ -148,6 +148,56 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trained sub-codebooks are deterministic and keep planted twins at rank 1") {
+    val pq = Similarity.trainSubCodebooks(
+      fixture, "vec_id", "embedding", subspaces = 4, cents = 8, iters = 2)
+    assert(pq.length == 4)
+    pq.foreach { sub =>
+      assert(sub.nonEmpty && sub.length <= 8)
+      sub.foreach { case (_, vec, nrm2) =>
+        assert(vec.length == 16)
+        // cached norm² must match the vector (the argmin depends on it)
+        assert(math.abs(nrm2 - vec.map(x => x * x).sum) < 1e-9)
+      }
+    }
+    // bit-identical across runs (fixed-point means)
+    val pq2 = Similarity.trainSubCodebooks(
+      fixture, "vec_id", "embedding", subspaces = 4, cents = 8, iters = 2)
+    assert(pq.map(_.toSeq).toSeq == pq2.map(_.toSeq).toSeq)
+    // training must move the codebook off its seed slices
+    val seedless = Similarity.trainSubCodebooks(
+      fixture, "vec_id", "embedding", subspaces = 4, cents = 8, iters = 0)
+    assert(pq.map(_.toSeq).toSeq != seedless.map(_.toSeq).toSeq)
+    // training must REDUCE quantization distortion vs the seed slices:
+    // total min-L2 over every vector×subspace, computed locally
+    val vecs = fixture.collect().map(r =>
+      (r.getAs[Long]("vec_id"),
+        r.getAs[collection.Seq[Float]]("embedding").map(_.toDouble).toIndexedSeq))
+    def distortion(cb: Array[Array[(Int, Seq[Double], Double)]]): Double =
+      vecs.map { case (_, v) =>
+        (0 until 4).map { s =>
+          val x = v.slice(s * 16, (s + 1) * 16)
+          cb(s).map { case (_, c, _) =>
+            x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          }.min
+        }.sum
+      }.sum
+    assert(distortion(pq) < distortion(seedless),
+      "Lloyd's iterations failed to reduce quantization distortion")
+    // trained codes lose the exact-reconstruction guarantee seed
+    // codebooks gave centroid-probes (code ties can displace the twin
+    // from an unrefined top-3), so assert the PRODUCTION contract:
+    // trained PQ + exact refine puts every twin back at rank 1
+    val out = Similarity.ivfPqRefinedTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 3,
+      refine = 5, cents = 8, subCbOpt = Some(pq))
+      .filter(col("rank") === 1).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("vec_id_n") == r.getAs[Long]("probe_id") + 100L)
+    }
+  }
+
   test("codebook trained on a hash-sampled slice still routes near-dups") {
     // the 100 TB training path: deterministic half-rate sample
     val cb = Similarity.trainCodebook(
