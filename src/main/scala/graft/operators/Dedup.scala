@@ -308,6 +308,76 @@ object Dedup {
       thresholdNum, thresholdDen)
   }
 
+  /** Partition key for the persisted band index: band_idx plus the first
+    * hex char of the band hash → at most numBands×16 directories, each
+    * holding ~1/16 of one band's rows. Small enough to stay a directory
+    * listing, selective enough that a probe batch prunes real IO. */
+  private def bandPfxCol: Column =
+    concat_ws("_", col("band_idx"), substring(col("band_hash"), 1, 1))
+
+  /** Build the corpus's LSH band table ONCE as a hive-partitioned parquet
+    * index (`partitionBy` the (band_idx, hash-prefix) key) — the
+    * build-once/probe-many shape for standing-corpus ingest dedup, the
+    * same pattern as [[graft.operators.Similarity.ivfPartitionedTopK]]'s
+    * cell index. At 100 TB this is a one-time map-only write (one narrow
+    * kernel pass over the corpus, numBands rows per doc); each daily
+    * batch then probes the index instead of recomputing corpus bands. */
+  def buildBandIndex(
+      corpus: DataFrame, idCol: String, textCol: String, indexPath: String,
+      k: Int = 3, numHashes: Int = 8): Unit =
+    withShinglesAndSigs(corpus, idCol, textCol, k, numHashes)
+      .select(col(idCol),
+        posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
+      .withColumn("band_pfx", bandPfxCol)
+      .write.mode("overwrite").partitionBy("band_pfx").parquet(indexPath)
+
+  /** [[incrementalMinhashPairs]] against a PERSISTED corpus band index
+    * ([[buildBandIndex]]'s output) instead of recomputing corpus bands
+    * per batch. The probe read prunes to the partitions holding the
+    * batch's bucket-key prefixes: the probed prefix set is a driver-side
+    * model artifact (≤ numBands×16 strings — bounded by the key design,
+    * not the batch size, and needed as literals precisely so the filter
+    * is STATIC partition pruning; PartitionFilters pinned in PlanSpec).
+    * Pair set identical to [[incrementalMinhashPairs]] by construction:
+    * candidates share a band bucket either way, and the exact-Jaccard
+    * verification is unchanged. */
+  def indexedIncrementalMinhashPairs(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      indexPath: String, k: Int = 3, numHashes: Int = 8,
+      thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > 0,
+      "Jaccard threshold must be a positive rational")
+    val spark = corpus.sparkSession
+    val bandedBatch = withShinglesAndSigs(batch, idCol, textCol, k, numHashes)
+      .select(col(idCol),
+        posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probedPfx = bandedBatch.select(bandPfxCol.as("band_pfx"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val index = spark.read.parquet(indexPath)
+      .filter(col("band_pfx").isin(probedPfx: _*))
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("b"))
+    val x = bandedBatch.select(
+      col("band_idx"), col("band_hash"), col(idCol).as("a"))
+    // batch × index: every bucket collision with the standing corpus.
+    // SHUFFLE_MERGE for the same reason as the in-memory variant: the
+    // batch side is kernel-amplified output Catalyst under-estimates.
+    val crossCands = x.hint("merge").join(index, Seq("band_idx", "band_hash"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+    // batch × batch: the within-ingest duplicates
+    val withinCands = x.hint("merge")
+      .join(bandedBatch.select(
+        col("band_idx"), col("band_hash"), col(idCol).as("b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val cands = crossCands.union(withinCands).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardVerify(corpus.unionByName(batch), idCol, textCol, k, cands,
+      thresholdNum, thresholdDen)
+  }
+
   private def simhashFrame(
       df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame =
     // null text coalesces to "" → signature 0: presence, not silence,

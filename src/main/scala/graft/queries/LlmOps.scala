@@ -439,6 +439,26 @@ object LlmOps {
         .orderBy("a", "b")
     }),
 
+    // The same incremental dedup against a PERSISTED corpus band index:
+    // build-once partitioned parquet, probe with the batch's bands, the
+    // probe scan pruning to the batch's bucket-key prefix directories
+    // (PartitionFilters pinned in PlanSpec). Pair set — and oracle —
+    // identical to dd_incremental by construction.
+    "dd_incremental_indexed" -> ((s, d) => {
+      val docs = documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val indexPath = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        // applicationId-scoped: Bench ∥ Verify JVMs must not clobber
+        // each other's index mid-scan
+        s"graft_band_index_${s.sparkContext.applicationId}").toString
+      Dedup.buildBandIndex(corpus, "doc_id", "text", indexPath)
+      Dedup.indexedIncrementalMinhashPairs(
+        corpus, docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", indexPath)
+        .orderBy("a", "b")
+    }),
+
     // Decontamination: flag corpus docs sharing any 5-gram with the
     // benchmark/eval split (here the deterministic doc_id % 97 == 0
     // slice — in production, the held-out eval suites). The benchmark
@@ -808,6 +828,12 @@ object LlmOps {
     // candidate generation shares band buckets either way, so the
     // incremental run finds exactly these
     "dd_incremental" ->
+      ("WITH " + minhashPairCtes +
+        " SELECT a, b, n_inter, n_union FROM mpairs " +
+        "WHERE a % 5 = 0 OR b % 5 = 0 ORDER BY a, b"),
+    // the persisted-index run changes WHERE corpus bands are read from
+    // (pruned index directories), never which pairs exist
+    "dd_incremental_indexed" ->
       ("WITH " + minhashPairCtes +
         " SELECT a, b, n_inter, n_union FROM mpairs " +
         "WHERE a % 5 = 0 OR b % 5 = 0 ORDER BY a, b"),

@@ -67,6 +67,31 @@ class DedupSpec extends SparkSpec {
     assert(incremental.forall(p => p._1 % 2 == 1 || p._2 % 2 == 1))
   }
 
+  test("indexedIncrementalMinhashPairs matches the in-memory incremental run") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft_band_index_spec").toString
+    try {
+      Dedup.buildBandIndex(corpus, "doc_id", "text", indexPath)
+      val indexed = Dedup.indexedIncrementalMinhashPairs(
+        corpus, batch, "doc_id", "text", indexPath)
+        .select("a", "b", "n_inter", "n_union")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val inMemory = Dedup.incrementalMinhashPairs(
+        corpus, batch, "doc_id", "text")
+        .select("a", "b", "n_inter", "n_union")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(indexed == inMemory)
+      assert(indexed.nonEmpty, "fixture should produce batch-involving pairs")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(indexPath))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("connectedComponents converges a path graph to the component min") {
     // 1-2-3-4-5 is a diameter-4 path (forces multiple propagation
     // rounds); 10-11 is a separate component

@@ -99,6 +99,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"probed-cell predicate not in PartitionFilters:\n${plan.take(2000)}")
   }
 
+  test("band-index readback prunes to the probed bucket-prefix directories") {
+    val plan = planOf("dd_incremental_indexed").toString
+    val pruned = "PartitionFilters: \\[[^\\]]*band_pfx[^\\]]* IN".r
+      .findFirstIn(plan).isDefined
+    assert(pruned,
+      s"probed band-prefix predicate not in PartitionFilters:\n${plan.take(2000)}")
+    val cart = collectWithSubqueries(planOf("dd_incremental_indexed")) {
+      case c: CartesianProductExec => c
+    }
+    assert(cart.isEmpty, "dd_incremental_indexed plans a cartesian product")
+  }
+
   test("interval join buckets candidates: equi-join, no nested loop") {
     val plan = planOf("ts_interval_join")
     val cart = collectWithSubqueries(plan) { case c: CartesianProductExec => c }
