@@ -11,7 +11,8 @@ object Bench {
     "s1_csv_roundtrip", "s5_parquet_sink", "s6_json_single_file",
     "s7_csv_single_file", "s8_schema_merge", "s9_partition_prune",
     "etl_export", "j6_bucketed_join", "sim_topk_ivf_pruned",
-    "st_window_counts", "st_dedup", "s10_zorder")
+    "st_window_counts", "st_dedup", "s10_zorder",
+    "dd_incremental_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,23 +27,30 @@ object Bench {
     // query isn't charged ~3s of one-time JVM/session startup.
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // Steady-state timing: execute each query once unrecorded (JIT +
-    // whole-stage-codegen class compilation for its plan), then time a
-    // full fresh re-execution. Plans are rebuilt from scratch for the
-    // timed run, so all scans/shuffles/aggregations re-execute — only
-    // JVM-level compilation is warm, which is the steady state a
-    // long-lived cluster session runs in ("warm":true marks the method).
+    // whole-stage-codegen class compilation for its plan), then time
+    // THREE full fresh re-executions and report the MEDIAN. Plans are
+    // rebuilt from scratch for every timed run, so all scans/shuffles/
+    // aggregations re-execute — only JVM-level compilation is warm,
+    // which is the steady state a long-lived cluster session runs in
+    // ("warm":true marks the method). The median exists because
+    // single-sample snapshots on a shared host manufactured phantom
+    // per-query regressions (r6: 4.6s vs 0.9s on identical code); one
+    // noise spike now lands in a discarded sample.
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] warm-up of $name failed: ${e.getMessage}")
       }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] timed run of $name failed: ${e.getMessage}")
-          -1L
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = Seq.fill(3) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] timed run of $name failed: ${e.getMessage}")
+            -1L
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(1)
     }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -53,7 +61,8 @@ object Bench {
     val sinkSec = results.collect { case (k, v) if SinkQueries(k) => v }.sum
     def header(extra: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,""" +
-        s""""n_queries":${results.size},"compute_sec":${fmt(total - sinkSec)},""" +
+        s""""samples":3,"agg":"median","n_queries":${results.size},""" +
+        s""""compute_sec":${fmt(total - sinkSec)},""" +
         s""""sink_sec":${fmt(sinkSec)},$extra"sf":"$sfDir"}"""
     // FULL per-query detail + the sink tag list → the bench file (the
     // judge reads it; $SPARK_GRAFT_BENCH_OUT can point the driver at it).
@@ -67,12 +76,13 @@ object Bench {
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     spark.stop()
-    // stdout gets a SHORT line (top-40 slowest queries only): the
-    // driver's log-tail capture window is ~2 KB and r4/r5's full
-    // 117-entry lines were truncated mid-JSON ("parsed": null) — a
-    // bounded line always parses, and the full map is in the file above.
-    val top = results.toSeq.sortBy(-_._2).take(40)
-    val json = header(s""""queries":${qjson(top)},"detail":"$out",""")
+    // stdout gets a MINIMAL line: the driver's log-tail capture window
+    // is ~2 KB and every per-query variant to date (full map in r4/r5,
+    // top-40 in r6) still truncated mid-JSON ("parsed": null). The
+    // headline totals + top-10 fit in ~600 bytes with certainty; the
+    // full per-query map is in the detail file above.
+    val top = results.toSeq.sortBy(-_._2).take(10)
+    val json = header(s""""top10":${qjson(top)},"detail":"$out",""")
     // printed LAST — after spark.stop()'s log chatter — so the line sits
     // intact at the very end of the driver's captured tail
     println(json)
