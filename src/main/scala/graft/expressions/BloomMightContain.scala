@@ -31,6 +31,16 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
+      // Null/empty filter bytes would otherwise surface as an opaque
+      // NPE/EOF inside the lazy deserialization, far from the call site.
+      case (BinaryType, StringType)
+          if left.foldable && left.eval(null) == null =>
+        TypeCheckResult.TypeCheckFailure(
+          "graft_bloom_contains: serialized-filter literal is NULL")
+      case (BinaryType, StringType) if left.foldable &&
+          left.eval(null).asInstanceOf[Array[Byte]].isEmpty =>
+        TypeCheckResult.TypeCheckFailure(
+          "graft_bloom_contains: serialized-filter literal is empty")
       case (BinaryType, StringType) if left.foldable =>
         TypeCheckResult.TypeCheckSuccess
       case (BinaryType, StringType) =>
@@ -49,7 +59,12 @@ case class BloomMightContain(left: Expression, right: Expression)
     * per row. */
   @transient private lazy val bloom: BloomFilter = {
     val bytes = left.eval(null).asInstanceOf[Array[Byte]]
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+    try BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+    catch {
+      case e: java.io.IOException => throw new IllegalArgumentException(
+        s"graft_bloom_contains: cannot deserialize the ${bytes.length}-byte " +
+          "filter literal (truncated or not a spark BloomFilter)", e)
+    }
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =

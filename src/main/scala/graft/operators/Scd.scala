@@ -35,13 +35,27 @@ object Scd {
     *         `valid_to` = the update's effective date (null when never
     *         updated, `is_current` = true); updated/inserted keys add a
     *         current row with the new values
+    *
+    * Change-set contract: ONE row per key. A change set carrying duplicate
+    * keys would otherwise fan the full-outer join out — multiple "closed"
+    * copies of the same pre-existing version and multiple is_current rows
+    * per key — so duplicates are resolved latest-wins here (max
+    * `effDateCol` per key, ties broken on the tracked values) before the
+    * join, matching MERGE semantics where the newest statement of a row
+    * wins. To apply several change sets as a full version CHAIN, use
+    * [[applyBatches]] instead.
     */
   def scd2(target: DataFrame, updates: DataFrame, keyCol: String,
       carryCols: Seq[String], trackCols: Seq[String],
       effDateCol: String, initDate: String): DataFrame = {
-    val u = updates.select(
-      (col(keyCol) +: trackCols.map(c => col(c).as(s"__u_$c")) :+
-        col(effDateCol).as("__eff")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy((col(effDateCol).desc +: trackCols.map(col(_).desc)): _*)
+    val u = updates
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(
+        (col(keyCol) +: trackCols.map(c => col(c).as(s"__u_$c")) :+
+          col(effDateCol).as("__eff")): _*)
       .withColumn("__u", lit(true))
     val t = target.withColumn("__t", lit(true))
     val joined = t.join(u, Seq(keyCol), "full_outer")

@@ -191,7 +191,10 @@ object EtlQueries {
         upd.unionByName(inserts), "c_custkey",
         carryCols = Seq("c_name"), trackCols = Seq("c_acctbal"),
         effDateCol = "eff_date", initDate = "1992-01-01")
-        .orderBy("c_custkey", "valid_from")
+        // is_current tie-break: a changed key whose eff_date equals
+        // initDate ties on (key, valid_from) — legal at other SFs, and
+        // the driver compare is row-order sensitive.
+        .orderBy("c_custkey", "valid_from", "is_current")
     })
   )
 
@@ -384,6 +387,6 @@ object EtlQueries {
         "fresh AS (SELECT u.c_custkey, c.c_name, u.c_acctbal, u.eff_date AS valid_from, " +
         "CAST(NULL AS VARCHAR) AS valid_to, true AS is_current " +
         "FROM upd u LEFT JOIN customer c ON c.c_custkey = u.c_custkey) " +
-        "SELECT * FROM closed UNION ALL SELECT * FROM fresh ORDER BY c_custkey, valid_from")
+        "SELECT * FROM closed UNION ALL SELECT * FROM fresh ORDER BY c_custkey, valid_from, is_current")
   )
 }

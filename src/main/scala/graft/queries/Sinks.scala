@@ -16,13 +16,18 @@ import java.nio.file.Paths
 object Sinks {
   import Tables._
 
-  private def tmp(name: String): String =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft_sink_$name").toString
+  /** applicationId-scoped like StreamingQueries.tmp: Bench and Verify run
+    * as concurrent JVMs in CI, and two writers overwriting/reading the same
+    * ~30 part files in one shared dir can race.
+    */
+  private def tmp(s: SparkSession, name: String): String =
+    Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_sink_${name}_${s.sparkContext.applicationId}").toString
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 — CSV source with header + inferSchema (ref extract_alchemer_data.py:8-9)
     "s1_csv_roundtrip" -> ((s, d) => {
-      val out = tmp("s1_dir")
+      val out = tmp(s, "s1_dir")
       region(s, d).coalesce(1).write.mode("overwrite")
         .option("header", "true").csv(out)
       s.read.option("header", "true").option("inferSchema", "true").csv(out)
@@ -32,7 +37,7 @@ object Sinks {
     // S5 — overwrite-mode table sink (ref utils.py:124-142). Parquet stands
     // in for Delta; overwrite + schema-on-write semantics are what matter.
     "s5_parquet_sink" -> ((s, d) => {
-      val out = tmp("s5_dir")
+      val out = tmp(s, "s5_dir")
       orders(s, d).filter(col("o_custkey") < 100)
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out).orderBy("o_orderkey")
@@ -40,7 +45,7 @@ object Sinks {
 
     // S6 — single-file JSON export with part-file move (ref utils.py:226-252)
     "s6_json_single_file" -> ((s, d) => {
-      val dest = tmp("s6.json")
+      val dest = tmp(s, "s6.json")
       SingleFileSink.json(
         nation(s, d).select("n_nationkey", "n_name"), dest)
       s.read.schema(StructType(Seq(
@@ -54,7 +59,7 @@ object Sinks {
     // column is null for old files) — how a long-lived table absorbs
     // schema growth without rewriting history.
     "s8_schema_merge" -> ((s, d) => {
-      val out = tmp("s8_dir")
+      val out = tmp(s, "s8_dir")
       val r = region(s, d)
       r.select("r_regionkey", "r_name")
         .write.mode("overwrite").parquet(s"$out/gen=1")
@@ -71,7 +76,7 @@ object Sinks {
     // in the scan, pinned by PlanSpec) — the layout that turns a 100 TB
     // scan into a directory listing.
     "s9_partition_prune" -> ((s, d) => {
-      val out = tmp("s9_dir")
+      val out = tmp(s, "s9_dir")
       orders(s, d).filter(col("o_custkey") < 200)
         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
       s.read.parquet(out)
@@ -89,7 +94,7 @@ object Sinks {
     // plain filter; the skipping selectivity itself is measured in
     // ZOrderSpec against a linear layout.
     "s10_zorder" -> ((s, d) => {
-      val out = tmp("s10_zorder")
+      val out = tmp(s, "s10_zorder")
       graft.sources.ZOrder.writeZOrdered(
         lineitem(s, d).select(
           "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
@@ -104,7 +109,7 @@ object Sinks {
 
     // S7 — single-file CSV export with header (ref write_to_volume.py:15-16)
     "s7_csv_single_file" -> ((s, d) => {
-      val dest = tmp("s7.csv")
+      val dest = tmp(s, "s7.csv")
       SingleFileSink.csv(
         supplier(s, d).select("s_suppkey", "s_name"), dest)
       s.read.schema(StructType(Seq(

@@ -31,6 +31,37 @@ class BloomSpec extends SparkSpec {
     assert(fp < 900, s"false-positive rate implausibly high: $fp / 10000")
   }
 
+  test("null and empty filter literals fail analysis with a named error") {
+    GraftFunctions.register(spark)
+    val probe = Seq("x").toDF("g")
+    val nullLit = lit(null).cast("binary")
+    val eNull = intercept[Exception] {
+      probe.filter(call_function("graft_bloom_contains", nullLit, col("g"))).collect()
+    }
+    assert(eNull.getMessage.contains("graft_bloom_contains"), eNull.getMessage)
+    val eEmpty = intercept[Exception] {
+      probe.filter(call_function("graft_bloom_contains",
+        lit(Array.empty[Byte]), col("g"))).collect()
+    }
+    assert(eEmpty.getMessage.contains("graft_bloom_contains"), eEmpty.getMessage)
+  }
+
+  test("truncated filter bytes raise a deserialization error naming the function") {
+    GraftFunctions.register(spark)
+    val members = (0 until 100).map(i => s"m$i").toDF("g")
+    val bytes = serialize(members.stat.bloomFilter("g", 256, 0.03))
+    val e = intercept[Exception] {
+      Seq("x").toDF("g")
+        .filter(call_function("graft_bloom_contains",
+          lit(bytes.take(8)), col("g"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("graft_bloom_contains")),
+      s"no cause in the chain names the function: $e")
+  }
+
   test("interpreted eval matches codegen for the same filter") {
     GraftFunctions.register(spark)
     val members = (0 until 100).map(i => s"m$i").toDF("g")

@@ -58,4 +58,22 @@ class ScdSpec extends SparkSpec {
   test("row count is |target| + |updates| exactly (one new version per change)") {
     assert(run.count() == 5L)
   }
+
+  test("duplicate keys in the change set resolve latest-wins, no fan-out") {
+    val dupUpdates = Seq(
+      (2L, 22.0, "2024-03-01"),
+      (2L, 25.0, "2024-06-01"), // latest eff date wins
+      (2L, 23.0, "2024-05-01")
+    ).toDF("id", "bal", "eff")
+    val out = Scd.scd2(target, dupUpdates, "id",
+      carryCols = Seq("name"), trackCols = Seq("bal"),
+      effDateCol = "eff", initDate = "2020-01-01")
+      .filter(col("id") === 2L).orderBy("valid_from").collect()
+    assert(out.length == 2, s"fan-out: ${out.length} rows for one key")
+    val Array(old, fresh) = out
+    assert(old.getAs[String]("valid_to") == "2024-06-01")
+    assert(fresh.getAs[Double]("bal") == 25.0 &&
+      fresh.getAs[String]("valid_from") == "2024-06-01" &&
+      fresh.getAs[Boolean]("is_current"))
+  }
 }
