@@ -55,6 +55,9 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override def dataType: DataType = BooleanType
 
+  /** Plans print the registered SQL name, not the class name. */
+  override def prettyName: String = "graft_bloom_contains"
+
   /** Deserialized once per executor/task from the foldable literal, not
     * per row. */
   @transient private lazy val bloom: BloomFilter = {

@@ -507,14 +507,17 @@ object LlmOps {
     // THE capstone composite — a pretrain data pipeline end to end in ONE
     // plan: language/length gate (narrow filter) → exact content dedup
     // keep-first (one fp-keyed window shuffle) → decontamination
-    // anti-join against the eval slice's 5-grams (broadcast bench set,
-    // contaminated docs dropped entirely) → deterministic train/val/test
-    // split (narrow hash projection) → per-(split, source) corpus stats.
-    // Four subsystems composing without materialization between stages —
-    // at 100 TB this is one pass over the corpus plus the two bounded
-    // shuffles the semantics require.
+    // anti-join against the eval slice's 5-grams (bloom gate inside the
+    // scan, then the exact broadcast join; contaminated docs dropped
+    // entirely) → deterministic train/val/test split (narrow hash
+    // projection) → per-(split, source) corpus stats. Four subsystems
+    // composing without materialization between stages — at 100 TB this
+    // is one pass over the corpus plus the two bounded shuffles the
+    // semantics require, with the bloom gate cutting the join input to
+    // ~fpp of the corpus grams before any row leaves the scan stage.
     "llm_pretrain_mix" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      graft.expressions.GraftFunctions.register(s)
       val gated = documents(s, d)
         .filter(col("lang") === "en" && col("n_chars").between(50, 5000))
         .withColumn("fp", md5(col("text")))
@@ -527,7 +530,13 @@ object LlmOps {
         .select(col("doc_id"), explode(col("shingles")).as("gram"))
       val bench = grams.filter(col("doc_id") % 97 === 0)
         .select("gram").distinct()
+      // Bloom gate (ta_decontaminate_bloom's contract): false positives
+      // pass the gate and die in the exact join below, so the result —
+      // and the oracle — are unchanged.
+      val bytes = graft.expressions.BloomMightContain.serialize(
+        bench.stat.bloomFilter("gram", 1L << 16, 0.03))
       val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
+        .filter(call_function("graft_bloom_contains", lit(bytes), col("gram")))
         .join(broadcast(bench), Seq("gram"))
         .select("doc_id").distinct()
       val clean = kept

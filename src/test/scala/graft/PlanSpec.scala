@@ -157,6 +157,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"seq_pack gained shuffles: ${shuffles.size}")
   }
 
+  test("pretrain-mix bloom gate filters below the decontamination join") {
+    // the gate must sit on the scan side — i.e. strictly BELOW the
+    // broadcast join that makes the result exact — so at 100 TB only
+    // ~fpp of the corpus grams ever reach the join
+    val plan = planOf("llm_pretrain_mix")
+    val gatedJoins = collectWithSubqueries(plan) {
+      case j: BroadcastHashJoinExec
+          if j.toString.contains("graft_bloom_contains") => j
+    }
+    // a gate planned ABOVE the join would sit in no join's subtree, so
+    // subtree containment alone proves the scan-side placement
+    assert(gatedJoins.nonEmpty,
+      "no broadcast join has the bloom gate below it (scan side)")
+  }
+
   test("single-pass rollup aggregates with exactly one pre-window shuffle pair") {
     val shuffles = collectWithSubqueries(planOf("etl_rollup")) {
       case e: ShuffleExchangeExec => e
