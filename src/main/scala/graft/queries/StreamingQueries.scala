@@ -118,6 +118,108 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_events"),
           round(sum("value"), 2).as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // Event-time SESSION windows as a stream, in append mode — the mode a
+    // production sessionizer runs in (complete mode would keep every
+    // session ever in state). Append only emits sessions the watermark
+    // has CLOSED, and an end-of-stream watermark stalls 10 minutes behind
+    // the last event — so a far-future sentinel event (user_id -1, +2
+    // days) is staged as a second drop-directory file purely to advance
+    // the watermark past every real session's end. Every real session
+    // then emits, the sentinel's own session stays in state, and the
+    // read-back filters the sentinel user. Session bounds compare as
+    // epoch-micros integers (formatting to seconds could tie rows).
+    "st_sessions" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$d/events.parquet"
+      val raw = s.read.parquet(path)
+      val rawSchema = raw.schema
+      val srcDir = tmp(s, "sess_src")
+      rmrf(srcDir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(path),
+        java.nio.file.Paths.get(srcDir, "events.parquet"))
+      val maxTs = raw.agg(max("ts")).head.getLong(0)
+      val sentDir = tmp(s, "sess_sentinel")
+      raw.limit(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxTs + 172800L * 1000000000L).as("ts"), // +2 days, in nanos
+        lit(-1L).as("user_id"), lit("flush").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(sentDir)
+      val part = new java.io.File(sentDir).listFiles
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(srcDir, "sentinel.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val stream = s.readStream.schema(rawSchema).parquet(srcDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val outDir = tmp(s, "sess_out")
+      val ckDir = tmp(s, "sess_ck")
+      rmrf(ckDir)
+      rmrf(outDir)
+      val q = EventStream.sessionCounts(stream, "30 minutes", "10 minutes")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    // Watermarked STREAM-STREAM join: purchases matched to the same
+    // user's views in the trailing 30 minutes, both sides unbounded
+    // streams reading the same drop directory. The time-bound condition
+    // plus both-side watermarks is what makes buffered state finite on a
+    // real cluster; inner-join matches emit as they are found, so with
+    // AvailableNow over the fixture the emitted set IS the batch join —
+    // which is exactly the oracle.
+    "st_join" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$d/events.parquet"
+      val rawSchema = s.read.parquet(path).schema
+      val srcDir = tmp(s, "join_src")
+      rmrf(srcDir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(path),
+        java.nio.file.Paths.get(srcDir, "events.parquet"))
+      def side(eventType: String): DataFrame =
+        s.readStream.schema(rawSchema).parquet(srcDir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .filter(col("event_type") === eventType)
+      val outDir = tmp(s, "join_out")
+      val ckDir = tmp(s, "join_ck")
+      rmrf(ckDir)
+      rmrf(outDir)
+      val q = EventStream.joinWithinWindow(
+        side("purchase"), side("view"), "10 minutes", "30 minutes")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select(col("user_id"),
+          unix_micros(col("p_ts")).as("p_ts_us"), col("p_value"),
+          unix_micros(col("v_ts")).as("v_ts_us"), col("v_value"))
+        .orderBy("user_id", "p_ts_us", "v_ts_us")
     })
   )
 
@@ -131,6 +233,27 @@ object StreamingQueries {
     // ONE copy of the events table
     "st_dedup" ->
       ("SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value " +
-        "FROM events GROUP BY 1 ORDER BY event_type")
+        "FROM events GROUP BY 1 ORDER BY event_type"),
+    // gaps-and-islands replay of session_window semantics: a session's
+    // end is last-event + gap, so a new session breaks when the gap to
+    // the previous event is >= 30 minutes ([start, end) window bounds)
+    "st_sessions" ->
+      ("WITH g AS (SELECT user_id, ts, value, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "sgrp AS (SELECT user_id, ts, value, " +
+        "sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+        "SELECT user_id, epoch_us(min(ts)) AS session_start_us, " +
+        "epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us, " +
+        "count(*) AS n_events, round(sum(value), 2) AS sum_value " +
+        "FROM sgrp GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
+    // the emitted inner-join matches equal the plain batch join
+    "st_join" ->
+      ("SELECT p.user_id, epoch_us(p.ts) AS p_ts_us, p.value AS p_value, " +
+        "epoch_us(v.ts) AS v_ts_us, v.value AS v_value " +
+        "FROM events p JOIN events v ON p.user_id = v.user_id " +
+        "AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts " +
+        "WHERE p.event_type = 'purchase' AND v.event_type = 'view' " +
+        "ORDER BY p.user_id, p_ts_us, v_ts_us")
   )
 }
