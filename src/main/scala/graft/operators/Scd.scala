@@ -72,4 +72,65 @@ object Scd {
         lit(true).as("is_current")): _*)
     closed.unionByName(fresh)
   }
+
+  /** Fold N change sets into one full SCD2 version chain.
+    *
+    * Applying `scd2` N times would run N joins and rewrite the dimension
+    * N times; at warehouse scale the chain is built in ONE pass instead:
+    * every version (the target's initial state plus every batch's
+    * restatement) unions into a single frame, and a per-key LEAD window
+    * over the effective date closes each version with its successor's
+    * start. Batches are ordered: when two batches restate the same key at
+    * the SAME effective date, the later batch wins (the same
+    * latest-statement-wins contract as [[scd2]]'s within-batch dedupe).
+    *
+    * Scale shape: the delta-sized carry join, a narrow union of base and
+    * restated versions, then ONE dimension-sized shuffle by key. The
+    * same-eff dedupe and the LEAD chain run as two window passes over
+    * that single exchange: both partition by `keyCol`, and the first
+    * pass's (eff, batch desc) sort satisfies the second's (eff) prefix,
+    * so Catalyst inserts no further exchange or sort (pinned in
+    * `ScdSpec`).
+    *
+    * @return one row per (key, version): `valid_from` = the version's
+    *         effective date (`initDate` for the pre-existing state),
+    *         `valid_to` = the next version's effective date (null on the
+    *         final version, `is_current` = true). Brand-new keys start
+    *         their chain at their first restatement with null carry
+    *         columns.
+    */
+  def applyBatches(target: DataFrame, batches: Seq[DataFrame], keyCol: String,
+      carryCols: Seq[String], trackCols: Seq[String],
+      effDateCol: String, initDate: String): DataFrame = {
+    require(batches.nonEmpty, "applyBatches: no change sets")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = batches.zipWithIndex.map { case (b, i) =>
+      b.select((col(keyCol) +: trackCols.map(col) :+
+        col(effDateCol).as("__eff")): _*)
+        .withColumn("__batch", lit(i))
+    }.reduce(_ unionByName _)
+    val carrySrc = target.select((col(keyCol) +: carryCols.map(col)): _*)
+    val fresh = tagged.join(carrySrc, Seq(keyCol), "left")
+      .select((col(keyCol) +: carryCols.map(col) ++:
+        trackCols.map(col) :+ col("__eff") :+ col("__batch")): _*)
+    // the base version carries __batch = -1 so a restatement AT initDate
+    // outranks it in the latest-wins dedupe below
+    val base = target.select((col(keyCol) +: carryCols.map(col) ++:
+      trackCols.map(col) :+ lit(initDate).as("__eff") :+
+      lit(-1).as("__batch")): _*)
+    // Two window passes over ONE exchange: both partition by the key, and
+    // the dedupe sort (eff, batch desc) satisfies the chain sort (eff) as
+    // a prefix, so the LEAD pass adds no exchange and no sort. Dedupe
+    // keeps the first row of each same-eff run = the latest batch.
+    val wDedup = Window.partitionBy(col(keyCol))
+      .orderBy(col("__eff"), col("__batch").desc)
+    val wChain = Window.partitionBy(col(keyCol)).orderBy(col("__eff"))
+    base.unionByName(fresh)
+      .withColumn("__prev_eff", lag(col("__eff"), 1).over(wDedup))
+      .filter(col("__prev_eff").isNull || col("__prev_eff") =!= col("__eff"))
+      .withColumn("valid_from", col("__eff"))
+      .withColumn("valid_to", lead(col("__eff"), 1).over(wChain))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__eff", "__batch", "__prev_eff")
+  }
 }

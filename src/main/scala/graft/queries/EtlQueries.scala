@@ -195,6 +195,31 @@ object EtlQueries {
         // initDate ties on (key, valid_from) — legal at other SFs, and
         // the driver compare is row-order sensitive.
         .orderBy("c_custkey", "valid_from", "is_current")
+    }),
+
+    // SCD2 CHAIN — three yearly change sets folded into one full version
+    // history in a single pass (Scd.applyBatches): batch N restates every
+    // 7th customer's balance to its year-N order total, effective at its
+    // last order date that year; batch 2 additionally lands 3 brand-new
+    // keys. Yearly eff dates are distinct per key by construction, so
+    // the chain is deterministic; the oracle replays it as a LEAD window
+    // over the unioned versions.
+    "etl_scd2_chain" -> ((s, d) => {
+      def batchFor(yr: Int) = orders(s, d)
+        .filter(year(col("o_orderdate")) === yr && col("o_custkey") % 7 === 0)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(round(sum("o_totalprice"), 2).as("c_acctbal"),
+          date_format(max("o_orderdate"), "yyyy-MM-dd").as("eff_date"))
+      val inserts = customer(s, d).filter(col("c_custkey") <= 3)
+        .select((col("c_custkey") + 9000000).as("c_custkey"),
+          round(col("c_acctbal") * 2, 2).as("c_acctbal"),
+          lit("1994-06-30").as("eff_date"))
+      graft.operators.Scd.applyBatches(
+        customer(s, d).select("c_custkey", "c_name", "c_acctbal"),
+        Seq(batchFor(1993), batchFor(1994).unionByName(inserts), batchFor(1995)),
+        "c_custkey", carryCols = Seq("c_name"), trackCols = Seq("c_acctbal"),
+        effDateCol = "eff_date", initDate = "1992-01-01")
+        .orderBy("c_custkey", "valid_from")
     })
   )
 
@@ -387,6 +412,26 @@ object EtlQueries {
         "fresh AS (SELECT u.c_custkey, c.c_name, u.c_acctbal, u.eff_date AS valid_from, " +
         "CAST(NULL AS VARCHAR) AS valid_to, true AS is_current " +
         "FROM upd u LEFT JOIN customer c ON c.c_custkey = u.c_custkey) " +
-        "SELECT * FROM closed UNION ALL SELECT * FROM fresh ORDER BY c_custkey, valid_from, is_current")
+        "SELECT * FROM closed UNION ALL SELECT * FROM fresh ORDER BY c_custkey, valid_from, is_current"),
+    // every version (initial state + each yearly restatement) unions into
+    // one frame; LEAD over eff date per key closes each version
+    "etl_scd2_chain" ->
+      ("WITH b AS (" +
+        "SELECT o_custkey AS c_custkey, round(sum(o_totalprice), 2) AS c_acctbal, " +
+        "strftime(max(o_orderdate), '%Y-%m-%d') AS eff_date " +
+        "FROM orders WHERE o_custkey % 7 = 0 AND year(o_orderdate) IN (1993, 1994, 1995) " +
+        "GROUP BY o_custkey, year(o_orderdate)), " +
+        "ins AS (SELECT c_custkey + 9000000 AS c_custkey, round(c_acctbal * 2, 2) AS c_acctbal, " +
+        "'1994-06-30' AS eff_date FROM customer WHERE c_custkey <= 3), " +
+        "upd AS (SELECT * FROM b UNION ALL SELECT * FROM ins), " +
+        "vers AS (" +
+        "SELECT c_custkey, c_name, c_acctbal, '1992-01-01' AS eff_date FROM customer " +
+        "UNION ALL " +
+        "SELECT u.c_custkey, c.c_name, u.c_acctbal, u.eff_date " +
+        "FROM upd u LEFT JOIN customer c ON c.c_custkey = u.c_custkey), " +
+        "chain AS (SELECT c_custkey, c_name, c_acctbal, eff_date AS valid_from, " +
+        "lead(eff_date) OVER (PARTITION BY c_custkey ORDER BY eff_date) AS valid_to FROM vers) " +
+        "SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to, " +
+        "valid_to IS NULL AS is_current FROM chain ORDER BY c_custkey, valid_from")
   )
 }

@@ -59,6 +59,59 @@ class ScdSpec extends SparkSpec {
     assert(run.count() == 5L)
   }
 
+  test("applyBatches folds N change sets into one version chain") {
+    val b1 = Seq((2L, 21.0, "2024-01-01")).toDF("id", "bal", "eff")
+    val b2 = Seq((2L, 22.0, "2024-02-01"), (9L, 99.0, "2024-02-15")).toDF("id", "bal", "eff")
+    val b3 = Seq((2L, 23.0, "2024-03-01")).toDF("id", "bal", "eff")
+    val out = Scd.applyBatches(target, Seq(b1, b2, b3), "id",
+      carryCols = Seq("name"), trackCols = Seq("bal"),
+      effDateCol = "eff", initDate = "2020-01-01")
+    val k2 = out.filter(col("id") === 2L).orderBy("valid_from").collect()
+    assert(k2.map(_.getAs[String]("valid_from")).toSeq ==
+      Seq("2020-01-01", "2024-01-01", "2024-02-01", "2024-03-01"))
+    assert(k2.map(_.getAs[String]("valid_to")).toSeq ==
+      Seq("2024-01-01", "2024-02-01", "2024-03-01", null))
+    assert(k2.map(_.getAs[Boolean]("is_current")).toSeq ==
+      Seq(false, false, false, true))
+    assert(k2.map(_.getAs[Double]("bal")).toSeq == Seq(20.0, 21.0, 22.0, 23.0))
+    // carry column rides through every version
+    assert(k2.forall(_.getAs[String]("name") == "bob"))
+    // untouched key: single open version
+    val k1 = out.filter(col("id") === 1L).collect()
+    assert(k1.length == 1 && k1.head.getAs[Boolean]("is_current"))
+    // brand-new key: chain starts at its first restatement, null carry
+    val k9 = out.filter(col("id") === 9L).collect()
+    assert(k9.length == 1 && k9.head.getAs[String]("valid_from") == "2024-02-15"
+      && k9.head.getAs[String]("name") == null)
+  }
+
+  test("applyBatches resolves same-(key, eff) restatements to the latest batch") {
+    val b1 = Seq((2L, 21.0, "2024-01-01")).toDF("id", "bal", "eff")
+    val b2 = Seq((2L, 99.0, "2024-01-01")).toDF("id", "bal", "eff")
+    val out = Scd.applyBatches(target, Seq(b1, b2), "id",
+      carryCols = Seq("name"), trackCols = Seq("bal"),
+      effDateCol = "eff", initDate = "2020-01-01")
+      .filter(col("id") === 2L).orderBy("valid_from").collect()
+    assert(out.length == 2, s"same-eff restatement fanned out: ${out.length} rows")
+    assert(out.last.getAs[Double]("bal") == 99.0) // later batch wins
+  }
+
+  test("applyBatches chains with ONE shuffle: dedupe and LEAD windows share the exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val b1 = Seq((2L, 21.0, "2024-01-01")).toDF("id", "bal", "eff")
+    val b2 = Seq((2L, 22.0, "2024-02-01")).toDF("id", "bal", "eff")
+    val plan = Scd.applyBatches(target, Seq(b1, b2), "id",
+      carryCols = Seq("name"), trackCols = Seq("bal"),
+      effDateCol = "eff", initDate = "2020-01-01")
+      .queryExecution.executedPlan
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    // carry join broadcasts (delta-sized updates); the two window passes
+    // must share one key-partitioned exchange — a second shuffle means
+    // the sort-prefix reuse regressed
+    assert(shuffles.size <= 1,
+      s"applyBatches gained shuffles (${shuffles.size}):\n$plan")
+  }
+
   test("duplicate keys in the change set resolve latest-wins, no fan-out") {
     val dupUpdates = Seq(
       (2L, 22.0, "2024-03-01"),
