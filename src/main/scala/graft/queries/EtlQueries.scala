@@ -216,7 +216,7 @@ object EtlQueries {
           lit("1994-06-30").as("eff_date"))
       graft.operators.Scd.applyBatches(
         customer(s, d).select("c_custkey", "c_name", "c_acctbal"),
-        Seq(batchFor(1993), batchFor(1994).unionByName(inserts), batchFor(1995)),
+        Seq(batchFor(1996), batchFor(1997).unionByName(inserts), batchFor(1998)),
         "c_custkey", carryCols = Seq("c_name"), trackCols = Seq("c_acctbal"),
         effDateCol = "eff_date", initDate = "1992-01-01")
         .orderBy("c_custkey", "valid_from")
@@ -419,7 +419,7 @@ object EtlQueries {
       ("WITH b AS (" +
         "SELECT o_custkey AS c_custkey, round(sum(o_totalprice), 2) AS c_acctbal, " +
         "strftime(max(o_orderdate), '%Y-%m-%d') AS eff_date " +
-        "FROM orders WHERE o_custkey % 7 = 0 AND year(o_orderdate) IN (1993, 1994, 1995) " +
+        "FROM orders WHERE o_custkey % 7 = 0 AND year(o_orderdate) IN (1996, 1997, 1998) " +
         "GROUP BY o_custkey, year(o_orderdate)), " +
         "ins AS (SELECT c_custkey + 9000000 AS c_custkey, round(c_acctbal * 2, 2) AS c_acctbal, " +
         "'1994-06-30' AS eff_date FROM customer WHERE c_custkey <= 3), " +

@@ -168,10 +168,46 @@ object Extended {
     // across libm implementations).
     "qa_drift" -> ((s, d) => {
       val o = orders(s, d).select(
-        when(col("o_orderdate") < lit("1995-01-01").cast("timestamp"), "base")
+        when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), "base")
           .otherwise("cur").as("half"),
         floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
       val counts = o.groupBy("bucket").agg(
+        sum(when(col("half") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("half") === "cur", 1L).otherwise(0L)).as("n_cur"))
+      val totals = counts.agg(
+        sum("n_base").cast("double").as("t_base"),
+        sum("n_cur").cast("double").as("t_cur"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("psi_term",
+          when(col("n_base") > 0 && col("n_cur") > 0,
+            round((col("n_cur") / col("t_cur") - col("n_base") / col("t_base")) *
+              log((col("n_cur") / col("t_cur")) / (col("n_base") / col("t_base"))), 6)))
+        .select("bucket", "n_base", "n_cur", "psi_term")
+        .orderBy("bucket")
+    }),
+
+    // PSI on QUANTILE buckets — how production monitors actually bucket:
+    // edges are the base period's deciles, so every base bucket holds
+    // ~10% and the PSI measures reshaping, not where fixed $50k lines
+    // happen to fall. The decile edges come from the same bounded
+    // percentile_approx sketch as an_group_percentile_approx (accuracy
+    // 1e6 ⇒ the sketch provably returns the element at rank ceil(q·n),
+    // which the oracle replays with an explicit row_number — the check
+    // stays tolerance-free). The 9-edge array is a driver-side scalar
+    // broadcast; bucketing is a narrow fold over it per row.
+    "qa_drift_quantile" -> ((s, d) => {
+      val o = orders(s, d).select(
+        when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), "base")
+          .otherwise("cur").as("half"),
+        col("o_totalprice").as("price"))
+      val edges = o.filter(col("half") === "base")
+        .agg(expr("percentile_approx(price, " +
+          "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 1000000)")
+          .as("es"))
+      val bucketed = o.crossJoin(broadcast(edges))
+        .withColumn("bucket",
+          expr("aggregate(es, 0L, (acc, e) -> acc + IF(price >= e, 1L, 0L))"))
+      val counts = bucketed.groupBy("bucket").agg(
         sum(when(col("half") === "base", 1L).otherwise(0L)).as("n_base"),
         sum(when(col("half") === "cur", 1L).otherwise(0L)).as("n_cur"))
       val totals = counts.agg(
@@ -418,10 +454,31 @@ object Extended {
         "FROM events WHERE user_id < 20 ORDER BY event_id"),
     // count ratios are exact rationals; ln agrees to well under 6dp
     "qa_drift" ->
-      ("WITH o AS (SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 'base' ELSE 'cur' END AS half, " +
+      ("WITH o AS (SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'base' ELSE 'cur' END AS half, " +
         "CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket FROM orders), " +
         "c AS (SELECT bucket, CAST(sum(CASE WHEN half = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_base, " +
         "CAST(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur FROM o GROUP BY bucket), " +
+        "t AS (SELECT CAST(sum(n_base) AS DOUBLE) AS t_base, CAST(sum(n_cur) AS DOUBLE) AS t_cur FROM c) " +
+        "SELECT bucket, n_base, n_cur, " +
+        "CASE WHEN n_base > 0 AND n_cur > 0 THEN " +
+        "round((n_cur / t.t_cur - n_base / t.t_base) * ln((n_cur / t.t_cur) / (n_base / t.t_base)), 6) END AS psi_term " +
+        "FROM c, t ORDER BY bucket"),
+    // decile edges replay as explicit rank ceil(q*n) picks over the base
+    // half (the sketch's accuracy makes it exact at these n); bucket =
+    // number of edges <= price, same fold both engines
+    "qa_drift_quantile" ->
+      ("WITH o AS (SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'base' ELSE 'cur' END AS half, " +
+        "o_totalprice AS price FROM orders), " +
+        "r AS (SELECT price, row_number() OVER (ORDER BY price) AS rn, count(*) OVER () AS n " +
+        "FROM o WHERE half = 'base'), " +
+        "e AS (SELECT list(price ORDER BY price) AS es FROM r WHERE rn IN " +
+        "(CAST(ceil(0.1*n) AS BIGINT), CAST(ceil(0.2*n) AS BIGINT), CAST(ceil(0.3*n) AS BIGINT), " +
+        "CAST(ceil(0.4*n) AS BIGINT), CAST(ceil(0.5*n) AS BIGINT), CAST(ceil(0.6*n) AS BIGINT), " +
+        "CAST(ceil(0.7*n) AS BIGINT), CAST(ceil(0.8*n) AS BIGINT), CAST(ceil(0.9*n) AS BIGINT))), " +
+        "b AS (SELECT half, CAST(list_sum(list_transform(e.es, x -> CASE WHEN price >= x THEN 1 ELSE 0 END)) AS BIGINT) AS bucket " +
+        "FROM o, e), " +
+        "c AS (SELECT bucket, CAST(sum(CASE WHEN half = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_base, " +
+        "CAST(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur FROM b GROUP BY bucket), " +
         "t AS (SELECT CAST(sum(n_base) AS DOUBLE) AS t_base, CAST(sum(n_cur) AS DOUBLE) AS t_cur FROM c) " +
         "SELECT bucket, n_base, n_cur, " +
         "CASE WHEN n_base > 0 AND n_cur > 0 THEN " +
