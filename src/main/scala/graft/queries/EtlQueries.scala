@@ -89,18 +89,11 @@ object EtlQueries {
     "etl_export" -> ((s, d) => {
       val dir = java.nio.file.Paths
         .get(sys.props("java.io.tmpdir"), "graft_etl_export").toString
-      // Idempotence across SESSIONS: a fresh in-memory catalog doesn't
-      // know about a previous run's warehouse directory, so a bare
-      // saveAsTable would fail LOCATION_ALREADY_EXISTS (and TableSink
-      // swallows it, per reference semantics). Purge the stale locations
-      // the way a real deployment's DROP TABLE ... PURGE would.
-      val hadoopConf = s.sparkContext.hadoopConfiguration
-      Seq("graft_gexpo_nation", "graft_gexpo_region").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), t)
-        p.getFileSystem(hadoopConf).delete(p, true)
-      }
+      // Idempotence across SESSIONS: a previous run's warehouse dir
+      // would fail a bare saveAsTable with LOCATION_ALREADY_EXISTS
+      // (swallowed by TableSink, per reference semantics) — purge first.
+      Seq("graft_gexpo_nation", "graft_gexpo_region")
+        .foreach(TableSink.dropPurge(s, _))
       TableSink.writeTable(
         nation(s, d).select(col("n_nationkey").as("key"), col("n_name").as("name")),
         "graft_gexpo_nation")

@@ -21,6 +21,22 @@ object TableSink {
         false
     }
 
+  /** Drop a table from the catalog AND purge its warehouse directory —
+    * `DROP TABLE ... PURGE` semantics for the in-memory catalog. A fresh
+    * session's catalog doesn't know about a previous run's managed-table
+    * directory, so a bare `saveAsTable` would fail
+    * LOCATION_ALREADY_EXISTS (which [[writeTable]] then swallows, per
+    * reference semantics); purging the stale location first is the
+    * recovery every cross-session writer needs (spec'd in
+    * `TableSinkSpec`). */
+  def dropPurge(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
   /** Overwrite with Delta-style reader isolation, parquet-native: the
     * ref's `delta.columnMapping.mode=name` table (utils.py:139) gives
     * ACID overwrite-while-read, which plain parquet `overwrite` lacks —

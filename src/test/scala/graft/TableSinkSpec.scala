@@ -33,6 +33,25 @@ class TableSinkSpec extends SparkSpec {
     assert(!TableSink.writeTable(df, "not a legal.table.name!"))
   }
 
+  test("dropPurge recovers the LOCATION_ALREADY_EXISTS stale-directory failure") {
+    // simulate a PREVIOUS session's leftover: a warehouse dir the current
+    // catalog doesn't know about
+    val wh = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath, "tsink_stale")
+    wh.mkdirs()
+    val junk = new java.io.File(wh, "part-junk.parquet")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    val df = Seq((1, "a")).toDF("id", "v")
+    // the bare write hits LOCATION_ALREADY_EXISTS and is swallowed
+    assert(!TableSink.writeTable(df, "tsink_stale"),
+      "expected the stale-location write to fail-and-swallow")
+    // the documented recovery: purge, then write
+    TableSink.dropPurge(spark, "tsink_stale")
+    assert(!wh.exists, "dropPurge left the stale directory behind")
+    assert(TableSink.writeTable(df, "tsink_stale"))
+    assert(spark.table("tsink_stale").count() == 1)
+  }
+
   test("overwriteViaSwap keeps the new version plus keepVersions-1 old ones") {
     val base = java.nio.file.Files.createTempDirectory("tsink_swap").toString
     def write(n: Int) = TableSink.overwriteViaSwap(
