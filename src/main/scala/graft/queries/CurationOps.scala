@@ -214,6 +214,43 @@ object CurationOps {
         .orderBy("doc_id", "rank")
     }),
 
+    // BM25 relevance scoring against a fixed query — the retrieval
+    // ranking a training-data curator runs to mine topical documents
+    // (and the scoring half of a RAG retriever). Corpus stats (N, avgdl,
+    // per-term df) are tiny driver-independent aggregates that broadcast;
+    // the per-doc score is a narrow fold over at most |query| matched
+    // terms, so the whole ranking is one token-explode pass + small
+    // joins at any corpus size. Every arithmetic step is written
+    // identically in the oracle (same literal 2.2 = k1+1, same operator
+    // order), with per-term rounding at 6dp before the deterministic
+    // per-doc sum.
+    "ta_bm25" -> ((s, d) => {
+      val qTerms = Seq("window", "hash", "stream")
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // integer-valued doubles sum exactly below 2^53 → avgdl is
+      // reduction-order-independent
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      val qtoks = toks.filter(col("token").isin(qTerms: _*))
+      val tf = qtoks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = qtoks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val term = tf.join(broadcast(dfreq), "token")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("bm25_term",
+          round(col("idf") * col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+              lit(0.75) * col("dl") / col("avgdl"))), 6))
+      term.groupBy("doc_id")
+        .agg(round(sum("bm25_term"), 6).as("bm25_q6"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25_q6").desc, col("doc_id")).limit(20)
+        .orderBy(col("bm25_q6").desc, col("doc_id"))
+    }),
+
     // Edit-distance near-dup: prefix-blocked pairs, bounded-window
     // levenshtein verify.
     "dd_edit_distance" -> ((s, d) =>
@@ -359,6 +396,24 @@ object CurationOps {
         "array_to_string(ws[st:st+49], ' ') AS chunk, " +
         "CAST(len(ws[st:st+49]) AS BIGINT) AS n_tok " +
         "FROM c ORDER BY doc_id, chunk_idx"),
+    // arithmetic written step-for-step as the Spark side (literal 2.2,
+    // same operator order) so the doubles agree bit-for-bit before the
+    // 6dp round
+    "ta_bm25" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "toks AS (SELECT doc_id, unnest(ws) AS token FROM w), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), " +
+        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks " +
+        "WHERE token IN ('window', 'hash', 'stream') GROUP BY 1, 2), " +
+        "dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks " +
+        "WHERE token IN ('window', 'hash', 'stream') GROUP BY 1), " +
+        "term AS (SELECT tf.doc_id, " +
+        "round(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) * tf.tf * 2.2 / " +
+        "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6) AS bm25_term " +
+        "FROM tf JOIN dfreq f USING (token) JOIN dl USING (doc_id), stats s) " +
+        "SELECT doc_id, round(sum(bm25_term), 6) AS bm25_q6, count(*) AS n_terms " +
+        "FROM term GROUP BY 1 ORDER BY bm25_q6 DESC, doc_id LIMIT 20"),
     "dd_edit_distance" ->
       ("WITH b AS (SELECT doc_id, md5(substring(text, 1, 30)) AS blk, " +
         "substring(text, 1, 120) AS t FROM documents) " +

@@ -213,6 +213,49 @@ object EtlQueries {
         "c_custkey", carryCols = Seq("c_name"), trackCols = Seq("c_acctbal"),
         effDateCol = "eff_date", initDate = "1992-01-01")
         .orderBy("c_custkey", "valid_from")
+    }),
+
+    // CDC snapshot diff — the day's delta a warehouse ships downstream
+    // instead of re-publishing the table: the "new" snapshot drops every
+    // 13th key (deletes), shifts every surviving 11th key's balance by
+    // +100.50 (updates; an exact-2dp shift so no cross-engine rounding
+    // boundary exists), and lands 3 brand-new keys (inserts). Unchanged
+    // keys never leave the join.
+    "etl_cdc_diff" -> ((s, d) => {
+      val old = customer(s, d).select("c_custkey", "c_acctbal")
+      val neu = customer(s, d).filter(col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 11 === 0, col("c_acctbal") + 100.5)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .unionByName(customer(s, d).filter(col("c_custkey") <= 3)
+          .select((col("c_custkey") + 9000000).as("c_custkey"),
+            round(col("c_acctbal") * 2, 2).as("c_acctbal")))
+      graft.operators.Cdc.snapshotDiff(old, neu, "c_custkey", Seq("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // Incremental aggregation — materialized-view maintenance done the
+    // way 100 TB pipelines must: per-day PARTIAL aggregates persist to
+    // parquet in exact integer cents (associative, so the merge is
+    // bit-stable regardless of partition order — double partials would
+    // drift with reduction order), and the monthly rollup re-aggregates
+    // the ~2.4k partial rows instead of rescanning the fact table. The
+    // oracle aggregates the raw table directly: partial-then-merge must
+    // equal single-pass exactly.
+    "etl_incr_agg" -> ((s, d) => {
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_incr_agg_${s.sparkContext.applicationId}").toString
+      orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("month", "day")
+        .agg(sum("cents").as("cents"), count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("month")
+        .agg((sum("cents") / 100.0).as("revenue"), sum("n").as("n_orders"))
+        .orderBy("month")
     })
   )
 
@@ -425,6 +468,27 @@ object EtlQueries {
         "chain AS (SELECT c_custkey, c_name, c_acctbal, eff_date AS valid_from, " +
         "lead(eff_date) OVER (PARTITION BY c_custkey ORDER BY eff_date) AS valid_to FROM vers) " +
         "SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to, " +
-        "valid_to IS NULL AS is_current FROM chain ORDER BY c_custkey, valid_from")
+        "valid_to IS NULL AS is_current FROM chain ORDER BY c_custkey, valid_from"),
+    "etl_cdc_diff" ->
+      ("WITH o AS (SELECT c_custkey, c_acctbal FROM customer), " +
+        "n AS (SELECT c_custkey, CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100.5 " +
+        "ELSE c_acctbal END AS c_acctbal FROM customer WHERE c_custkey % 13 <> 0 " +
+        "UNION ALL SELECT c_custkey + 9000000, round(c_acctbal * 2, 2) " +
+        "FROM customer WHERE c_custkey <= 3), " +
+        "j AS (SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey, " +
+        "o.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal, " +
+        "o.c_custkey IS NOT NULL AS in_o, n.c_custkey IS NOT NULL AS in_n " +
+        "FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey) " +
+        "SELECT CASE WHEN NOT in_o THEN 'I' WHEN NOT in_n THEN 'D' " +
+        "WHEN old_c_acctbal IS DISTINCT FROM new_c_acctbal THEN 'U' END AS op, " +
+        "c_custkey, old_c_acctbal, new_c_acctbal FROM j " +
+        "WHERE (NOT in_o) OR (NOT in_n) OR (old_c_acctbal IS DISTINCT FROM new_c_acctbal) " +
+        "ORDER BY c_custkey"),
+    // partial-then-merge must equal the single-pass aggregate exactly:
+    // integer-cents partials are associative
+    "etl_incr_agg" ->
+      ("SELECT strftime(o_orderdate, '%Y-%m') AS month, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue, " +
+        "count(*) AS n_orders FROM orders GROUP BY 1 ORDER BY month")
   )
 }
