@@ -251,6 +251,23 @@ object CurationOps {
         .orderBy(col("bm25_q6").desc, col("doc_id"))
     }),
 
+    // Corpus bigram counts, top-20 — the n-gram statistics an LM data
+    // pipeline extracts for vocabulary/contamination analysis. The
+    // bigram explode is a narrow per-doc transform (no joins); counting
+    // is one keyed shuffle; top-k is a count-desc sort of the (bounded)
+    // distinct-bigram set, never of the corpus.
+    "ta_ngram_counts" -> ((s, d) => {
+      val bigrams = documents(s, d)
+        .select(TextOps.tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) > 1)
+        .select(explode(expr(
+          "transform(slice(ws, 1, size(ws) - 1), " +
+            "(w, i) -> concat(w, ' ', element_at(ws, i + 2)))")).as("bigram"))
+      bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20)
+        .orderBy(col("n").desc, col("bigram"))
+    }),
+
     // Edit-distance near-dup: prefix-blocked pairs, bounded-window
     // levenshtein verify.
     "dd_edit_distance" -> ((s, d) =>
@@ -414,6 +431,12 @@ object CurationOps {
         "FROM tf JOIN dfreq f USING (token) JOIN dl USING (doc_id), stats s) " +
         "SELECT doc_id, round(sum(bm25_term), 6) AS bm25_q6, count(*) AS n_terms " +
         "FROM term GROUP BY 1 ORDER BY bm25_q6 DESC, doc_id LIMIT 20"),
+    "ta_ngram_counts" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "bg AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bigram " +
+        "FROM w WHERE len(ws) > 1) " +
+        "SELECT bigram, count(*) AS n FROM bg GROUP BY 1 " +
+        "ORDER BY n DESC, bigram LIMIT 20"),
     "dd_edit_distance" ->
       ("WITH b AS (SELECT doc_id, md5(substring(text, 1, 30)) AS blk, " +
         "substring(text, 1, 120) AS t FROM documents) " +

@@ -306,6 +306,35 @@ object Extended {
             .cast("int").as("within_5pct"))
         .orderBy("event_type")),
 
+    // HLL sketch PARTIAL MERGE — the datasketches contract that makes
+    // distinct counts incremental at 100 TB: per-nation sketches build
+    // independently (one pass each, e.g. per ingest partition or per
+    // day) and union via register-wise max. In coupon (sparse) mode the
+    // merged estimate equals the direct one bit-for-bit; once sketches
+    // go dense the mode transitions make them differ slightly — so the
+    // checked contract is the ERROR BOUND: both the merged-partials
+    // estimate and the direct estimate must land within 5% of the exact
+    // count at every scale. The oracle asserts both flags and the
+    // exact counts.
+    "an_hll_merge" -> ((s, d) => {
+      val c = customer(s, d).join(nation(s, d),
+        col("c_nationkey") === col("n_nationkey"))
+      val partials = c.groupBy("n_regionkey", "n_nationkey")
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+      val merged = partials.groupBy("n_regionkey")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val direct = c.groupBy("n_regionkey")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("c_custkey"))).as("est_direct"),
+          countDistinct("c_custkey").as("exact_keys"))
+      direct.join(merged, "n_regionkey")
+        .select(col("n_regionkey"), col("exact_keys"),
+          (abs(col("est_merged") - col("exact_keys")) * 20 <= col("exact_keys"))
+            .cast("int").as("merged_within_5pct"),
+          (abs(col("est_direct") - col("exact_keys")) * 20 <= col("exact_keys"))
+            .cast("int").as("direct_within_5pct"))
+        .orderBy("n_regionkey")
+    }),
+
     // CUBE: all 2^k subtotal combinations in ONE aggregation pass —
     // grouping-set expansion before the single shuffle, like rollup.
     "an_cube_sets" -> ((s, d) =>
@@ -429,6 +458,11 @@ object Extended {
       ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
         "CAST(1 AS INTEGER) AS within_5pct " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "an_hll_merge" ->
+      ("SELECT n_regionkey, CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_keys, " +
+        "CAST(1 AS INTEGER) AS merged_within_5pct, CAST(1 AS INTEGER) AS direct_within_5pct " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_regionkey ORDER BY n_regionkey"),
     "an_rollup_sets" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +

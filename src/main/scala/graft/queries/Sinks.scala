@@ -107,6 +107,53 @@ object Sinks {
         .orderBy("l_partkey")
     }),
 
+    // S11 — TIME TRAVEL over the versioned swap sink: two overwrites land
+    // as immutable v<N> directories with the catalog view repointing
+    // (TableSink.overwriteViaSwap); reading the PREVIOUS version's path
+    // alongside the current view proves old versions stay intact after
+    // the swap — the read-side contract that makes overwrite-while-read
+    // safe and gives bounded time travel on plain parquet.
+    "s11_time_travel" -> ((s, d) => {
+      val base = tmp(s, "s11_tt")
+      val r = region(s, d).select("r_regionkey", "r_name")
+      val vPrev = graft.sources.TableSink.overwriteViaSwap(
+        r, "graft_tt_region", base)
+      graft.sources.TableSink.overwriteViaSwap(
+        r.filter(col("r_regionkey") < 2), "graft_tt_region", base)
+      val current = s.table("graft_tt_region").withColumn("src", lit("current"))
+      val travel = s.read.parquet(s"$base/graft_tt_region/v$vPrev")
+        .withColumn("src", lit("prev"))
+      current.unionByName(travel)
+        .select("src", "r_regionkey", "r_name")
+        .orderBy("src", "r_regionkey")
+    }),
+
+    // S12 — PERMISSIVE JSON-lines ingest with corrupt-record capture: a
+    // staged jsonl drop where every 7th line is malformed; bad lines
+    // surface in _corrupt_record with null data columns instead of
+    // failing the job — the ingest posture a 100 TB crawl feed needs
+    // (FAILFAST on petabyte inputs means one bad byte kills the run).
+    "s12_corrupt_json" -> ((s, d) => {
+      val dir = tmp(s, "s12_jsonl")
+      nation(s, d).select(
+        when(col("n_nationkey") % 7 === 0,
+          concat(lit("{corrupt "), col("n_name")))
+          .otherwise(to_json(struct(col("n_nationkey"), col("n_name"))))
+          .as("value"))
+        .coalesce(1).write.mode("overwrite").text(dir)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+        .select(col("n_nationkey").as("n_key"), col("n_name").as("n_nm"),
+          col("_corrupt_record").as("corrupt_raw"))
+        .orderBy(col("n_key").asc_nulls_last, col("corrupt_raw"))
+    }),
+
     // S7 — single-file CSV export with header (ref write_to_volume.py:15-16)
     "s7_csv_single_file" -> ((s, d) => {
       val dest = tmp(s, "s7.csv")
@@ -140,6 +187,15 @@ object Sinks {
     "s10_zorder" ->
       ("SELECT l_partkey, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem WHERE l_partkey BETWEEN 500 AND 600 " +
-        "GROUP BY l_partkey ORDER BY l_partkey")
+        "GROUP BY l_partkey ORDER BY l_partkey"),
+    "s11_time_travel" ->
+      ("SELECT 'current' AS src, r_regionkey, r_name FROM region WHERE r_regionkey < 2 " +
+        "UNION ALL SELECT 'prev', r_regionkey, r_name FROM region " +
+        "ORDER BY src, r_regionkey"),
+    "s12_corrupt_json" ->
+      ("SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_nationkey END AS n_key, " +
+        "CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_name END AS n_nm, " +
+        "CASE WHEN n_nationkey % 7 = 0 THEN '{corrupt ' || n_name END AS corrupt_raw " +
+        "FROM nation ORDER BY n_key ASC NULLS LAST, corrupt_raw")
   )
 }
