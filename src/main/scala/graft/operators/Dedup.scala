@@ -322,14 +322,24 @@ object Dedup {
     * cell index. At 100 TB this is a one-time map-only write (one narrow
     * kernel pass over the corpus, numBands rows per doc); each daily
     * batch then probes the index instead of recomputing corpus bands. */
+  /** Build-ONCE semantics: a completed index (parquet `_SUCCESS` marker
+    * present) is reused, not rebuilt — that is the operator's entire
+    * point (the corpus index amortizes over every ingest batch; callers
+    * indexing a different corpus must use a different `indexPath`, which
+    * the query layer does by keying the path on the fixture dir). Pass
+    * `rebuild = true` to force. */
   def buildBandIndex(
       corpus: DataFrame, idCol: String, textCol: String, indexPath: String,
-      k: Int = 3, numHashes: Int = 8): Unit =
-    withShinglesAndSigs(corpus, idCol, textCol, k, numHashes)
-      .select(col(idCol),
-        posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
-      .withColumn("band_pfx", bandPfxCol)
-      .write.mode("overwrite").partitionBy("band_pfx").parquet(indexPath)
+      k: Int = 3, numHashes: Int = 8, rebuild: Boolean = false): Unit = {
+    val done = new java.io.File(indexPath, "_SUCCESS")
+    if (rebuild || !done.isFile) {
+      withShinglesAndSigs(corpus, idCol, textCol, k, numHashes)
+        .select(col(idCol),
+          posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
+        .withColumn("band_pfx", bandPfxCol)
+        .write.mode("overwrite").partitionBy("band_pfx").parquet(indexPath)
+    }
+  }
 
   /** [[incrementalMinhashPairs]] against a PERSISTED corpus band index
     * ([[buildBandIndex]]'s output) instead of recomputing corpus bands

@@ -29,6 +29,21 @@ object StreamingQueries {
     rec(new java.io.File(path))
   }
 
+  /** A stateful streaming query fixes its state-store partition count
+    * from `spark.sql.shuffle.partitions` at FIRST start (it's baked into
+    * the checkpoint). Every partition carries a state store with real
+    * per-micro-batch overhead (provider init, snapshot, commit), so the
+    * count must be sized to the stream's key cardinality, not inherited
+    * from the batch default — 32 stores for a fixture-sized stream is
+    * pure fixed cost. Fresh checkpoints here make the re-size safe; at
+    * production volume this knob goes UP, and the queries are unchanged.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Windowed event-type counts, executed AS A STREAM: the fixture file
     // arrives through the file source, the watermarked tumbling-window
@@ -58,16 +73,18 @@ object StreamingQueries {
       val outDir = tmp(s, "win_out")
       val ckDir = tmp(s, "win_ck")
       rmrf(ckDir) // fresh checkpoint: each invocation reprocesses the file
-      val q = EventStream.windowedTypeCounts(stream, "10 minutes", "1 hour")
-        .writeStream
-        .outputMode("complete")
-        .option("checkpointLocation", ckDir)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("overwrite").parquet(outDir); ()
-        }
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = EventStream.windowedTypeCounts(stream, "10 minutes", "1 hour")
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(outDir); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(outDir)
         .select(
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -103,16 +120,18 @@ object StreamingQueries {
       val ckDir = tmp(s, "dedup_ck")
       rmrf(ckDir)
       rmrf(outDir)
-      val q = EventStream.dedupWithinWatermark(stream, "10 minutes")
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", ckDir)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(outDir); ()
-        }
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = EventStream.dedupWithinWatermark(stream, "10 minutes")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outDir); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(outDir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
@@ -160,16 +179,18 @@ object StreamingQueries {
       val ckDir = tmp(s, "sess_ck")
       rmrf(ckDir)
       rmrf(outDir)
-      val q = EventStream.sessionCounts(stream, "30 minutes", "10 minutes")
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", ckDir)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(outDir); ()
-        }
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = EventStream.sessionCounts(stream, "30 minutes", "10 minutes")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outDir); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(outDir)
         .filter(col("user_id") >= 0)
         .select(col("user_id"),
@@ -204,17 +225,19 @@ object StreamingQueries {
       val ckDir = tmp(s, "join_ck")
       rmrf(ckDir)
       rmrf(outDir)
-      val q = EventStream.joinWithinWindow(
-        side("purchase"), side("view"), "10 minutes", "30 minutes")
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", ckDir)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(outDir); ()
-        }
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = EventStream.joinWithinWindow(
+          side("purchase"), side("view"), "10 minutes", "30 minutes")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outDir); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(outDir)
         .select(col("user_id"),
           unix_micros(col("p_ts")).as("p_ts_us"), col("p_value"),
