@@ -25,7 +25,8 @@ object Explain {
         // build (a real job) — this main prints plans, it doesn't run jobs
         "sim_topk_ivfpq_refined", "dd_incremental",
         "ta_boilerplate", "etl_scd2_upsert", "an_funnel",
-        "an_cohort_retention")
+        "an_cohort_retention", "etl_scd2_chain", "etl_cdc_diff",
+        "ta_bm25", "ta_ngram_counts", "qa_drift_quantile")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -154,6 +154,21 @@ object Sinks {
         .orderBy(col("n_key").asc_nulls_last, col("corrupt_raw"))
     }),
 
+    // S13 — compression codec matrix: the same frame written snappy
+    // (scan-speed default), zstd (cold-storage ratio), and gzip (legacy
+    // interop), each read back through the codec's decode path. At
+    // 100 TB codec choice is a first-class knob (storage cost vs scan
+    // CPU); this pins that every tier round-trips bit-identically.
+    "s13_codec" -> ((s, d) => {
+      val base = tmp(s, "s13_codec")
+      val src = supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
+      Seq("snappy", "zstd", "gzip").map { c =>
+        src.write.mode("overwrite").option("compression", c).parquet(s"$base/$c")
+        s.read.parquet(s"$base/$c").withColumn("codec", lit(c))
+      }.reduce(_ unionByName _)
+        .orderBy("codec", "s_suppkey")
+    }),
+
     // S7 — single-file CSV export with header (ref write_to_volume.py:15-16)
     "s7_csv_single_file" -> ((s, d) => {
       val dest = tmp(s, "s7.csv")
@@ -196,6 +211,10 @@ object Sinks {
       ("SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_nationkey END AS n_key, " +
         "CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_name END AS n_nm, " +
         "CASE WHEN n_nationkey % 7 = 0 THEN '{corrupt ' || n_name END AS corrupt_raw " +
-        "FROM nation ORDER BY n_key ASC NULLS LAST, corrupt_raw")
+        "FROM nation ORDER BY n_key ASC NULLS LAST, corrupt_raw"),
+    "s13_codec" ->
+      ("SELECT codec, s_suppkey, s_name, s_acctbal FROM " +
+        "(SELECT unnest(['snappy', 'zstd', 'gzip']) AS codec), supplier " +
+        "ORDER BY codec, s_suppkey")
   )
 }
