@@ -301,4 +301,129 @@ object Multimodal {
       ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
     })
   }
+
+  // ---- Real codec path #3: RIFF/WAV PCM audio ----------------------------
+  // Audio is the third modality the multimodal pillar claims; this tier is
+  // a pure-Scala RIFF/WAV container codec (mono 16-bit PCM) with the same
+  // independent-ground-truth oracle contract as the PPM tier: the fixture
+  // samples come from a closed-form formula, the engine round-trips the
+  // actual WAV bytes, and the oracle evaluates the formula directly in SQL
+  // without touching the bytes.
+
+  case class WavAudio(sampleRate: Int, samples: Array[Short])
+
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+  private def getLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def getLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Encode mono 16-bit PCM as a RIFF/WAVE container: `RIFF` header,
+    * `fmt ` chunk (PCM, 1 channel, 16-bit), `data` chunk of little-endian
+    * samples. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    putLe32(out, 4, 36 + dataLen)
+    "WAVEfmt ".getBytes("US-ASCII").copyToArray(out, 8)
+    putLe32(out, 16, 16)               // fmt chunk size
+    out(20) = 1; out(21) = 0           // audio format: PCM
+    out(22) = 1; out(23) = 0           // channels: mono
+    putLe32(out, 24, sampleRate)
+    putLe32(out, 28, sampleRate * 2)   // byte rate
+    out(32) = 2; out(33) = 0           // block align
+    out(34) = 16; out(35) = 0          // bits per sample
+    "data".getBytes("US-ASCII").copyToArray(out, 36)
+    putLe32(out, 40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      out(44 + 2 * i) = samples(i).toByte
+      out(44 + 2 * i + 1) = (samples(i) >> 8).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Decode a RIFF/WAVE container by walking its chunk list (fmt/data can
+    * appear in any order, with unknown chunks skipped — the real container
+    * grammar, not a fixed-offset slice). Requires mono 16-bit PCM. */
+  def decodeWav(bytes: Array[Byte]): WavAudio = {
+    require(bytes.length >= 44 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE payload")
+    var pos = 12
+    var rate = -1
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length && (rate < 0 || samples == null)) {
+      val tag = new String(bytes, pos, 4, "US-ASCII")
+      val len = getLe32(bytes, pos + 4)
+      tag match {
+        case "fmt " =>
+          require(getLe16(bytes, pos + 8) == 1, "not PCM")
+          require(getLe16(bytes, pos + 10) == 1, "not mono")
+          require(getLe16(bytes, pos + 22) == 16, "not 16-bit")
+          rate = getLe32(bytes, pos + 12)
+        case "data" =>
+          samples = new Array[Short](len / 2)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = getLe16(bytes, pos + 8 + 2 * i).toShort
+            i += 1
+          }
+        case _ => // skip unknown chunk
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(rate > 0 && samples != null, "missing fmt or data chunk")
+    WavAudio(rate, samples)
+  }
+
+  /** Real audio resample through the codec: decode → decimate to `outN`
+    * samples by nearest-index remap (`out(j) = s(j·n/outN)`) → re-encode.
+    * The sample rate is preserved (this models frame-count normalization
+    * for fixed-width model inputs, not pitch-correct resampling). */
+  def resampleWav(bytes: Array[Byte], outN: Int): Array[Byte] = {
+    val wav = decodeWav(bytes)
+    val out = new Array[Short](outN)
+    var j = 0
+    while (j < outN) {
+      out(j) = wav.samples(j * wav.samples.length / outN)
+      j += 1
+    }
+    encodeWav(wav.sampleRate, out)
+  }
+
+  case class WavFeature(
+      doc_id: Long, sample_rate: Int, n_samples: Int,
+      sum_amp: Long, sum_abs: Long, peak: Int, zero_cross: Long)
+
+  /** Batched per-partition REAL WAV decode → exact integer signal
+    * statistics (sum, absolute sum, peak amplitude, zero crossings) —
+    * hash-stable, so the cross-engine compare is exact. Narrow map, the
+    * [[ppmChannelSums]] shape with an audio codec inside. */
+  def wavStats(assets: DataFrame): Dataset[WavFeature] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val wav = decodeWav(bytes)
+        var (sum, sumAbs, zc) = (0L, 0L, 0L)
+        var peak = 0
+        var i = 0
+        while (i < wav.samples.length) {
+          val s = wav.samples(i).toInt
+          sum += s
+          sumAbs += math.abs(s)
+          if (math.abs(s) > peak) peak = math.abs(s)
+          if (i > 0 && (s >= 0) != (wav.samples(i - 1) >= 0)) zc += 1
+          i += 1
+        }
+        WavFeature(id, wav.sampleRate, wav.samples.length, sum, sumAbs, peak, zc)
+      })
+  }
 }

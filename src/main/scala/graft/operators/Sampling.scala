@@ -27,6 +27,19 @@ object Sampling {
   def bernoulli(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(hashBucket16(col(keyCol)) < math.round(rate * 65536).toInt)
 
+  /** Weighted Bernoulli (Poisson) sampling: per-row inclusion probability
+    * PROPORTIONAL to an integer weight column — `P(keep) = min(1,
+    * w·num/65536)` — the importance-sampling form curation pipelines use
+    * to over-select long or high-quality documents. Same determinism
+    * contract as [[bernoulli]]: content-hash threshold, no RNG, a pure
+    * narrow filter that pushes to the scan, membership stable under
+    * appends and repartitions. The threshold arithmetic is exact-integer
+    * on both engines, so the sample is bit-reproducible in the oracle. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      num: Int): DataFrame =
+    df.filter(hashBucket16(col(keyCol)) <
+      least(col(weightCol).cast("long") * num, lit(65536L)))
+
   /** Domain-mixture resampling: derive per-stratum keep thresholds that
     * steer the OBSERVED stratum counts toward `targetWeights` at
     * `outputFraction` of the corpus, then apply the same deterministic

@@ -121,6 +121,15 @@ object CurationOps {
           Sampling.hashBucket16(col("doc_id")).as("bucket"))
         .orderBy("doc_id")),
 
+    // Weighted (importance) sampling: inclusion probability proportional
+    // to document length — P ≈ n_chars·13/65536 — as a deterministic
+    // scan-side filter, no RNG
+    "ta_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(documents(s, d), "doc_id", "n_chars", num = 13)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          Sampling.hashBucket16(col("doc_id")).as("bucket"))
+        .orderBy("doc_id")),
+
     // Array-function battery over the token arrays: size/slice/sort/
     // contains/distinct/reverse — the §2.7-style breadth for collection
     // columns. `get` (0-based, null OOB) instead of element_at keeps the
@@ -348,6 +357,13 @@ object CurationOps {
         "FROM documents " +
         "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) < " +
         "CASE WHEN source = 'src0' THEN 13107 ELSE 6554 END " +
+        "ORDER BY doc_id"),
+    // exact-integer weighted threshold: bucket < min(n_chars·13, 65536)
+    "ta_weighted_sample" ->
+      ("SELECT doc_id, source, n_chars, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS bucket " +
+        "FROM documents " +
+        "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) < " +
+        "least(CAST(n_chars AS BIGINT) * 13, 65536) " +
         "ORDER BY doc_id"),
     // ws[1:3] / ws[-1] clamp on short lists exactly like Spark's
     // slice/get-null behavior

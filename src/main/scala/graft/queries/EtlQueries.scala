@@ -256,6 +256,30 @@ object EtlQueries {
         .groupBy("month")
         .agg((sum("cents") / 100.0).as("revenue"), sum("n").as("n_orders"))
         .orderBy("month")
+    }),
+
+    // General MERGE INTO: one change set carrying updates (every 7th
+    // key: +100 balance), deletes (every 13th key), and inserts (every
+    // 11th key re-landed under a new id) applied to the customer table
+    // in ONE full-outer-join pass — the Delta-style upsert the
+    // reference's notebooks hand-roll with pandas concat/dedup.
+    "etl_merge" -> ((s, d) => {
+      val cust = customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val changes = cust
+        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 13 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          // exact IEEE shift, no rounding boundary (the etl_cdc_diff trick)
+          (col("c_acctbal") + 100).as("c_acctbal"),
+          col("c_mktsegment"),
+          (col("c_custkey") % 13 === 0).as("is_delete"))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 9000000).as("c_custkey"), col("c_name"),
+            col("c_acctbal"), col("c_mktsegment"),
+            lit(false).as("is_delete")))
+      graft.operators.Merge.mergeInto(cust, changes, "c_custkey",
+        Seq("c_name", "c_acctbal", "c_mktsegment"), col("s.is_delete"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -489,6 +513,25 @@ object EtlQueries {
     "etl_incr_agg" ->
       ("SELECT strftime(o_orderdate, '%Y-%m') AS month, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue, " +
-        "count(*) AS n_orders FROM orders GROUP BY 1 ORDER BY month")
+        "count(*) AS n_orders FROM orders GROUP BY 1 ORDER BY month"),
+    // MERGE replay: matched rows take source values (update) unless the
+    // delete flag fires; source-only rows insert; target-only rows carry
+    "etl_merge" ->
+      ("WITH t AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer), " +
+        "src AS (SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal, c_mktsegment, " +
+        "c_custkey % 13 = 0 AS is_delete FROM customer " +
+        "WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0 " +
+        "UNION ALL SELECT c_custkey + 9000000, c_name, c_acctbal, c_mktsegment, FALSE " +
+        "FROM customer WHERE c_custkey % 11 = 0), " +
+        "j AS (SELECT t.c_custkey AS tk, s.c_custkey AS sk, " +
+        "t.c_name AS tn, s.c_name AS sn, t.c_acctbal AS tb, s.c_acctbal AS sb, " +
+        "t.c_mktsegment AS tm, s.c_mktsegment AS sm, s.is_delete AS del " +
+        "FROM t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey) " +
+        "SELECT coalesce(sk, tk) AS c_custkey, " +
+        "CASE WHEN sk IS NOT NULL THEN sn ELSE tn END AS c_name, " +
+        "CASE WHEN sk IS NOT NULL THEN sb ELSE tb END AS c_acctbal, " +
+        "CASE WHEN sk IS NOT NULL THEN sm ELSE tm END AS c_mktsegment " +
+        "FROM j WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND coalesce(del, FALSE)) " +
+        "ORDER BY c_custkey")
   )
 }

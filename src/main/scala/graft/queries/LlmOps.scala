@@ -440,6 +440,43 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // REAL audio decode: each doc becomes a deterministic synthetic WAV
+    // (mono 16-bit PCM; length, rate, and samples are closed-form
+    // functions of doc_id), the engine round-trips the actual RIFF bytes
+    // (encode → chunk-walk decode → exact integer signal stats), and the
+    // oracle evaluates the sample formula directly in SQL — independent
+    // ground truth for the audio tier, the PPM/PNG contract.
+    "mm_wav_stats" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 64 + (id % 33).toInt
+          val rate = 8000 + (id % 4).toInt * 4000
+          val samples = Array.tabulate(n)(i =>
+            ((id * 31 + 7919L * i) % 4096 - 2048).toShort)
+          (id, Multimodal.encodeWav(rate, samples))
+        }).toDF("doc_id", "content")
+        .transform(df => Multimodal.wavStats(df).toDF())
+        .orderBy("doc_id")
+    }),
+
+    // REAL audio resample through the codec: decode → nearest-index
+    // decimation to 32 samples → re-encode → decode again for the stats.
+    // Oracle evaluates the formula at the remapped indices (j·n/32).
+    "mm_wav_resample" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 64 + (id % 33).toInt
+          val rate = 8000 + (id % 4).toInt * 4000
+          val samples = Array.tabulate(n)(i =>
+            ((id * 31 + 7919L * i) % 4096 - 2048).toShort)
+          (id, Multimodal.resampleWav(Multimodal.encodeWav(rate, samples), 32))
+        }).toDF("doc_id", "content")
+        .transform(df => Multimodal.wavStats(df).toDF())
+        .orderBy("doc_id")
+    }),
+
     // Incremental near-dup: the doc_id % 5 == 0 slice plays a fresh
     // ingest batch deduping against the standing corpus (the other 4/5)
     // and itself — the corpus never pairs with itself. The oracle is the
@@ -1102,6 +1139,38 @@ object LlmOps {
     "mm_jpeg_dims" ->
       ("SELECT doc_id, 'jpeg' AS format, CAST(8 + doc_id % 9 AS INTEGER) AS width, " +
         "CAST(6 + doc_id % 7 AS INTEGER) AS height FROM documents ORDER BY doc_id"),
+    // independent ground truth for the audio tier: the sample formula
+    // aggregated in SQL over the per-doc sample index range — never
+    // touching the RIFF bytes the Spark side decodes
+    "mm_wav_stats" ->
+      ("WITH p AS (SELECT doc_id, 64 + doc_id % 33 AS n FROM documents), " +
+        "s AS (SELECT p.doc_id, p.n, i, " +
+        "(p.doc_id * 31 + 7919 * i) % 4096 - 2048 AS v, " +
+        "(p.doc_id * 31 + 7919 * (i - 1)) % 4096 - 2048 AS pv " +
+        "FROM p, range(0, 97) t(i) WHERE i < p.n) " +
+        "SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate, " +
+        "CAST(n AS INTEGER) AS n_samples, " +
+        "CAST(sum(v) AS BIGINT) AS sum_amp, " +
+        "CAST(sum(abs(v)) AS BIGINT) AS sum_abs, " +
+        "CAST(max(abs(v)) AS INTEGER) AS peak, " +
+        "CAST(sum(CASE WHEN i >= 1 AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross " +
+        "FROM s GROUP BY doc_id, n ORDER BY doc_id"),
+    // remapped ground truth: resampled index j reads source index
+    // (j·n)/32 with truncating integer division — the formula evaluates
+    // at the REMAPPED indices, never touching the re-encoded bytes
+    "mm_wav_resample" ->
+      ("WITH p AS (SELECT doc_id, 64 + doc_id % 33 AS n FROM documents), " +
+        "s AS (SELECT p.doc_id, i, " +
+        "(p.doc_id * 31 + 7919 * ((i * p.n) // 32)) % 4096 - 2048 AS v, " +
+        "(p.doc_id * 31 + 7919 * (((i - 1) * p.n) // 32)) % 4096 - 2048 AS pv " +
+        "FROM p, range(0, 32) t(i)) " +
+        "SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate, " +
+        "CAST(32 AS INTEGER) AS n_samples, " +
+        "CAST(sum(v) AS BIGINT) AS sum_amp, " +
+        "CAST(sum(abs(v)) AS BIGINT) AS sum_abs, " +
+        "CAST(max(abs(v)) AS INTEGER) AS peak, " +
+        "CAST(sum(CASE WHEN i >= 1 AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross " +
+        "FROM s GROUP BY doc_id ORDER BY doc_id"),
     "mm_frame_sample" ->
       ("WITH f AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_bytes, " +
         "unnest([0, 1, 2, 3]) AS frame_idx FROM documents) " +

@@ -133,4 +133,49 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).mime == "text/plain;resized")
     assert(out(1).n_bytes == 5L) // "bonjo"
   }
+
+  test("WAV encode→decode roundtrips samples and rate exactly") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
+    val wav = Multimodal.decodeWav(Multimodal.encodeWav(44100, samples))
+    assert(wav.sampleRate == 44100)
+    assert(wav.samples.toSeq == samples.toSeq)
+  }
+
+  test("WAV decode walks the chunk list, skipping unknown chunks") {
+    val base = Multimodal.encodeWav(8000, Array[Short](5, -5))
+    // splice a LIST chunk (odd length → padded) between fmt and data
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = base.take(36) ++ extra ++ base.drop(36)
+    // RIFF size field is informational for our walker; fix it anyway
+    val wav = Multimodal.decodeWav(spliced)
+    assert(wav.sampleRate == 8000 && wav.samples.toSeq == Seq[Short](5, -5))
+  }
+
+  test("WAV decode rejects non-RIFF and non-PCM payloads") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("not audio at all, just bytes".getBytes ++
+        new Array[Byte](44))
+    }
+    val bad = Multimodal.encodeWav(8000, Array[Short](1))
+    bad(20) = 3 // claim IEEE-float format
+    intercept[IllegalArgumentException](Multimodal.decodeWav(bad))
+  }
+
+  test("resampleWav decimates by nearest index through a real re-encode") {
+    val wav = Multimodal.decodeWav(Multimodal.resampleWav(
+      Multimodal.encodeWav(16000, Array.tabulate[Short](8)(i => (i * 10).toShort)), 4))
+    // out(j) = s(j*8/4): indices 0, 2, 4, 6
+    assert(wav.samples.toSeq == Seq[Short](0, 20, 40, 60))
+    assert(wav.sampleRate == 16000)
+  }
+
+  test("wavStats decodes real RIFF bytes distributed with exact stats") {
+    val df = Seq(
+      (1L, Multimodal.encodeWav(8000, Array[Short](3, -4, 5, -6))))
+      .toDF("doc_id", "content")
+    val out = Multimodal.wavStats(df).collect()
+    // sum=-2, sumAbs=18, peak=6, crossings at every step
+    assert(out.head == Multimodal.WavFeature(1L, 8000, 4, -2L, 18L, 6, 3L))
+  }
 }
