@@ -302,6 +302,101 @@ object Multimodal {
     })
   }
 
+  // ---- Real codec path #4: multi-frame GIF (video-frame extraction) ------
+  // The byte-slice frame sampler models the SHAPE of frame extraction;
+  // this tier does the real thing on a real container: frames are written
+  // into one animated-GIF payload (JDK ImageIO sequence writer) and read
+  // back frame-by-frame. GIF is palette-indexed, so frames use an explicit
+  // 256-level grayscale palette — the round trip is lossless and the
+  // formula oracle holds bit-exactly per frame.
+
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Encode `nFrames` grayscale frames as ONE animated GIF payload via the
+    * JDK's ImageIO sequence writer. `gray(frame, x, y)` ∈ [0, 256). */
+  def encodeGifFrames(width: Int, height: Int, nFrames: Int,
+      gray: (Int, Int, Int) => Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      // The JDK GIF writer defaults to interlaced row order, which its own
+      // reader mis-reassembles for short images (rows land permuted/zeroed).
+      // Non-interlaced output round-trips bit-exactly.
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0, gray(f, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    baos.toByteArray
+  }
+
+  case class GifFrame(
+      doc_id: Long, frame_idx: Int, width: Int, height: Int, sum_gray: Long)
+
+  /** Batched per-partition REAL frame extraction: each GIF payload is
+    * parsed by the JDK codec, every contained frame decoded
+    * (`reader.read(i)`), and reduced to an exact gray-channel sum — the
+    * 1-to-N output shape of video frame extraction with a real container
+    * parse inside. Narrow flatMap, no shuffle. */
+  def gifFrameSums(assets: DataFrame): Dataset[GifFrame] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"asset $id: not a decodable image payload")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n).map { i =>
+              val img = reader.read(i)
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum += (img.getRGB(x, y) >> 16) & 0xff // gray: r == g == b
+                  x += 1
+                }
+                y += 1
+              }
+              GifFrame(id, i, img.getWidth, img.getHeight, sum)
+            }
+          } finally reader.dispose()
+        } finally iis.close()
+      })
+  }
+
   // ---- Real codec path #3: RIFF/WAV PCM audio ----------------------------
   // Audio is the third modality the multimodal pillar claims; this tier is
   // a pure-Scala RIFF/WAV container codec (mono 16-bit PCM) with the same

@@ -477,6 +477,27 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // REAL video-shaped extraction: each doc becomes a deterministic
+    // multi-frame animated GIF (frame count, dims, and pixels are
+    // functions of doc_id), the engine parses the actual container via
+    // the JDK codec (getNumImages → read(i) per frame → gray sums), and
+    // the oracle evaluates the pixel formula per (frame, x, y) directly
+    // in SQL — independent ground truth for 1-to-N frame extraction
+    // through a real palette-indexed codec.
+    "mm_gif_frames" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 6 + (id % 7).toInt
+          val nf = 2 + (id % 4).toInt
+          (id, Multimodal.encodeGifFrames(w, h, nf, (f, x, y) =>
+            ((id * 5 + 50L * f + 7L * x + 13L * y) % 256).toInt))
+        }).toDF("doc_id", "content")
+        .transform(df => Multimodal.gifFrameSums(df).toDF())
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Incremental near-dup: the doc_id % 5 == 0 slice plays a fresh
     // ingest batch deduping against the standing corpus (the other 4/5)
     // and itself — the corpus never pairs with itself. The oracle is the
@@ -1188,6 +1209,18 @@ object LlmOps {
         "CAST(sum((d.doc_id * 3 + 3 * ((x * d.w) // 8) + 17 * ((y * d.h) // 6)) % 256) AS BIGINT) AS sum_b " +
         "FROM dims d, range(0, 8) tx(x), range(0, 6) ty(y) " +
         "GROUP BY d.doc_id ORDER BY d.doc_id"),
+    // independent ground truth for the multi-frame tier: the pixel
+    // formula summed per (doc, frame) in SQL — never touches the GIF
+    // container bytes the Spark side parses frame-by-frame
+    "mm_gif_frames" ->
+      ("WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h, " +
+        "2 + doc_id % 4 AS nf FROM documents) " +
+        "SELECT p.doc_id, CAST(f AS INTEGER) AS frame_idx, " +
+        "CAST(p.w AS INTEGER) AS width, CAST(p.h AS INTEGER) AS height, " +
+        "CAST(sum((p.doc_id * 5 + 50 * f + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_gray " +
+        "FROM p, range(0, 6) tf(f), range(0, 16) tx(x), range(0, 12) ty(y) " +
+        "WHERE f < p.nf AND x < p.w AND y < p.h " +
+        "GROUP BY p.doc_id, f, p.w, p.h ORDER BY p.doc_id, f"),
     "ta_decontaminate" -> decontaminateOracleSql,
     // the capstone replay: gate + keep-first dedup CTEs (llm_curate's),
     // contamination CTEs (ta_decontaminate's), split cut points

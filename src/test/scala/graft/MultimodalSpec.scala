@@ -170,6 +170,22 @@ class MultimodalSpec extends SparkSpec {
     assert(wav.sampleRate == 16000)
   }
 
+  test("GIF multi-frame encode→decode is lossless on the gray palette") {
+    val bytes = Multimodal.encodeGifFrames(4, 3, 3,
+      (f, x, y) => (f * 50 + x * 10 + y * 20) % 256)
+    val df = Seq((5L, bytes)).toDF("doc_id", "content")
+    val out = Multimodal.gifFrameSums(df).collect().sortBy(_.frame_idx)
+    assert(out.length == 3)
+    // frame f sum = Σ (f*50 + x*10 + y*20) % 256 over 4x3 grid
+    def expect(f: Int) = (for (x <- 0 until 4; y <- 0 until 3)
+      yield (f * 50 + x * 10 + y * 20) % 256).sum.toLong
+    out.foreach { fr =>
+      assert(fr.width == 4 && fr.height == 3)
+      assert(fr.sum_gray == expect(fr.frame_idx),
+        s"frame ${fr.frame_idx}: ${fr.sum_gray} != ${expect(fr.frame_idx)}")
+    }
+  }
+
   test("wavStats decodes real RIFF bytes distributed with exact stats") {
     val df = Seq(
       (1L, Multimodal.encodeWav(8000, Array[Short](3, -4, 5, -6))))
