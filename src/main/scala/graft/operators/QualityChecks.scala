@@ -31,6 +31,31 @@ object QualityChecks {
       .select(col("r.rule"), col("r.violations"))
   }
 
+  /** Row-level expectation routing (the Delta-Live-Tables/Great-
+    * Expectations "quarantine" shape): every row gains `failed_rules`,
+    * the names of the rules it violates in declaration order, built as
+    * one narrow projection — no per-rule scan, no shuffle, and the
+    * split into a valid stream (`failed_rules` empty) and a quarantine
+    * stream (non-empty) is two filters over the SAME stage, so Catalyst
+    * shares the scan when both sinks run in one action. Null predicate
+    * results fail the rule (unknown is not a pass). */
+  def withFailedRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val hits = rules.map { case (name, pred) =>
+      when(!coalesce(pred, lit(false)), lit(name))
+    }
+    df.withColumn("failed_rules",
+      filter(array(hits: _*), c => c.isNotNull))
+  }
+
+  /** The quarantine stream: rows failing at least one expectation. */
+  def quarantine(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    withFailedRules(df, rules).filter(size(col("failed_rules")) > 0)
+
+  /** The valid stream: rows passing every expectation. */
+  def expectAll(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    withFailedRules(df, rules).filter(size(col("failed_rules")) === 0)
+      .drop("failed_rules")
+
   /** Count of rows sharing a key with at least one other row. */
   def duplicateKeyCount(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*)

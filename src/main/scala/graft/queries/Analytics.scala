@@ -107,6 +107,26 @@ object Analytics {
         .orderBy(col("support").desc, col("part_a"), col("part_b"))
     }),
 
+    // Top-k per group via rank pushdown: row_number ≤ k directly above
+    // the window lets Catalyst infer a WindowGroupLimit, so each map
+    // task keeps only its per-group top k BEFORE the shuffle (partial
+    // limit) and each reduce task re-limits after (final). At 100 TB
+    // this is the difference between shuffling the whole fact table and
+    // shuffling ≤ k rows per (group × input partition) — pinned in
+    // PlanSpec so a refactor that breaks the inference fails the build.
+    "an_topk_per_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bal = cents(col("c_acctbal"))
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("acctbal_cents").desc, col("c_custkey").asc)
+      customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"),
+          bal.as("acctbal_cents"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("c_nationkey", "rk")
+    }),
+
     // Weekly cohort retention: cohort = Monday-truncated week of the
     // user's first event; each (cohort, weeks-since) cell counts the
     // cohort's users active that week.
@@ -167,6 +187,16 @@ object Analytics {
         "AND a.l_partkey < b.l_partkey " +
         "GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2 " +
         "ORDER BY support DESC, part_a, part_b"),
+    // cents-ranked with custkey tie-break → fully deterministic order;
+    // DuckDB row_number is BIGINT, Spark's is INT — cast to match
+    "an_topk_per_group" ->
+      ("WITH r AS (SELECT c_nationkey, c_custkey, " +
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents, " +
+        "row_number() OVER (PARTITION BY c_nationkey " +
+        "ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_custkey ASC) AS rk " +
+        "FROM customer) " +
+        "SELECT c_nationkey, c_custkey, acctbal_cents, CAST(rk AS INTEGER) AS rk " +
+        "FROM r WHERE rk <= 3 ORDER BY c_nationkey, rk"),
     // date_trunc('week') is Monday-based on both engines; the session
     // timezone is UTC on both
     "an_cohort_retention" ->

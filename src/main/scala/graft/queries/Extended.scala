@@ -52,6 +52,26 @@ object Extended {
       rules.unionByName(dup).unionByName(orphans).orderBy("rule")
     }),
 
+    // Row-level expectation routing: each document carries the list of
+    // expectations it fails (declaration order), and the quarantine
+    // stream is the non-empty-list filter — ONE narrow projection over
+    // the scan, no shuffle, no per-rule pass. The valid/quarantine split
+    // is two filters over the same stage, so a pipeline writing both
+    // sinks shares the scan. The aggregate rule-count view of the same
+    // gate is qa_constraints; this is the row-routing half of the
+    // expectations pattern.
+    "qa_expectations" -> ((s, d) => {
+      val rules = Seq(
+        "lang_known" -> col("lang").isin("en", "de", "fr"),
+        "min_length" -> (col("n_chars") >= 200),
+        "has_space" -> col("text").contains(" "))
+      graft.operators.QualityChecks
+        .quarantine(documents(s, d), rules)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          concat_ws(",", col("failed_rules")).as("failed"))
+        .orderBy("doc_id")
+    }),
+
     // Bucketed co-located join as a CORRECTNESS row: both sides written
     // bucketed+sorted on the join key, so the sort-merge join elides BOTH
     // exchanges and sorts (BucketingSpec pins that plan) — here the
@@ -434,6 +454,17 @@ object Extended {
         "UNION ALL SELECT 'orderkey_unique', CAST(coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT) " +
         "UNION ALL SELECT 'custkey_exists', CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)" +
         ") ORDER BY rule"),
+    // list_filter replays Spark's filter(array(...), isNotNull) with the
+    // same declaration order; NOT coalesce(pred, false) fails nulls on
+    // both engines
+    "qa_expectations" ->
+      ("WITH r AS (SELECT doc_id, lang, n_chars, list_filter([" +
+        "CASE WHEN NOT coalesce(lang IN ('en','de','fr'), FALSE) THEN 'lang_known' END, " +
+        "CASE WHEN NOT coalesce(n_chars >= 200, FALSE) THEN 'min_length' END, " +
+        "CASE WHEN NOT coalesce(contains(text, ' '), FALSE) THEN 'has_space' END" +
+        "], x -> x IS NOT NULL) AS fr FROM documents) " +
+        "SELECT doc_id, lang, n_chars, array_to_string(fr, ',') AS failed " +
+        "FROM r WHERE len(fr) > 0 ORDER BY doc_id"),
     "j6_bucketed_join" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name, c_mktsegment " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +

@@ -32,6 +32,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out == Map("k_not_null" -> 0L, "name's quoted" -> 0L))
   }
 
+  test("expectation split partitions the input; null predicates quarantine") {
+    import graft.operators.QualityChecks
+    val df = Seq(
+      (1L, Some("ok long enough"), 10),
+      (2L, None, 10),            // null text → text_present fails (unknown ≠ pass)
+      (3L, Some("short"), -1),   // n_pos fails
+      (4L, None, 0))             // both fail
+      .toDF("id", "text", "n")
+    val rules = Seq(
+      "text_present" -> col("text").isNotNull,
+      "n_pos" -> (col("n") > 0))
+    val valid = QualityChecks.expectAll(df, rules)
+    val quar = QualityChecks.quarantine(df, rules)
+    assert(valid.select("id").as[Long].collect().toSet == Set(1L))
+    val failed = quar.select(col("id"), concat_ws(",", col("failed_rules")))
+      .as[(Long, String)].collect().toMap
+    assert(failed == Map(
+      2L -> "text_present", 3L -> "n_pos", 4L -> "text_present,n_pos"))
+    // the two streams partition the input exactly
+    assert(valid.count() + quar.count() == df.count())
+  }
+
   test("intervalJoin: inclusive bounds, multi-bucket spans, empty interval side") {
     import graft.operators.TimeSeries
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -172,6 +172,20 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "no broadcast join has the bloom gate below it (scan side)")
   }
 
+  test("top-k per group plans a WindowGroupLimit below the shuffle") {
+    val plan = planOf("an_topk_per_group")
+    val limits = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    // InferWindowGroupLimit plants a Partial limit below the exchange
+    // and a Final above it: each map task ships ≤ k rows per group
+    // instead of the whole table
+    assert(limits.size >= 2,
+      s"rank-limit pushdown not inferred (got ${limits.size} WindowGroupLimitExec):\n$plan")
+    assert(limits.exists(_.mode.toString.contains("Partial")),
+      "no partial (pre-shuffle) WindowGroupLimit")
+  }
+
   test("single-pass rollup aggregates with exactly one pre-window shuffle pair") {
     val shuffles = collectWithSubqueries(planOf("etl_rollup")) {
       case e: ShuffleExchangeExec => e
