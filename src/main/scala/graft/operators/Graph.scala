@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond connected components (Dedup): a
+  * fixed-iteration PageRank in EXACT scaled-integer arithmetic.
+  *
+  * Floating-point PageRank sums neighbor contributions in partition
+  * order, so two engines (or two runs) disagree in the last ulps and a
+  * hash-compare gate can never pin it. This implementation keeps every
+  * rank as a scaled BIGINT (`scale` = 1e12 by default): contributions
+  * divide by out-degree with truncating integer `div`, the damping mix
+  * is integer `15·S/(100·N) + 85·Σ/100`, and integer addition is
+  * associative — the result is bit-identical regardless of partition
+  * count, join order, or engine. The deliberate cost is ≤ 1 ulp of
+  * scaled truncation per edge per iteration, which is part of the
+  * operator's CONTRACT (the oracle replays the identical formula).
+  *
+  * Scale shape per iteration: one join of edges to the rank table on
+  * src (both sides hash-partitioned on src — the rank side is
+  * node-sized, NOT broadcast, so 100 TB graphs with billions of nodes
+  * hold), one groupBy(dst) sum. Iterations are a driver-side loop over
+  * a bounded count; for deep iteration counts the lazy-checkpoint
+  * pattern from Dedup.connectedComponents applies unchanged.
+  */
+object Graph {
+
+  /** `iters` rounds of damped PageRank over a directed edge list.
+    * Returns (id, rank_scaled). Dangling mass is dropped (the classic
+    * simplified formulation — every node still receives the teleport
+    * term). Deterministic: all arithmetic is integer. */
+  def pageRankScaled(
+      edges: DataFrame, src: String, dst: String,
+      iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // N and the teleport term are scalars of a bounded aggregate
+    val n = nodes.count()
+    val teleport = (15L * scale) / (100L * n)
+    var ranks = nodes.withColumn("r", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("c"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            expr("85 * coalesce(c, cast(0 as bigint)) div 100")).as("r"))
+    }
+    ranks.select(col("id"), col("r").as("rank_scaled"))
+  }
+}

@@ -127,6 +127,28 @@ object Analytics {
         .orderBy("c_nationkey", "rk")
     }),
 
+    // PageRank over the co-purchase graph: nodes are parts, edges both
+    // directions of each supported basket pair. Exact scaled-integer
+    // arithmetic (Graph.pageRankScaled) makes the 3-iteration result
+    // bit-identical across engines — the oracle unrolls the identical
+    // integer formula in SQL, so this is a true cross-engine replay of
+    // an ITERATIVE distributed algorithm on the hash gate.
+    "an_pagerank" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      val pairs = a.join(b, "l_orderkey")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+      val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
+        .unionByName(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+      graft.operators.Graph.pageRankScaled(edges, "src", "dst", iters = 3)
+        .orderBy(col("rank_scaled").desc, col("id"))
+    }),
+
     // Weekly cohort retention: cohort = Monday-truncated week of the
     // user's first event; each (cohort, weeks-since) cell counts the
     // cohort's users active that week.
@@ -197,6 +219,32 @@ object Analytics {
         "FROM customer) " +
         "SELECT c_nationkey, c_custkey, acctbal_cents, CAST(rk AS INTEGER) AS rk " +
         "FROM r WHERE rk <= 3 ORDER BY c_nationkey, rk"),
+    // the identical scaled-integer formula unrolled: // is floor
+    // division = Spark's div on the all-positive ranks; integer sums
+    // are order-independent, so the 3-iteration replay hash-matches
+    "an_pagerank" -> {
+      val S = "1000000000000"
+      def iter(prev: String, out: String) =
+        s"c$out AS (SELECT e.dst AS id, CAST(sum($prev.r // dg.d) AS BIGINT) AS c " +
+          s"FROM edges e JOIN $prev ON e.src = $prev.id JOIN dg ON e.src = dg.src GROUP BY 1), " +
+          s"$out AS (SELECT nodes.id, tele.t + (85 * coalesce(c$out.c, 0)) // 100 AS r " +
+          s"FROM nodes CROSS JOIN tele LEFT JOIN c$out ON nodes.id = c$out.id), "
+      ("WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM li a " +
+        "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "edges AS (SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs), " +
+        "dg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+        s"tele AS (SELECT (15 * $S) // (100 * count(*)) AS t, $S // count(*) AS r0v FROM nodes), " +
+        "r0 AS (SELECT id, tele.r0v AS r FROM nodes CROSS JOIN tele), " +
+        iter("r0", "r1") + iter("r1", "r2") +
+        "cr3 AS (SELECT e.dst AS id, CAST(sum(r2.r // dg.d) AS BIGINT) AS c " +
+        "FROM edges e JOIN r2 ON e.src = r2.id JOIN dg ON e.src = dg.src GROUP BY 1) " +
+        "SELECT nodes.id, CAST(tele.t + (85 * coalesce(cr3.c, 0)) // 100 AS BIGINT) AS rank_scaled " +
+        "FROM nodes CROSS JOIN tele LEFT JOIN cr3 ON nodes.id = cr3.id " +
+        "ORDER BY rank_scaled DESC, nodes.id")
+    },
     // date_trunc('week') is Monday-based on both engines; the session
     // timezone is UTC on both
     "an_cohort_retention" ->

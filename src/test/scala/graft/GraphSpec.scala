@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Graph
+
+  // Hand-computed, N=3, S=1e12: r0 = 333333333333 each, teleport =
+  // 15e12/300 = 50000000000. Edges 1→2, 2→1, 3→1 (all out-degree 1).
+  // After one round: node 1 receives r(2)+r(3) = 666666666666 →
+  // 50000000000 + (85·666666666666)//100 = 616666666666; node 2
+  // receives r(1) → 333333333333; node 3 receives nothing → teleport.
+  test("pageRankScaled matches the hand-computed integer fixed point") {
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRankScaled(edges, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(
+      1L -> 616666666666L, 2L -> 333333333333L, 3L -> 50000000000L))
+  }
+
+  test("rank mass never exceeds the scale and every node keeps the teleport floor") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val r = Graph.pageRankScaled(edges, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect()
+    assert(r.map(_._2).sum <= 1000000000000L)
+    val teleport = 15L * 1000000000000L / (100L * 3)
+    assert(r.forall(_._2 >= teleport))
+  }
+
+  test("partition count does not change the integer result") {
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 1L), (1L, 3L), (2L, 3L))
+    val one = Graph.pageRankScaled(
+      e.toDF("src", "dst").repartition(1), "src", "dst", 2)
+      .as[(Long, Long)].collect().toMap
+    val many = Graph.pageRankScaled(
+      e.toDF("src", "dst").repartition(7), "src", "dst", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(one == many)
+  }
+}
