@@ -31,6 +31,33 @@ object Merge {
     *                   a source-only row is always an insert (its delete
     *                   flag is ignored, matching `WHEN MATCHED ... DELETE`).
     */
+  /** Versioned CDC apply — the CONFLUENT merge: state ∪ batch reduced
+    * to the highest-version record per key (`row_number` over version
+    * desc). Unlike [[mergeInto]], which assumes ordered one-row-per-key
+    * change sets, this absorbs out-of-order and re-delivered changes:
+    * the reduction is commutative, associative, and idempotent, so the
+    * final state is independent of how a stream chops the change log
+    * into micro-batches (MergeSpec pins one-batch ≡ two-batch ≡
+    * reversed). Delete tombstones (`opCol = 'D'`) stay IN the state so
+    * a late lower-version update cannot resurrect a deleted key —
+    * readers filter them; compaction can drop a tombstone once the
+    * version low-watermark passes it. The Kafka-compaction /
+    * sequence-field merge-on-read recipe, as one window over the union.
+    *
+    * Ties on (key, version) are broken op-desc ('U' > 'D': an upsert
+    * and its own re-delivery dedup; a same-version U/D conflict is a
+    * producer bug we resolve deterministically toward keeping data). */
+  def applyVersioned(state: DataFrame, batch: DataFrame,
+      keyCol: String, versionCol: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(versionCol).desc, col(opCol).desc)
+    state.unionByName(batch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   def mergeInto(target: DataFrame, source: DataFrame, keyCol: String,
       cols: Seq[String], deleteCond: Column): DataFrame = {
     val t = target.select(keyCol, cols: _*).as("t")

@@ -243,6 +243,68 @@ object StreamingQueries {
           unix_micros(col("p_ts")).as("p_ts_us"), col("p_value"),
           unix_micros(col("v_ts")).as("v_ts_us"), col("v_value"))
         .orderBy("user_id", "p_ts_us", "v_ts_us")
+    }),
+
+    // Streaming CDC apply: a base snapshot plus a change LOG landing as
+    // files, folded into a serving table by foreachBatch. The merge is
+    // Merge.applyVersioned — per-key highest-version wins, tombstones
+    // retained — which is CONFLUENT (commutative/associative/
+    // idempotent), so the final table is identical whether AvailableNow
+    // takes the change files in one micro-batch or several, in any
+    // order. That independence is what puts a STREAMING upsert on the
+    // batch-SQL oracle gate: the oracle replays winner-per-key over the
+    // full change log. State alternates between batchId-keyed dirs
+    // (read-then-overwrite of one dir would race the lazy scan).
+    "st_upsert" -> ((s, d) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), cents.as("price_cents"),
+        col("o_orderstatus").as("status"))
+      def change(ver: Int, modFilter: Long, delMod: Long, tag: String) =
+        o.filter(col("k") % modFilter === 0)
+          .select(col("k"),
+            (col("price_cents") + ver * 1000).as("price_cents"),
+            lit(tag).as("status"), lit(ver).as("version"),
+            when(col("k") % delMod === 0, "D").otherwise("U").as("op"))
+      val base = o.select(col("k"), col("price_cents"), col("status"),
+        lit(0).as("version"), lit("U").as("op"))
+        .filter(col("k") % 10 =!= 9)
+      val srcDir = tmp(s, "upsert_src")
+      val stateRoot = tmp(s, "upsert_state")
+      rmrf(srcDir); rmrf(stateRoot)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      // stage the two change sets as separate drop-directory files
+      Seq(change(1, 3L, 30L, "U1"), change(2, 5L, 50L, "U2"))
+        .zipWithIndex.foreach { case (c, i) =>
+          val stage = tmp(s, s"upsert_stage$i")
+          c.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles
+            .filter(_.getName.startsWith("part-")).head
+          java.nio.file.Files.copy(part.toPath,
+            java.nio.file.Paths.get(srcDir, s"changes_$i.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      var latest = s"$stateRoot/init"
+      base.write.mode("overwrite").parquet(latest)
+      val schema = s.read.parquet(latest).schema
+      val stream = s.readStream.schema(schema).parquet(srcDir)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$stateRoot/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val next = s"$stateRoot/v$bid"
+          graft.operators.Merge
+            .applyVersioned(s.read.parquet(latest), batch,
+              "k", "version", "op")
+            .write.mode("overwrite").parquet(next)
+          latest = next; ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(latest)
+        .filter(col("op") =!= "D")
+        .select("k", "price_cents", "status", "version")
+        .orderBy("k")
     })
   )
 
@@ -277,6 +339,21 @@ object StreamingQueries {
         "FROM events p JOIN events v ON p.user_id = v.user_id " +
         "AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts " +
         "WHERE p.event_type = 'purchase' AND v.event_type = 'view' " +
-        "ORDER BY p.user_id, p_ts_us, v_ts_us")
+        "ORDER BY p.user_id, p_ts_us, v_ts_us"),
+    // winner-per-key over the full change log = the confluent merge's
+    // fixed point, however the stream batched it
+    "st_upsert" ->
+      ("WITH base AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, " +
+        "o_orderstatus AS status, 0 AS version, 'U' AS op FROM orders WHERE o_orderkey % 10 <> 9), " +
+        "c1 AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) + 1000 AS price_cents, " +
+        "'U1' AS status, 1 AS version, CASE WHEN o_orderkey % 30 = 0 THEN 'D' ELSE 'U' END AS op " +
+        "FROM orders WHERE o_orderkey % 3 = 0), " +
+        "c2 AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) + 2000 AS price_cents, " +
+        "'U2' AS status, 2 AS version, CASE WHEN o_orderkey % 50 = 0 THEN 'D' ELSE 'U' END AS op " +
+        "FROM orders WHERE o_orderkey % 5 = 0), " +
+        "log AS (SELECT * FROM base UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2), " +
+        "w AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC, op DESC) AS rn FROM log) " +
+        "SELECT k, price_cents, status, CAST(version AS INTEGER) AS version " +
+        "FROM w WHERE rn = 1 AND op <> 'D' ORDER BY k")
   )
 }
