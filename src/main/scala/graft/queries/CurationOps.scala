@@ -64,6 +64,34 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary training + token-id encoding — the tokenizer-prep shape:
+    // ONE corpus count shuffle trains the top-V vocab (count desc, token
+    // asc — fully deterministic), the trained table collects as a BOUNDED
+    // model artifact (V=256 entries, the codebook pattern) and ships back
+    // as a broadcast map literal, so encoding is a NARROW per-row
+    // transform — no explode, no join, no shuffle on the encode pass. At
+    // 100 TB the count pass is map-side-combined (vocab-sized partials)
+    // and the encode pass costs what the scan costs; OOV encodes as -1.
+    "ta_vocab_encode" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      val vocab = toks.select(explode(col("ws")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t").asc)
+        .limit(256)
+        .select("t").as[String].collect()
+      val vmap = typedLit(vocab.zipWithIndex.toMap)
+      toks
+        .withColumn("ids", transform(col("ws"),
+          t => coalesce(element_at(vmap, t), lit(-1))))
+        .select(col("doc_id"),
+          size(col("ids")).as("n_tokens"),
+          size(filter(col("ids"), x => x === -1)).as("n_oov"),
+          concat_ws(" ", transform(col("ids"), _.cast("string"))).as("ids_str"))
+        .orderBy("doc_id")
+    }),
+
     // Cross-doc boilerplate detection (Lee et al. "Deduplicating Training
     // Data" at fixed n; the C4 repeated-line rule generalized to 3-gram
     // windows): a shingle appearing in >= 5 DISTINCT docs is boilerplate,
@@ -307,6 +335,26 @@ object CurationOps {
     "SELECT doc_id, source, list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^a-z0-9 ]', ' ', 'g')), ' +'), x -> x <> '') AS ws FROM documents"
 
   def oracleSql: Map[String, String] = Map(
+    // vocab = global top-256 by (count desc, token asc) — the same
+    // deterministic cut Spark trains; per-token ids re-assemble in
+    // position order via string_agg(... ORDER BY i)
+    "ta_vocab_encode" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "tok AS (SELECT doc_id, unnest(ws) AS t FROM w), " +
+        "cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1), " +
+        "vocab AS (SELECT t, row_number() OVER (ORDER BY c DESC, t ASC) - 1 AS id " +
+        "FROM cnt ORDER BY c DESC, t ASC LIMIT 256), " +
+        "tokp AS (SELECT w.doc_id, i, coalesce(v.id, -1) AS id " +
+        "FROM w CROSS JOIN range(1, 600) r(i) " +
+        "LEFT JOIN vocab v ON w.ws[i] = v.t WHERE i <= len(w.ws)), " +
+        "enc AS (SELECT doc_id, count(*) AS n_tokens, " +
+        "sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS n_oov, " +
+        "string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i) AS ids_str " +
+        "FROM tokp GROUP BY 1) " +
+        "SELECT w.doc_id, CAST(coalesce(enc.n_tokens, 0) AS INTEGER) AS n_tokens, " +
+        "CAST(coalesce(enc.n_oov, 0) AS INTEGER) AS n_oov, " +
+        "coalesce(enc.ids_str, '') AS ids_str " +
+        "FROM w LEFT JOIN enc ON w.doc_id = enc.doc_id ORDER BY w.doc_id"),
     // distinct 3-gram shingles per doc (ws[i:i+2] is DuckDB's inclusive
     // 3-slice), flood = shingles in >= 5 docs, per-doc boilerplate counts;
     // docs shorter than 3 tokens re-enter on the left join with zeros
