@@ -90,6 +90,59 @@ object TimeSeriesQueries {
         .orderBy("ival_id", "event_id")
     }),
 
+    // Calendar-spine gap fill: per-user daily totals densified to every
+    // day between the user's first and last active day, missing days
+    // forward-filled from the last observed value. Spine generation is
+    // a narrow per-key sequence+explode (no cross join with a global
+    // calendar), the join is co-partitioned on (user, day), and the
+    // fill is one streaming-frame window — the sparse→dense repair
+    // before feature extraction, at one shuffle.
+    "ts_gapfill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, d).filter(col("user_id") < 30)
+        .groupBy(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      val spine = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          when(col("value_cents").isNotNull, 1).otherwise(0).as("has_data"),
+          last(col("value_cents"), ignoreNulls = true).over(w)
+            .as("value_cents_filled"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Last-touch attribution with a 7-day horizon: every purchase
+    // credits the user's most recent prior view/click (the as-of join),
+    // unless the touch is older than 7 days — then it counts as
+    // 'direct'. Rolled up to per-channel conversion counts and exact
+    // cents revenue. Same single-shuffle union+window shape as
+    // ts_asof_join; the horizon is a narrow post-filter.
+    "an_attribution" -> ((s, d) => {
+      val ev = events(s, d)
+      val joined = TimeSeries.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type").isin("view", "click")),
+        key = "user_id", ts = "ts", tieBreak = "event_id",
+        leftCols = Seq("event_id", "value"),
+        rightCols = Seq("event_type", "ts"))
+      joined.select(
+          when(col("asof_ts").isNotNull &&
+            col("asof_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+            col("asof_event_type")).otherwise("direct").as("channel"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_cents"))
+        .orderBy("channel")
+    }),
+
     // 30-minute-gap sessions per user, rolled up to per-session stats
     "ts_sessionize" -> ((s, d) => {
       val sess = TimeSeries.sessionize(
@@ -163,6 +216,47 @@ object TimeSeriesQueries {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
         "FROM events GROUP BY event_type, date_trunc('hour', ts) " +
         "ORDER BY event_type, bucket_us"),
+    // generate_series is inclusive on both ends, like Spark's sequence;
+    // day crosses the engines as a yyyy-MM-dd string (DATE renders
+    // differently in pandas)
+    "ts_gapfill" ->
+      ("WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
+        "FROM events WHERE user_id < 30 GROUP BY 1, 2), " +
+        "bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1), " +
+        "spine AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds), " +
+        "j AS (SELECT s.user_id, CAST(s.day AS DATE) AS day, d.value_cents " +
+        "FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND CAST(s.day AS DATE) = d.day) " +
+        "SELECT user_id, strftime(day, '%Y-%m-%d') AS day, " +
+        "CAST(CASE WHEN value_cents IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS has_data, " +
+        "CAST(last_value(value_cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS value_cents_filled " +
+        "FROM j ORDER BY user_id, day"),
+    // the as-of carry window from ts_asof_join, plus the 7-day horizon
+    // and the per-channel rollup
+    "an_attribution" ->
+      ("""WITH tagged AS (
+        |  SELECT user_id, ts, event_id AS tie, 1 AS side,
+        |    CAST(NULL AS VARCHAR) AS r_event_type, CAST(NULL AS TIMESTAMP) AS r_ts,
+        |    value
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0, event_type, ts,
+        |    CAST(NULL AS DOUBLE)
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), w AS (
+        |  SELECT *,
+        |    last_value(r_event_type IGNORE NULLS) OVER win AS asof_event_type,
+        |    last_value(r_ts IGNORE NULLS) OVER win AS asof_ts
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, tie
+        |    ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT CASE WHEN asof_ts IS NOT NULL AND asof_ts >= ts - INTERVAL 7 DAY
+        |         THEN asof_event_type ELSE 'direct' END AS channel,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM w WHERE side = 1 GROUP BY 1 ORDER BY channel""".stripMargin),
     "ts_fill_forward" ->
       ("SELECT event_id, user_id, " +
         "last_value(CASE WHEN event_type = 'purchase' THEN round(value, 4) END IGNORE NULLS) " +
