@@ -92,6 +92,17 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // Exact heavy hitters with bounded memory: Misra-Gries candidates
+    // per partition (O(k) state), broadcast-gated exact recount, final
+    // count·k > n cut — the sketch bounds memory and shuffle volume,
+    // never correctness, so the result sits on the exact oracle gate.
+    "ta_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("t")).as[String]
+      graft.operators.HeavyHitters.exactHeavyHitters(toks, 64)
+    }),
+
     // Cross-doc boilerplate detection (Lee et al. "Deduplicating Training
     // Data" at fixed n; the C4 repeated-line rule generalized to 3-gram
     // windows): a shingle appearing in >= 5 DISTINCT docs is boilerplate,
@@ -335,6 +346,15 @@ object CurationOps {
     "SELECT doc_id, source, list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^a-z0-9 ]', ' ', 'g')), ' +'), x -> x <> '') AS ws FROM documents"
 
   def oracleSql: Map[String, String] = Map(
+    // the exact definition the MG+recount pipeline guarantees: every
+    // token with count·64 > corpus total, exact counts
+    "ta_heavy_hitters" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "tok AS (SELECT unnest(ws) AS item FROM w), " +
+        "tot AS (SELECT count(*) AS n FROM tok) " +
+        "SELECT item, count(*) AS cnt FROM tok CROSS JOIN tot " +
+        "GROUP BY item, tot.n HAVING count(*) * 64 > tot.n " +
+        "ORDER BY cnt DESC, item"),
     // vocab = global top-256 by (count desc, token asc) — the same
     // deterministic cut Spark trains; per-token ids re-assemble in
     // position order via string_agg(... ORDER BY i)
