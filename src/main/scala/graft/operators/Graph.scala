@@ -34,10 +34,18 @@ object Graph {
       edges: DataFrame, src: String, dst: String,
       iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // Truncate lineage ONCE: without this, every iteration's plan embeds
+    // a fresh copy of the (possibly expensive) edge-derivation subtree —
+    // the co-purchase self-join re-ran 3× per action before this landed
+    // (bench: an_pagerank 3.76s → the derivation is paid once). Same
+    // lazy-checkpoint pattern as Dedup.connectedComponents.
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     // N and the teleport term are scalars of a bounded aggregate
     val n = nodes.count()
     val teleport = (15L * scale) / (100L * n)
