@@ -302,6 +302,50 @@ object Multimodal {
     })
   }
 
+  // ---- Perceptual hashing over real decoded pixels -----------------------
+
+  case class AHash(doc_id: Long, sig: Long)
+
+  /** Average-hash (aHash) perceptual fingerprint computed from REAL
+    * decoded bytes: the JDK codec parses the payload, an 8×8
+    * nearest-neighbour grid samples the red channel, and bit j = y·8+x
+    * sets when the sample strictly exceeds the integer mean
+    * (`sum div 64`). All arithmetic is integer, so the 64-bit signature
+    * is engine-exact and the downstream Hamming banding
+    * (Dedup.simhashPairsFromSigs) sits on the oracle gate. Narrow
+    * per-partition map — decode cost only, no shuffle. */
+  def aHash64(assets: DataFrame): Dataset[AHash] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"asset $id: not a decodable image payload")
+        val w = img.getWidth
+        val h = img.getHeight
+        val g = new Array[Int](64)
+        var sum = 0L
+        var j = 0
+        while (j < 64) {
+          val sx = ((j % 8) * w) / 8
+          val sy = ((j / 8) * h) / 8
+          val v = (img.getRGB(sx, sy) >> 16) & 0xff
+          g(j) = v
+          sum += v
+          j += 1
+        }
+        val mean = sum / 64
+        var sig = 0L
+        j = 0
+        while (j < 64) {
+          if (g(j) > mean) sig |= 1L << j
+          j += 1
+        }
+        AHash(id, sig)
+      })
+  }
+
   // ---- Real codec path #4: multi-frame GIF (video-frame extraction) ------
   // The byte-slice frame sampler models the SHAPE of frame extraction;
   // this tier does the real thing on a real container: frames are written

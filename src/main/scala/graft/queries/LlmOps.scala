@@ -477,6 +477,38 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // (fixture for mm_phash/dd_phash: the mm_png_decode formula images
+    // as real PNG payloads — built inline, see phashAssets below)
+    // Perceptual hash through the REAL codec: the formula image encodes
+    // as PNG, the JDK decoder parses it back, and aHash samples an 8×8
+    // grid against the integer mean — 64 engine-exact bits. The oracle
+    // computes the identical bits from the pixel formula at the
+    // remapped coordinates, never touching the bytes.
+    "mm_phash" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.aHash64(phashAssets(s, d)).toDF()
+        .select(col("doc_id"),
+          shiftrightunsigned(col("sig"), 32).as("sig_hi"),
+          col("sig").bitwiseAND(lit(0xffffffffL)).as("sig_lo"))
+        .orderBy("doc_id")
+    }),
+
+    // Image near-dup on the perceptual hash: the aHash signatures feed
+    // the SAME pigeonhole Hamming banding the text simhash path uses
+    // (full recall at the threshold, bounded buckets, no all-pairs) —
+    // multimodal dedup composed from the existing kernel.
+    // (the doc_id % 5 slice keeps the fixture's pair count proportionate
+    // — the formula images form large hamming-0 cliques by construction,
+    // so the unsliced output is quadratic in clique size, not a property
+    // of the banding)
+    "dd_phash" -> ((s, d) => {
+      import s.implicits._
+      Dedup.simhashPairsFromSigs(
+        Multimodal.aHash64(phashAssets(s, d).filter(col("doc_id") % 5 === 0))
+          .toDF(), "doc_id", maxHamming = 6)
+        .orderBy("a", "b")
+    }),
+
     // REAL video-shaped extraction: each doc becomes a deterministic
     // multi-frame animated GIF (frame count, dims, and pixels are
     // functions of doc_id), the engine parses the actual container via
@@ -653,6 +685,40 @@ object LlmOps {
     * alphanumeric words so Spark's kernel tokenizer and the oracle's
     * regex split agree trivially; 10 words → well past the 3-word
     * shingle minimum. */
+  /** aHash replay: 8×8 NN grid over the formula image (red channel at
+    * the remapped source coordinates), integer mean, strict >. Exposes
+    * both the 32-bit halves (hash-compare columns) and the raw 64-bit
+    * halves for pairwise Hamming. */
+  private val phashSigCte =
+    "WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents), " +
+      "px AS (SELECT d.doc_id, y * 8 + x AS j, " +
+      "(d.doc_id + 7 * ((x * d.w) // 8) + 13 * ((y * d.h) // 8)) % 256 AS g " +
+      "FROM dims d, range(0, 8) tx(x), range(0, 8) ty(y)), " +
+      "m AS (SELECT doc_id, sum(g) // 64 AS mean FROM px GROUP BY 1), " +
+      "bits AS (SELECT px.doc_id, j, CASE WHEN g > mean THEN 1 ELSE 0 END AS b " +
+      "FROM px JOIN m ON px.doc_id = m.doc_id), " +
+      "sigs AS (SELECT doc_id, " +
+      "CAST(sum(CASE WHEN j >= 32 THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS sig_hi, " +
+      "CAST(sum(CASE WHEN j < 32 THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig_lo, " +
+      "CAST(sum(CASE WHEN j >= 32 THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS hi64, " +
+      "CAST(sum(CASE WHEN j < 32 THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS lo64 " +
+      "FROM bits GROUP BY doc_id)"
+
+  /** The mm_png_decode fixture shared by the perceptual-hash queries:
+    * deterministic formula images carried as REAL compressed PNGs. */
+  private def phashAssets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 + (id % 9).toInt
+        val h = 6 + (id % 7).toInt
+        (id, Multimodal.encodeImage(w, h, "png", (x, y) => (
+          ((id + 7L * x + 13L * y) % 256).toInt,
+          ((id * 2 + 5L * x + 11L * y) % 256).toInt,
+          ((id * 3 + 3L * x + 17L * y) % 256).toInt)))
+      }).toDF("doc_id", "content")
+  }
+
   private val FloodText =
     "boilerplate template header footer nav boilerplate template header footer nav"
 
@@ -1209,6 +1275,21 @@ object LlmOps {
         "CAST(sum((d.doc_id * 3 + 3 * ((x * d.w) // 8) + 17 * ((y * d.h) // 6)) % 256) AS BIGINT) AS sum_b " +
         "FROM dims d, range(0, 8) tx(x), range(0, 6) ty(y) " +
         "GROUP BY d.doc_id ORDER BY d.doc_id"),
+    // the aHash bits recomputed from the pixel formula at the remapped
+    // 8×8 coordinates (g = red channel; integer mean; strict >) —
+    // independent of the PNG bytes the engine decodes
+    "mm_phash" -> (phashSigCte +
+      " SELECT doc_id, sig_hi, sig_lo FROM sigs ORDER BY doc_id"),
+    // exact pairwise Hamming over the replayed signatures; the engine's
+    // pigeonhole banding must reproduce it exactly (lossless at the
+    // threshold)
+    "dd_phash" -> (phashSigCte +
+      " SELECT a.doc_id AS a, b.doc_id AS b, " +
+      "CAST(bit_count(xor(a.lo64, b.lo64)) + bit_count(xor(a.hi64, b.hi64)) AS INTEGER) AS hamming " +
+      "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id " +
+      "WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0 " +
+      "AND bit_count(xor(a.lo64, b.lo64)) + bit_count(xor(a.hi64, b.hi64)) <= 6 " +
+      "ORDER BY a, b"),
     // independent ground truth for the multi-frame tier: the pixel
     // formula summed per (doc, frame) in SQL — never touches the GIF
     // container bytes the Spark side parses frame-by-frame
