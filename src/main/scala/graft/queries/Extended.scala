@@ -52,6 +52,25 @@ object Extended {
       rules.unionByName(dup).unionByName(orphans).orderBy("rule")
     }),
 
+    // argmax/argmin aggregation (max_by/min_by): which order carries the
+    // group's extreme price. Ties are broken by compounding the unique
+    // key into the ordering value as exact integers — max_by's tie
+    // behavior is otherwise engine-arbitrary and would flake the hash
+    // gate. One map-side-combined aggregate.
+    "a4_minmax_by" -> ((s, d) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), cents.as("cents"),
+          (cents * 100000000L + col("o_orderkey")).as("ord"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("max_by(o_orderkey, ord)").as("top_order"),
+          expr("min_by(o_orderkey, ord)").as("bottom_order"),
+          max(col("cents")).as("max_cents"),
+          min(col("cents")).as("min_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Row-level expectation routing: each document carries the list of
     // expectations it fails (declaration order), and the quarantine
     // stream is the non-empty-list filter — ONE narrow projection over
@@ -454,6 +473,17 @@ object Extended {
         "UNION ALL SELECT 'orderkey_unique', CAST(coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT) " +
         "UNION ALL SELECT 'custkey_exists', CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)" +
         ") ORDER BY rule"),
+    // arg_max/arg_min on the same compound integer ordering value
+    "a4_minmax_by" ->
+      ("WITH o AS (SELECT o_orderpriority, o_orderkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey AS ord " +
+        "FROM orders) " +
+        "SELECT o_orderpriority, count(*) AS n, " +
+        "arg_max(o_orderkey, ord) AS top_order, " +
+        "arg_min(o_orderkey, ord) AS bottom_order, " +
+        "max(cents) AS max_cents, min(cents) AS min_cents " +
+        "FROM o GROUP BY 1 ORDER BY o_orderpriority"),
     // list_filter replays Spark's filter(array(...), isNotNull) with the
     // same declaration order; NOT coalesce(pred, false) fails nulls on
     // both engines

@@ -118,6 +118,26 @@ object TimeSeriesQueries {
         .orderBy("user_id", "day")
     }),
 
+    // OVERLAPPING sliding windows (1-hour span every 30 minutes): the
+    // assignment is a narrow 2-element explode per event (span/slide
+    // windows each row belongs to), then ONE keyed aggregate — the
+    // generate-and-group form Spark's window() function plans; no
+    // self-join, no per-window scans. The real-time feature-store
+    // aggregation in batch form.
+    "ts_sliding_counts" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"), col("value"),
+          explode(array(
+            date_trunc("hour", col("ts")),
+            date_trunc("hour", col("ts") - expr("INTERVAL 30 MINUTES"))
+              + expr("INTERVAL 30 MINUTES"))).as("win_start"))
+        .groupBy("event_type", "win_start")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(col("event_type"), unix_micros(col("win_start")).as("win_us"),
+          col("n_events"), col("value_cents"))
+        .orderBy("event_type", "win_us")),
+
     // Last-touch attribution with a 7-day horizon: every purchase
     // credits the user's most recent prior view/click (the as-of join),
     // unless the touch is older than 7 days — then it counts as
@@ -232,6 +252,15 @@ object TimeSeriesQueries {
         "CAST(last_value(value_cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day " +
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS value_cents_filled " +
         "FROM j ORDER BY user_id, day"),
+    // both containing window-starts per event, unioned then grouped —
+    // the same generate-and-group plan
+    "ts_sliding_counts" ->
+      ("WITH a AS (SELECT event_type, value, date_trunc('hour', ts) AS win FROM events " +
+        "UNION ALL SELECT event_type, value, " +
+        "date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE FROM events) " +
+        "SELECT event_type, epoch_us(win) AS win_us, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
+        "FROM a GROUP BY 1, 2 ORDER BY event_type, win_us"),
     // the as-of carry window from ts_asof_join, plus the 7-day horizon
     // and the per-channel rollup
     "an_attribution" ->
