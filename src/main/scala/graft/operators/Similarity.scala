@@ -273,6 +273,38 @@ object Similarity {
     rankTopK(scored, idCol, k)
   }
 
+  /** Batch k-NN GRAPH construction — every item's top-k neighbours, not
+    * just a probe set's (the SemDeDup/graph-curation precursor). The
+    * all-pairs form is O(n²) and unshippable; here items pair only
+    * WITHIN their IVF cell: one narrow argmax assignment (broadcast
+    * codebook literal), one self-join co-partitioned on cent_id (fan-out
+    * bounded by cell size — n²/c per cell, the classic blocked kNN
+    * bound), one per-item top-k window. Same determinism contract as
+    * the probe paths: scores round to 6dp BEFORE ranking, ties break
+    * id asc. Items alone in their cell emit no edges (by design — raise
+    * `centroids` resolution or multi-probe to densify). */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroids: Int = 16): DataFrame = {
+    val base = withNorm(emb, vecCol)
+    val codebook = coarseCodebook(base, idCol, centroids)
+    require(codebook.nonEmpty, "knnGraph: empty codebook")
+    val assigned = base
+      .withColumn("cent_id",
+        element_at(cellsRankedCol(codebook), 1).getField("cent_id"))
+      .select(col(idCol), col("cent_id"), col("__vd"), col("__norm"))
+    val nbrs = assigned.select(col("cent_id"), col(idCol).as("vec_id_n"),
+      col("__vd").as("__nd"), col("__norm").as("__nn"))
+    val scored = assigned.join(nbrs, Seq("cent_id"))
+      .filter(col("vec_id_n") =!= col(idCol))
+      .withColumn("score_r",
+        round(dot(col("__vd"), col("__nd")) / (col("__norm") * col("__nn")), 6))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score_r").desc, col("vec_id_n").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("vec_id_n"), col("rank"), col("score_r"))
+  }
+
   /** Product-quantization top-k (inner-product ANN): the vector-
     * COMPRESSION path at 100 TB, where storing raw float embeddings
     * dominates cost. The embedding splits into `subspaces` slices; each

@@ -165,6 +165,13 @@ object LlmOps {
         embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
         .orderBy("probe_id", "rank")),
 
+    // k-NN GRAPH over ALL items (not a probe set), IVF-cell-blocked —
+    // the SemDeDup / graph-curation precursor. Never all-pairs: items
+    // pair only within their cell.
+    "sim_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(embeddings(s, d), "vec_id", "embedding", k = 3)
+        .orderBy("vec_id", "rank")),
+
     // IVF with a TRAINED codebook: 2 Lloyd iterations in DataFrame ops
     // (deterministic first-16 init, fixed-point centroid means — exact
     // integer sums, so the distributed mean is partition-order-proof).
@@ -1084,6 +1091,21 @@ object LlmOps {
         "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
         "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
     "sim_topk_ivf" -> ivfOracleSql,
+    // the cell-blocked kNN graph: same assignment CTE (cr <= 1), then
+    // within-cell pairs ranked per ITEM (every vec is its own probe)
+    "sim_knn_graph" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
+        "cents AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
+        "assigned AS (SELECT vec_id, cent_id, v, nm FROM (" +
+        "SELECT n.vec_id, cents.cent_id, n.v, n.nm, " +
+        "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "cents.cv") + " / (n.nm * cents.cn) DESC, cents.cent_id ASC) AS cr " +
+        "FROM n, cents) WHERE cr <= 1), " +
+        "scored AS (SELECT a.vec_id, b.vec_id AS vec_id_n, " +
+        "round(" + duckDot("a.v", "b.v") + " / (a.nm * b.nm), 6) AS score_r " +
+        "FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id) " +
+        "SELECT vec_id, vec_id_n, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
+        "FROM scored QUALIFY rank <= 3 ORDER BY vec_id, rank"),
     // hash-identical to sim_topk_ivf by construction: the partitioned
     // index round-trip changes WHERE the candidates are read from (pruned
     // cell directories), not which candidates score
