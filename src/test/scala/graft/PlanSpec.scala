@@ -172,6 +172,37 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "no broadcast join has the bloom gate below it (scan side)")
   }
 
+  test("selective fact-dim join stays eligible for runtime bloom-filter pruning") {
+    // At 100 TB Spark's InjectRuntimeFilter turns a selective dim filter
+    // into a bloom filter evaluated INSIDE the fact scan, cutting the
+    // shuffle by the filter's selectivity. The rule only fires for plan
+    // shapes with a selective filter-over-scan on the creation side and
+    // a shuffle on the application side — this pins that our canonical
+    // fact⋈dim shape keeps qualifying (thresholds are sized down to
+    // fixture scale; the SHAPE, not the sizes, is what a refactor could
+    // break).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.col
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+      val sel = spark.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val plan = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("top-k per group plans a WindowGroupLimit below the shuffle") {
     val plan = planOf("an_topk_per_group")
     val limits = collectWithSubqueries(plan) {
