@@ -127,6 +127,29 @@ object Analytics {
         .orderBy("c_nationkey", "rk")
     }),
 
+    // Time-constrained funnel (the ClickHouse windowFunnel shape): each
+    // step must land strictly after the previous step and within a
+    // 1-hour horizon of it. Step k is one co-partitioned join back to
+    // the step-(k-1) firsts plus a conditional min — every pass shuffles
+    // on user_id only, and the depth counts are 1-row aggregates
+    // broadcast-crossed at the end.
+    "an_window_funnel" -> ((s, d) => {
+      val e = events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 1 HOUR"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 1 HOUR"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.agg(count(lit(1)).as("n_step1"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_step2"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_step3"))))
+    }),
+
     // PageRank over the co-purchase graph: nodes are parts, edges both
     // directions of each supported basket pair. Exact scaled-integer
     // arithmetic (Graph.pageRankScaled) makes the 3-iteration result
@@ -219,6 +242,21 @@ object Analytics {
         "FROM customer) " +
         "SELECT c_nationkey, c_custkey, acctbal_cents, CAST(rk AS INTEGER) AS rk " +
         "FROM r WHERE rk <= 3 ORDER BY c_nationkey, rk"),
+    // ts::TIMESTAMP truncates the fixture's nanos to Spark's micros
+    // (the an_funnel convention) so horizon comparisons can never split
+    // the engines
+    "an_window_funnel" ->
+      ("WITH v AS (SELECT user_id, min(ts::TIMESTAMP) AS t1 FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.ts::TIMESTAMP) AS t2 FROM events e " +
+        "JOIN v ON e.user_id = v.user_id WHERE e.event_type = 'click' " +
+        "AND e.ts::TIMESTAMP > v.t1 AND e.ts::TIMESTAMP <= v.t1 + INTERVAL 1 HOUR GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.ts::TIMESTAMP) AS t3 FROM events e " +
+        "JOIN c ON e.user_id = c.user_id WHERE e.event_type = 'purchase' " +
+        "AND e.ts::TIMESTAMP > c.t2 AND e.ts::TIMESTAMP <= c.t2 + INTERVAL 1 HOUR GROUP BY 1) " +
+        "SELECT (SELECT count(*) FROM v) AS n_step1, " +
+        "(SELECT count(*) FROM c) AS n_step2, " +
+        "(SELECT count(*) FROM p) AS n_step3"),
     // the identical scaled-integer formula unrolled: // is floor
     // division = Spark's div on the all-positive ranks; integer sums
     // are order-independent, so the 3-iteration replay hash-matches

@@ -86,6 +86,37 @@ object Sinks {
         .orderBy("o_orderkey")
     }),
 
+    // S11 — DYNAMIC partition overwrite: the idempotent-backfill
+    // primitive. Static overwrite mode would truncate the whole table
+    // before writing; dynamic mode replaces ONLY the partitions the
+    // incoming frame touches. Here the full table lands first, then a
+    // corrected 'F' slice (prices re-stamped) overwrites just that
+    // partition — 'O' and 'P' survive untouched, which is exactly what
+    // re-running a failed daily backfill must do at 100 TB. The oracle
+    // states the post-backfill table directly.
+    "s11_dynamic_overwrite" -> ((s, d) => {
+      val out = tmp(s, "s11_dyn")
+      val base = orders(s, d).filter(col("o_custkey") < 200)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        base.filter(col("o_orderstatus") === "F")
+          .withColumn("price_cents", col("price_cents") + 7L)
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      s.read.parquet(out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "price_cents")
+        .orderBy("o_orderkey")
+    }),
+
     // S10 — z-order layout round-trip: lineitem rewritten along the
     // Morton curve of (l_orderkey, l_partkey), read back through a range
     // filter on the SECOND dimension — the one a linear sort can't skip
@@ -194,6 +225,13 @@ object Sinks {
     "s9_partition_prune" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority " +
         "FROM orders WHERE o_custkey < 200 AND o_orderstatus = 'F' ORDER BY o_orderkey"),
+    // the post-backfill state: F prices re-stamped (+7), other
+    // partitions untouched
+    "s11_dynamic_overwrite" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) + " +
+        "CASE WHEN o_orderstatus = 'F' THEN 7 ELSE 0 END AS price_cents " +
+        "FROM orders WHERE o_custkey < 200 ORDER BY o_orderkey"),
     "s8_schema_merge" ->
       ("SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS name_len FROM region " +
         "UNION ALL " +
