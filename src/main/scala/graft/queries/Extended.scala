@@ -52,6 +52,24 @@ object Extended {
       rules.unionByName(dup).unionByName(orphans).orderBy("rule")
     }),
 
+    // Null-safe equi-join (<=>): null keys MATCH each other instead of
+    // dropping — the semantics a dimension join needs when "unknown" is
+    // itself a category. Spark plans <=> as a hash join (null-safe
+    // equality is still an equi-key); the 'P' statuses are nulled on
+    // both sides to exercise the null bucket.
+    "j7_null_safe_join" -> ((s, d) => {
+      val keyed = orders(s, d)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("P")).as("k"))
+      val dim = keyed.groupBy(col("k").as("k2"))
+        .agg(count(lit(1)).as("n_status"))
+      keyed.join(dim, col("k") <=> col("k2"))
+        .select(col("o_orderkey"),
+          coalesce(col("k"), lit("<null>")).as("status_key"),
+          col("n_status"))
+        .orderBy("o_orderkey")
+    }),
+
     // argmax/argmin aggregation (max_by/min_by): which order carries the
     // group's extreme price. Ties are broken by compounding the unique
     // key into the ordering value as exact integers — max_by's tie
@@ -473,6 +491,12 @@ object Extended {
         "UNION ALL SELECT 'orderkey_unique', CAST(coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT) " +
         "UNION ALL SELECT 'custkey_exists', CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)" +
         ") ORDER BY rule"),
+    // IS NOT DISTINCT FROM is SQL's null-safe equality
+    "j7_null_safe_join" ->
+      ("WITH keyed AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders), " +
+        "dim AS (SELECT k AS k2, count(*) AS n_status FROM keyed GROUP BY 1) " +
+        "SELECT o_orderkey, coalesce(k, '<null>') AS status_key, n_status " +
+        "FROM keyed JOIN dim ON k IS NOT DISTINCT FROM k2 ORDER BY o_orderkey"),
     // arg_max/arg_min on the same compound integer ordering value
     "a4_minmax_by" ->
       ("WITH o AS (SELECT o_orderpriority, o_orderkey, " +

@@ -172,6 +172,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "no broadcast join has the bloom gate below it (scan side)")
   }
 
+  test("AQE coalesces undersized shuffle partitions after a small aggregate") {
+    // With 32 shuffle partitions, a fixture-sized groupBy would run 32
+    // near-empty reduce tasks; AQE's coalescePartitions folds them into
+    // a handful. At 100 TB the same machinery right-sizes every stage
+    // to the ACTUAL map output instead of the static knob — this pins
+    // that our aggregates stay eligible (no manual repartition blocking
+    // the rule).
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val df = spark.read.parquet(s"$d/orders.parquet")
+      .groupBy("o_orderstatus").agg(count(lit(1)))
+    df.collect() // AQE finalizes the plan only on execution
+    val reads = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+    }
+    assert(reads.nonEmpty, "no AQEShuffleRead in the executed plan")
+    val n = reads.head.partitionSpecs.size
+    assert(n < 32, s"AQE did not coalesce: $n partitions")
+  }
+
   test("selective fact-dim join stays eligible for runtime bloom-filter pruning") {
     // At 100 TB Spark's InjectRuntimeFilter turns a selective dim filter
     // into a bloom filter evaluated INSIDE the fact scan, cutting the
