@@ -62,4 +62,42 @@ object Graph {
     }
     ranks.select(col("id"), col("r").as("rank_scaled"))
   }
+
+  /** Multi-source BFS: minimum hop distance from any seed node, bounded
+    * at `maxHops`. Returns (id, hops) for every node within reach.
+    *
+    * Frontier-based — each iteration joins ONLY the nodes first reached
+    * in the previous round against the edge list (both sides hash-
+    * partitioned on the join key), then anti-joins the visited set so a
+    * node enters the distance table exactly once, at its minimal hop.
+    * That keeps per-iteration work proportional to the frontier, not to
+    * the visited set — the property that lets a 3-hop neighborhood
+    * query finish on a billion-edge graph where re-expanding the full
+    * visited set each round would not. Min-hop BFS is deterministic by
+    * construction (no arithmetic, only set reachability), so the result
+    * sits on the exact hash gate and a recursive-CTE oracle replays it.
+    * Lineage is truncated per round (localCheckpoint, the
+    * Dedup.connectedComponents pattern) so round N's plan does not
+    * embed N copies of the edge derivation. */
+  def bfsHops(
+      edges: DataFrame, src: String, dst: String,
+      seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .localCheckpoint(true)
+    var dist = seeds.select(col(idCol).as("id")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = e.join(frontier, e("src") === frontier("id"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("hops", lit(h.toLong)).localCheckpoint(true)
+      dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+      h += 1
+    }
+    dist
+  }
 }

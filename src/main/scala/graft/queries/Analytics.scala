@@ -172,6 +172,32 @@ object Analytics {
         .orderBy(col("rank_scaled").desc, col("id"))
     }),
 
+    // Multi-source BFS over the co-purchase graph: minimum hop distance
+    // from the seed set (every 97th part) bounded at 3 hops —
+    // neighborhood expansion, the reachability primitive behind
+    // contamination-spread and related-item queries. Frontier-only
+    // joins + anti-join visited set (Graph.bfsHops) keep round cost
+    // proportional to newly-reached nodes; the oracle replays with a
+    // bounded recursive CTE. Set semantics — no arithmetic — so the
+    // hash compare is exact.
+    "an_bfs_hops" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      val pairs = a.join(b, "l_orderkey")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+      val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
+        .unionByName(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+      val seeds = edges.select(col("src").as("id"))
+        .filter(col("id") % 97 === 0).distinct()
+      graft.operators.Graph.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 3)
+        .orderBy("id")
+    }),
+
     // Weekly cohort retention: cohort = Monday-truncated week of the
     // user's first event; each (cohort, weeks-since) cell counts the
     // cohort's users active that week.
@@ -257,6 +283,20 @@ object Analytics {
         "SELECT (SELECT count(*) FROM v) AS n_step1, " +
         "(SELECT count(*) FROM c) AS n_step2, " +
         "(SELECT count(*) FROM p) AS n_step3"),
+    // bounded recursive CTE: UNION (set) semantics dedupe revisits,
+    // w.dist < 3 bounds the walk, min(dist) per node = BFS hop count
+    "an_bfs_hops" ->
+      ("WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM li a " +
+        "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "edges AS (SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs), " +
+        "seeds AS (SELECT DISTINCT src AS id FROM edges WHERE src % 97 = 0), " +
+        "walk(id, dist) AS (SELECT id, 0 FROM seeds " +
+        "UNION SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.id " +
+        "WHERE w.dist < 3) " +
+        "SELECT id, CAST(min(dist) AS BIGINT) AS hops FROM walk " +
+        "GROUP BY id ORDER BY id"),
     // the identical scaled-integer formula unrolled: // is floor
     // division = Spark's div on the all-positive ranks; integer sums
     // are order-independent, so the 3-iteration replay hash-matches

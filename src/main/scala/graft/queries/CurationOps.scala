@@ -103,6 +103,48 @@ object CurationOps {
       graft.operators.HeavyHitters.exactHeavyHitters(toks, 64)
     }),
 
+    // Count-Min sketch frequency estimation (Cormode & Muthukrishnan):
+    // the mergeable point-query sketch completing the family next to
+    // Bloom (membership), HLL (distinct) and Misra-Gries (heavy
+    // hitters). depth=4 rows × width=1024 buckets, bucket_i(tok) =
+    // md5("i:"+tok) 16-bit prefix mod width — the engine-portable hash
+    // the sampling family already uses, so the DuckDB oracle replays
+    // the EXACT sketch. Build: token explode → 4 (row,bucket) pairs per
+    // occurrence → ONE 4096-cell groupBy (map-side partials collapse
+    // each partition to ≤4096 rows before the shuffle — the 100 TB
+    // shape: sketch size is O(d·w), independent of corpus size, and
+    // sketches of shards union-merge by cell addition). Probe: exact
+    // top-20 tokens (deterministic count-desc/token-asc cut), estimate
+    // = min over the 4 rows, via a broadcast of the tiny sketch. The
+    // CMS guarantee est >= exact holds bit-exactly on the gate.
+    "ta_cms_freq" -> ((s, d) => {
+      val depth = 4
+      val width = 1024L
+      def bucket(row: Int, tok: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(s"$row:"), tok)), 1, 4), 16, 10)
+          .cast("long") % width
+      val toks = documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val sketch = toks
+        .select(explode(array((0 until depth).map(i =>
+          struct(lit(i).as("row"), bucket(i, col("tok")).as("bkt"))): _*))
+          .as("rb"))
+        .groupBy(col("rb.row").as("row"), col("rb.bkt").as("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+      val probes = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), asc("tok")).limit(20)
+      probes
+        .select(col("tok"), col("exact_cnt"),
+          explode(array((0 until depth).map(i =>
+            struct(lit(i).as("row"), bucket(i, col("tok")).as("bkt"))): _*))
+            .as("rb"))
+        .join(broadcast(sketch),
+          col("rb.row") === sketch("row") && col("rb.bkt") === sketch("bkt"))
+        .groupBy("tok", "exact_cnt")
+        .agg(min(col("cnt")).as("cms_est"))
+        .orderBy("tok")
+    }),
+
     // Cross-doc boilerplate detection (Lee et al. "Deduplicating Training
     // Data" at fixed n; the C4 repeated-line rule generalized to 3-gram
     // windows): a shingle appearing in >= 5 DISTINCT docs is boilerplate,
@@ -355,6 +397,22 @@ object CurationOps {
         "SELECT item, count(*) AS cnt FROM tok CROSS JOIN tot " +
         "GROUP BY item, tot.n HAVING count(*) * 64 > tot.n " +
         "ORDER BY cnt DESC, item"),
+    // full CMS replay: same md5("i:"+tok) 16-bit-prefix mod-1024
+    // buckets, same 4×1024 cell counts, same top-20 probe cut, same
+    // min-over-rows estimate — bit-exact
+    "ta_cms_freq" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "tok AS (SELECT unnest(ws) AS tok FROM w), " +
+        "hashed AS (SELECT tok, i, " +
+        "CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 4) AS BIGINT) % 1024 AS bkt " +
+        "FROM tok CROSS JOIN range(4) r(i)), " +
+        "sketch AS (SELECT i, bkt, count(*) AS cnt FROM hashed GROUP BY 1, 2), " +
+        "probes AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok " +
+        "ORDER BY exact_cnt DESC, tok LIMIT 20) " +
+        "SELECT p.tok, p.exact_cnt, min(s.cnt) AS cms_est " +
+        "FROM probes p CROSS JOIN range(4) r(i) JOIN sketch s ON s.i = r.i " +
+        "AND s.bkt = CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || p.tok), 1, 4) AS BIGINT) % 1024 " +
+        "GROUP BY 1, 2 ORDER BY tok"),
     // vocab = global top-256 by (count desc, token asc) — the same
     // deterministic cut Spark trains; per-token ids re-assemble in
     // position order via string_agg(... ORDER BY i)

@@ -279,6 +279,38 @@ object Extended {
         .orderBy("bucket")
     }),
 
+    // Tukey IQR outlier detection per order priority, all in scaled
+    // integer arithmetic: quartiles are the DISCRETE elements at rank
+    // ceil(n/4) / ceil(3n/4) of the integer-cents sort (selected by
+    // row_number, the tolerance-free pattern from
+    // an_group_percentile_approx), and the 1.5·IQR fences are compared
+    // at 2× scale (2·cents vs 2·q1 − 3·iqr) so nothing ever touches a
+    // float and the hash compare is exact. One sort shuffle for the
+    // ranks, then the tiny per-group quartile table broadcasts back
+    // onto the fact scan — the monitoring shape that holds at 100 TB.
+    "qa_outliers" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = orders(s, d).select(
+        col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val ranked = o.select(col("grp"), col("cents"),
+        row_number().over(Window.partitionBy("grp").orderBy("cents")).as("rn"),
+        count(lit(1)).over(Window.partitionBy("grp")).as("n"))
+      val quart = ranked.groupBy("grp").agg(
+        max(when(col("rn") === expr("(n + 3) div 4"), col("cents"))).as("q1"),
+        max(when(col("rn") === expr("(3 * n + 3) div 4"), col("cents"))).as("q3"))
+      o.join(broadcast(quart), "grp")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          max(col("q1")).as("q1_cents"),
+          max(col("q3")).as("q3_cents"),
+          sum(when(col("cents") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3,
+            1L).otherwise(0L)).as("n_low"),
+          sum(when(col("cents") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3,
+            1L).otherwise(0L)).as("n_high"))
+        .orderBy("grp")
+    }),
+
     // Event-time RANGE frame: per-user trailing-hour counts/sums — the
     // sliding-window feature every real-time feature store computes.
     // RANGE (not ROWS) so equal-timestamp peers land in the same frame on
@@ -603,6 +635,20 @@ object Extended {
         "CASE WHEN n_base > 0 AND n_cur > 0 THEN " +
         "round((n_cur / t.t_cur - n_base / t.t_base) * ln((n_cur / t.t_cur) / (n_base / t.t_base)), 6) END AS psi_term " +
         "FROM c, t ORDER BY bucket"),
+    // same discrete rank selection ((n+3)//4 = ceil(n/4)) and the same
+    // 2×-scaled integer fences — nothing floats, so the hash is exact
+    "qa_outliers" ->
+      ("WITH o AS (SELECT o_orderpriority AS grp, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "r AS (SELECT grp, cents, row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn, " +
+        "count(*) OVER (PARTITION BY grp) AS n FROM o), " +
+        "q AS (SELECT grp, max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1, " +
+        "max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3 FROM r GROUP BY grp) " +
+        "SELECT o.grp, count(*) AS n, " +
+        "CAST(max(q.q1) AS BIGINT) AS q1_cents, CAST(max(q.q3) AS BIGINT) AS q3_cents, " +
+        "CAST(sum(CASE WHEN o.cents * 2 < q.q1 * 2 - (q.q3 - q.q1) * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low, " +
+        "CAST(sum(CASE WHEN o.cents * 2 > q.q3 * 2 + (q.q3 - q.q1) * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high " +
+        "FROM o JOIN q ON o.grp = q.grp GROUP BY o.grp ORDER BY o.grp"),
     // floor(epoch(ts)) matches Spark's unix_timestamp truncation; RANGE
     // frames include equal-key peers identically on both engines
     "w6_range_frame" ->

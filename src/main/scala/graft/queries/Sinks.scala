@@ -200,6 +200,22 @@ object Sinks {
         .orderBy("codec", "s_suppkey")
     }),
 
+    // S14 — ORC source/sink round-trip (extension): the other columnar
+    // format Spark ships natively (orc-core on the classpath, no extra
+    // dependency). Same bytes-on-disk discipline as S1/S5: write ORC
+    // with zstd, read the artifact back, and let the oracle compare
+    // against the parquet ground truth — proving the engine round-trips
+    // decimals, dates and strings through a second columnar codec path.
+    "s14_orc_roundtrip" -> ((s, d) => {
+      val out = tmp(s, "s14_orc")
+      orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")
+        .filter(col("o_orderkey") % 7 === 0)
+        .write.mode("overwrite").option("compression", "zstd").orc(out)
+      s.read.orc(out).orderBy("o_orderkey")
+    }),
+
     // S7 — single-file CSV export with header (ref write_to_volume.py:15-16)
     "s7_csv_single_file" -> ((s, d) => {
       val dest = tmp(s, "s7.csv")
@@ -253,6 +269,10 @@ object Sinks {
     "s13_codec" ->
       ("SELECT codec, s_suppkey, s_name, s_acctbal FROM " +
         "(SELECT unnest(['snappy', 'zstd', 'gzip']) AS codec), supplier " +
-        "ORDER BY codec, s_suppkey")
+        "ORDER BY codec, s_suppkey"),
+    "s14_orc_roundtrip" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+        "o_orderdate FROM orders WHERE o_orderkey % 7 = 0 " +
+        "ORDER BY o_orderkey")
   )
 }

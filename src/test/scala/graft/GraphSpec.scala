@@ -39,4 +39,41 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(one == many)
   }
+
+  // Path 1→2→3→4→5 plus shortcut 1→4: distances from {1} are
+  // 2:1, 3:2, 4:1 (shortcut wins over the 3-hop path), 5:2.
+  test("bfsHops takes the minimum hop count when paths compete") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val d = Graph.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
+  test("bfsHops bounds the walk at maxHops and ignores unreachable nodes") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val d = Graph.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4 is 3 hops; 9/10 disconnected
+  }
+
+  test("bfsHops multi-source: each node gets the nearest seed's distance") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("id")
+    val d = Graph.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsHops terminates early when the frontier empties") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    // maxHops far beyond the graph diameter must not loop or error
+    val d = Graph.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L))
+  }
 }
