@@ -68,8 +68,8 @@ object StreamingQueries {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(path),
         java.nio.file.Paths.get(srcDir, "events.parquet"))
-      val stream = s.readStream.schema(rawSchema).parquet(srcDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.normalizeEventTs(
+        s.readStream.schema(rawSchema).parquet(srcDir))
       val outDir = tmp(s, "win_out")
       val ckDir = tmp(s, "win_ck")
       rmrf(ckDir) // fresh checkpoint: each invocation reprocesses the file
@@ -114,8 +114,8 @@ object StreamingQueries {
           java.nio.file.Paths.get(path),
           java.nio.file.Paths.get(srcDir, f))
       }
-      val stream = s.readStream.schema(rawSchema).parquet(srcDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.normalizeEventTs(
+        s.readStream.schema(rawSchema).parquet(srcDir))
       val outDir = tmp(s, "dedup_out")
       val ckDir = tmp(s, "dedup_ck")
       rmrf(ckDir)
@@ -160,11 +160,24 @@ object StreamingQueries {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(path),
         java.nio.file.Paths.get(srcDir, "events.parquet"))
-      val maxTs = raw.agg(max("ts")).head.getLong(0)
+      // sentinel ts must match the fixture's physical ts type (long
+      // nanos on legacy data, timestamp on current) or the file-source
+      // schema check rejects the staged file
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      val sentTs = raw.schema("ts").dataType match {
+        case LongType =>
+          val maxTs = raw.agg(max("ts")).head.getLong(0)
+          lit(maxTs + 172800L * 1000000000L) // +2 days, in nanos
+        case tsType =>
+          val maxUs = raw
+            .agg(max(unix_micros(col("ts").cast(TimestampType))))
+            .head.getLong(0)
+          timestamp_micros(lit(maxUs + 172800L * 1000000L)).cast(tsType)
+      }
       val sentDir = tmp(s, "sess_sentinel")
       raw.limit(1).select(
         lit(-1L).as("event_id"),
-        lit(maxTs + 172800L * 1000000000L).as("ts"), // +2 days, in nanos
+        sentTs.as("ts"), // +2 days past every real session's end
         lit(-1L).as("user_id"), lit("flush").as("event_type"),
         lit(0.0).as("value"), lit("").as("props"))
         .coalesce(1).write.mode("overwrite").parquet(sentDir)
@@ -173,8 +186,8 @@ object StreamingQueries {
       java.nio.file.Files.copy(part.toPath,
         java.nio.file.Paths.get(srcDir, "sentinel.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val stream = s.readStream.schema(rawSchema).parquet(srcDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.normalizeEventTs(
+        s.readStream.schema(rawSchema).parquet(srcDir))
       val outDir = tmp(s, "sess_out")
       val ckDir = tmp(s, "sess_ck")
       rmrf(ckDir)
@@ -218,8 +231,8 @@ object StreamingQueries {
         java.nio.file.Paths.get(path),
         java.nio.file.Paths.get(srcDir, "events.parquet"))
       def side(eventType: String): DataFrame =
-        s.readStream.schema(rawSchema).parquet(srcDir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        Tables.normalizeEventTs(
+          s.readStream.schema(rawSchema).parquet(srcDir))
           .filter(col("event_type") === eventType)
       val outDir = tmp(s, "join_out")
       val ckDir = tmp(s, "join_ck")

@@ -21,15 +21,28 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = t(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = t(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = t(spark, d, "lineitem")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. Read nanos as long (legacy conf) and
-    * convert with integral division — int64 nanos exceed double's 2^53
-    * mantissa, so a floating-point divide would corrupt timestamps. */
+  /** The events fixture's `ts` encoding has varied across testdata
+    * generations — TIMESTAMP(NANOS) (readable only as long via the
+    * legacy conf), plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ), or
+    * session-zoned TIMESTAMP. Normalize all three to TimestampType so
+    * downstream operators see one type. Sessions run with
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast re-tags the
+    * same micros value the oracle's naive `epoch_us(ts)` sees. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, d, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(t(spark, d, "events"))
+  }
+
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      // legacy nanos-as-long: integral division — int64 nanos exceed
+      // double's 2^53 mantissa, a float divide would corrupt timestamps
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = t(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = t(spark, d, "embeddings")
