@@ -20,6 +20,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -36,7 +37,16 @@ object Bench {
     // single-sample snapshots on a shared host manufactured phantom
     // per-query regressions (r6: 4.6s vs 0.9s on identical code); one
     // noise spike now lands in a discarded sample.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    //
+    // Isolation + determinism (r7/r9 lesson): iteration is SORTED by
+    // name — `queries` is a hash Map, so unordered iteration let *which*
+    // query inherits a contaminated session vary between JVMs — and every
+    // query's scratch state (persisted frames, localCheckpoint RDDs,
+    // cached relations left by the operators) is released after its
+    // samples. Without this, 187×4 executions in one session accumulated
+    // scratch blocks until eviction pressure manufactured 2–6× phantom
+    // regressions on unchanged code (r7 and r9 each had a different set).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] warm-up of $name failed: ${e.getMessage}")
@@ -50,6 +60,7 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      graft.operators.Dedup.releaseScratch(spark)
       name -> times(1)
     }
     def fmt(v: Double): String =
@@ -57,7 +68,7 @@ object Bench {
     def qjson(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sinkSec = results.collect { case (k, v) if SinkQueries(k) => v }.sum
     def header(extra: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,""" +
@@ -81,7 +92,7 @@ object Bench {
     // top-40 in r6) still truncated mid-JSON ("parsed": null). The
     // headline totals + top-10 fit in ~600 bytes with certainty; the
     // full per-query map is in the detail file above.
-    val top = results.toSeq.sortBy(-_._2).take(10)
+    val top = results.sortBy(-_._2).take(10)
     val json = header(s""""top10":${qjson(top)},"detail":"$out",""")
     // printed LAST — after spark.stop()'s log chatter — so the line sits
     // intact at the very end of the driver's captured tail

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -28,6 +28,21 @@ import org.apache.spark.sql.types._
   * results stay engine-portable and auditable.
   */
 object Dedup {
+
+  /** Release every scratch block this session holds: the collision-bounded
+    * frames the dedup operators persist (see [[jaccardVerify]]'s cache
+    * lifecycle note) plus any `localCheckpoint` RDDs left by iterative
+    * operators. The operators cannot unpersist eagerly — their scratch
+    * must outlive the returned frame, whose consumption time they cannot
+    * see — so a long-lived session calls this between pipelines to drop
+    * the blocks deterministically instead of waiting for LRU eviction.
+    * Blocking unpersist: the caller wants the memory NOW, not after a
+    * racing async drop. */
+  def releaseScratch(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+  }
 
   /** Exact dedup keeping the first row per key by `orderCol` — the
     * deterministic form of dropDuplicates (which keeps an arbitrary row). */
@@ -170,9 +185,8 @@ object Dedup {
     * registered until evicted — they must outlive the RETURNED frame,
     * whose consumption time the operator cannot see, so they are not
     * unpersisted eagerly. Long-lived sessions issuing many dedup calls
-    * should `spark.catalog.clearCache()` between pipelines (or unpersist
-    * via `spark.sparkContext.getPersistentRDDs`) to drop the scratch
-    * blocks deterministically. */
+    * should call [[Dedup.releaseScratch]] between pipelines to drop the
+    * scratch blocks deterministically (Bench does, per query). */
   private def jaccardVerify(
       df: DataFrame, idCol: String, textCol: String, k: Int,
       cands: DataFrame, thresholdNum: Int, thresholdDen: Int): DataFrame = {

@@ -21,6 +21,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache round-trips EVERY encode/decode
+  // through a temp FILE — per-row disk create/write/delete in the codec
+  // hot path, which on a real cluster is per-row disk thrash across every
+  // executor. One static switch moves the cache in-memory; it runs when
+  // this object first loads in each JVM (driver and, because the
+  // mapPartitions closures reference the object, each executor).
+  javax.imageio.ImageIO.setUseCache(false)
+
   val MetaSchema: StructType = StructType(Seq(
     StructField("mime", StringType),
     StructField("n_bytes", LongType),

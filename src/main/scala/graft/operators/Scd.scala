@@ -103,12 +103,28 @@ object Scd {
       carryCols: Seq[String], trackCols: Seq[String],
       effDateCol: String, initDate: String): DataFrame = {
     require(batches.nonEmpty, "applyBatches: no change sets")
-    import org.apache.spark.sql.expressions.Window
     val tagged = batches.zipWithIndex.map { case (b, i) =>
       b.select((col(keyCol) +: trackCols.map(col) :+
         col(effDateCol).as("__eff")): _*)
         .withColumn("__batch", lit(i))
     }.reduce(_ unionByName _)
+    applyTaggedBatches(target, tagged, keyCol, carryCols, trackCols,
+      "__eff", "__batch", initDate)
+  }
+
+  /** [[applyBatches]] for callers that derive ALL change sets from one
+    * scan of the same fact table: `tagged` carries the batch sequence
+    * position as a column (`batchCol`, int ≥ 0, later batch wins same-eff
+    * ties) alongside `keyCol`, `trackCols` and `effDateCol`, so N batches
+    * need ONE source scan instead of the N filtered re-scans
+    * [[applyBatches]] unions. Semantics are identical — [[applyBatches]]
+    * delegates here after tagging each frame with its position. */
+  def applyTaggedBatches(target: DataFrame, tagged0: DataFrame, keyCol: String,
+      carryCols: Seq[String], trackCols: Seq[String],
+      effDateCol: String, batchCol: String, initDate: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = tagged0.select((col(keyCol) +: trackCols.map(col) :+
+      col(effDateCol).as("__eff") :+ col(batchCol).as("__batch")): _*)
     val carrySrc = target.select((col(keyCol) +: carryCols.map(col)): _*)
     val fresh = tagged.join(carrySrc, Seq(keyCol), "left")
       .select((col(keyCol) +: carryCols.map(col) ++:

@@ -41,7 +41,14 @@ object Tables {
       // double's 2^53 mantissa, a float divide would corrupt timestamps
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
+      case TimestampType    => df
+      // fail AT the normalization boundary: a passthrough of a fourth
+      // encoding (int32, string, …) would surface later as an opaque
+      // watermark/window type error far from the cause (the r8 failure
+      // mode, just one hop further downstream)
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported parquet encoding $other " +
+          "(expected int64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
     }
   }
   def documents(spark: SparkSession, d: String): DataFrame = t(spark, d, "documents")

@@ -181,4 +181,17 @@ class DedupSpec extends SparkSpec {
       .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
     assert(got == expected)
   }
+
+  test("releaseScratch drops every persisted scratch block") {
+    // a near-dup run leaves its collision-bounded frames persisted (the
+    // documented lifecycle: scratch must outlive the returned frame) —
+    // releaseScratch is the executable side of that contract
+    Dedup.minhashNearDupPairs(docs, "doc_id", "text").count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty ||
+      !spark.sharedState.cacheManager.isEmpty,
+      "expected the dedup run to leave scratch blocks registered")
+    Dedup.releaseScratch(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
