@@ -216,6 +216,45 @@ object Sinks {
       s.read.orc(out).orderBy("o_orderkey")
     }),
 
+    // S15 — special-character column names PERSISTED: the reference's
+    // whole reason for `delta.columnMapping.mode=name` (ref utils.py:139)
+    // is survey columns like `Race/Ethnicity` / `% of Survey Responses`
+    // (ref merge_census.py:98-100) that parquet field-name rules reject.
+    // The engine's parquet-native answer is the reversible escape at the
+    // TableSink boundary: write escaped, read restored, verbatim names
+    // round-trip through a real saveAsTable with no sidecar mapping.
+    "s15_special_colnames" -> ((s, d) => {
+      graft.sources.TableSink.dropPurge(s, "graft_s15_census")
+      val verbatim = nation(s, d).select(
+        col("n_nationkey").as("Nation Key"),
+        col("n_name").as("Race/Ethnicity"),
+        (col("n_nationkey") % 2 === 0).as("Survey Completed?"),
+        round(col("n_nationkey") * lit(100.0) / 25, 2)
+          .as("% of Survey Responses"))
+      graft.sources.TableSink.writeTableEscaped(verbatim, "graft_s15_census")
+      graft.sources.TableSink.readTableRestored(s, "graft_s15_census")
+        .orderBy("Nation Key")
+    }),
+
+    // S16 — SQL-string front door: the reference drives everything through
+    // `%sql` / spark.sql over registered tables (ref
+    // rollup_alchemer_data.py:52-56). Views.registerAll + one pure-SQL
+    // rollup proves the whole path — view registration, SQL parse,
+    // execution over the same parquet — on the oracle gate.
+    "s16_sql_entry" -> ((s, d) => {
+      Views.registerAll(s, d)
+      s.sql("""
+        SELECT r.r_name AS region_name,
+               count(DISTINCT n.n_nationkey) AS n_nations,
+               count(*) AS n_customers,
+               round(sum(c.c_acctbal), 2) AS total_acctbal
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name""")
+    }),
+
     // S7 — single-file CSV export with header (ref write_to_volume.py:15-16)
     "s7_csv_single_file" -> ((s, d) => {
       val dest = tmp(s, "s7.csv")
@@ -273,6 +312,20 @@ object Sinks {
     "s14_orc_roundtrip" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
         "o_orderdate FROM orders WHERE o_orderkey % 7 = 0 " +
-        "ORDER BY o_orderkey")
+        "ORDER BY o_orderkey"),
+    "s15_special_colnames" ->
+      ("SELECT n_nationkey AS \"Nation Key\", n_name AS \"Race/Ethnicity\", " +
+        "n_nationkey % 2 = 0 AS \"Survey Completed?\", " +
+        "round(n_nationkey * 100.0 / 25, 2) AS \"% of Survey Responses\" " +
+        "FROM nation ORDER BY \"Nation Key\""),
+    "s16_sql_entry" ->
+      ("SELECT r.r_name AS region_name, " +
+        "count(DISTINCT n.n_nationkey) AS n_nations, " +
+        "count(*) AS n_customers, " +
+        "round(sum(c.c_acctbal), 2) AS total_acctbal " +
+        "FROM region r " +
+        "JOIN nation n ON n.n_regionkey = r.r_regionkey " +
+        "JOIN customer c ON c.c_nationkey = n.n_nationkey " +
+        "GROUP BY r.r_name ORDER BY r.r_name")
   )
 }

@@ -21,6 +21,48 @@ object TableSink {
         false
     }
 
+  // ---- Special-character column names (ref utils.py:139) -----------------
+  // The reference's entire reason for `delta.columnMapping.mode=name` is
+  // persisting survey columns like `Race/Ethnicity`, `Survey Completed?`,
+  // `% of Survey Responses` (ref merge_census.py:98-100) that parquet/
+  // metastore field-name rules reject. The parquet-native equivalent is a
+  // REVERSIBLE name mapping applied at the sink boundary: every char
+  // outside [A-Za-z0-9] — including `_`, so the escape marker `_u` can
+  // never collide with an original sequence — encodes as `_uHHHH` (UTF-16
+  // code unit, lowercase hex). No sidecar file: the mapping is a pure
+  // function of the stored name, so any reader restores verbatim names
+  // from the table alone.
+
+  private val SafeChars: Set[Char] =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toSet
+
+  def escapeColName(name: String): String =
+    name.flatMap(c => if (SafeChars(c)) c.toString else f"_u${c.toInt}%04x")
+
+  def restoreColName(name: String): String = {
+    val m = java.util.regex.Pattern.compile("_u([0-9a-f]{4})").matcher(name)
+    val sb = new StringBuffer
+    while (m.find())
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
+    m.appendTail(sb).toString
+  }
+
+  /** [[writeTable]] with verbatim column names escaped to storage-safe
+    * form. Pair with [[readTableRestored]]. */
+  def writeTableEscaped(df: DataFrame, table: String,
+      mode: String = "overwrite"): Boolean =
+    writeTable(df.toDF(df.columns.map(escapeColName).toIndexedSeq: _*),
+      table, mode)
+
+  /** Read a table written by [[writeTableEscaped]], restoring the
+    * verbatim (special-character) column names. */
+  def readTableRestored(
+      spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val t = spark.table(table)
+    t.toDF(t.columns.map(restoreColName).toIndexedSeq: _*)
+  }
+
   /** Drop a table from the catalog AND purge its warehouse directory —
     * `DROP TABLE ... PURGE` semantics for the in-memory catalog. A fresh
     * session's catalog doesn't know about a previous run's managed-table

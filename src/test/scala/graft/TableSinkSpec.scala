@@ -52,6 +52,33 @@ class TableSinkSpec extends SparkSpec {
     assert(spark.table("tsink_stale").count() == 1)
   }
 
+  test("column-name escape is injective and restores verbatim, incl. _u literals") {
+    // the `_` always-escapes rule is what makes this injective: an
+    // original name containing the literal marker `_u0025` must NOT
+    // decode to `%` after a round trip
+    val names = Seq("Race/Ethnicity", "Survey Completed?",
+      "% of Survey Responses", "# of Survey Responses", "% Difference",
+      "plain_snake_case", "literal_u0025marker", "ünïcode name")
+    for (n <- names) {
+      val esc = TableSink.escapeColName(n)
+      assert(esc.matches("[A-Za-z0-9_]*"), s"escape of '$n' not storage-safe: $esc")
+      assert(TableSink.restoreColName(esc) == n, s"round trip broke for '$n'")
+    }
+    assert(names.map(TableSink.escapeColName).distinct.size == names.size)
+  }
+
+  test("writeTableEscaped / readTableRestored round-trips special-char columns") {
+    val df = Seq((1, "a", 0.25), (2, "b", 0.5))
+      .toDF("Nation Key", "Race/Ethnicity", "% of Survey Responses")
+    assert(TableSink.writeTableEscaped(df, "tsink_escaped"))
+    // on disk: storage-safe names only
+    assert(spark.table("tsink_escaped").columns.forall(_.matches("[A-Za-z0-9_]*")))
+    val back = TableSink.readTableRestored(spark, "tsink_escaped")
+    assert(back.columns.toSeq ==
+      Seq("Nation Key", "Race/Ethnicity", "% of Survey Responses"))
+    assert(back.count() == 2)
+  }
+
   test("overwriteViaSwap keeps the new version plus keepVersions-1 old ones") {
     val base = java.nio.file.Files.createTempDirectory("tsink_swap").toString
     def write(n: Int) = TableSink.overwriteViaSwap(
