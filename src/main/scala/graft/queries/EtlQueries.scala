@@ -59,10 +59,11 @@ object EtlQueries {
     "etl_bronze" -> ((s, _) => {
       def read(name: String) =
         s.read.option("header", "true").csv(s"$FixtureDir/$name")
-      val renames = read("config_renames.csv").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
-      Bronze.ingest(read("survey_online.csv"), read("survey_offline.csv"),
-        SurveyConfig.kingston.copy(colsToRename = renames))
+      // config fetched at STAGE start, never memoized across stages
+      // (ref utils.py:43-46 re-reads its spreadsheets per task;
+      // ConfigSourceSpec pins that a mid-pipeline edit is observed)
+      graft.etl.ConfigSource.stage(s, FixtureDir)(cfg =>
+        Bronze.ingest(read("survey_online.csv"), read("survey_offline.csv"), cfg))
         .select(
           col("Response ID").as("resp_id"),
           col("Time Started").as("time_started"), // online-only: null-padded
