@@ -288,10 +288,15 @@ object Similarity {
     val base = withNorm(emb, vecCol)
     val codebook = coarseCodebook(base, idCol, centroids)
     require(codebook.nonEmpty, "knnGraph: empty codebook")
+    // Explicit shuffle barrier on the cell key before the self-join, same
+    // rationale as semanticNearDupPairs: both join sides then read ONE
+    // exchange (ReusedExchange), so the 16-dot broadcast-literal argmax
+    // runs once per input row instead of being duplicated into each side.
     val assigned = base
       .withColumn("cent_id",
         element_at(cellsRankedCol(codebook), 1).getField("cent_id"))
       .select(col(idCol), col("cent_id"), col("__vd"), col("__norm"))
+      .repartition(col("cent_id"))
     val nbrs = assigned.select(col("cent_id"), col(idCol).as("vec_id_n"),
       col("__vd").as("__nd"), col("__norm").as("__nn"))
     val scored = assigned.join(nbrs, Seq("cent_id"))

@@ -115,10 +115,17 @@ object LlmOps {
     // verifies within each cluster. Oracle-checked end to end: DuckDB
     // replays BOTH training iterations, the argmax assignment, and the
     // pair scores.
-    "dd_semantic" -> ((s, d) =>
-      Similarity.semanticNearDupPairs(
-        embeddings(s, d), "vec_id", "embedding", 0.35)
-        .orderBy("a", "b")),
+    // codebook shared with the sim_topk_*_trained queries through the
+    // same memo key — it is the IDENTICAL trainCodebook(16, 2) call, and
+    // retraining it per invocation was the query's dominant cost
+    "dd_semantic" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cb = memo(s"cb16x2:$d") {
+        Similarity.trainCodebook(emb, "vec_id", "embedding", 16, 2) }
+      Similarity.semanticNearDupPairs(emb, "vec_id", "embedding", 0.35,
+        codebookOpt = Some(cb))
+        .orderBy("a", "b")
+    }),
 
     // The semantic-dedup keep decision a pipeline ships: drop any vector
     // with a same-cluster neighbour of lower id at score ≥ τ, then
@@ -126,8 +133,10 @@ object LlmOps {
     // source/domain column).
     "dd_semantic_keep" -> ((s, d) => {
       val emb = embeddings(s, d)
+      val cb = memo(s"cb16x2:$d") {
+        Similarity.trainCodebook(emb, "vec_id", "embedding", 16, 2) }
       val drops = Similarity.semanticNearDupPairs(
-        emb, "vec_id", "embedding", 0.35)
+        emb, "vec_id", "embedding", 0.35, codebookOpt = Some(cb))
         .select(col("b").as("vec_id")).distinct()
       emb.join(drops, Seq("vec_id"), "left_anti")
         .groupBy("label")
