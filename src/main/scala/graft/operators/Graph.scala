@@ -94,7 +94,11 @@ object Graph {
         .select(col("dst").as("id")).distinct()
         .join(dist, Seq("id"), "left_anti")
         .withColumn("hops", lit(h.toLong)).localCheckpoint(true)
-      dist = dist.unionByName(next).localCheckpoint(true)
+      // dist stays a UNION of already-checkpointed frontiers — every leg
+      // is materialized, so re-checkpointing the growing union each round
+      // would only re-copy the visited set maxHops times; the anti-join
+      // above reads the union's cached blocks directly
+      dist = dist.unionByName(next)
       frontier = next
       h += 1
     }

@@ -216,6 +216,37 @@ object Sinks {
       s.read.orc(out).orderBy("o_orderkey")
     }),
 
+    // S17 — parquet BLOOM FILTER write option: the row-group-skipping
+    // knob for point lookups on high-cardinality, unsorted columns —
+    // min/max stats are useless there (every row group spans the whole
+    // key range) but a bloom probe skips row groups that cannot contain
+    // the key. At 100 TB this turns needle-in-haystack id lookups from a
+    // full scan into footer reads + a handful of row groups. The result
+    // is layout-independent (skipping changes what is READ, never what
+    // matches) so the oracle is the plain filter; that the filter bytes
+    // actually land in the footer and answer membership is pinned in
+    // ParquetBloomSpec.
+    "s17_parquet_bloom" -> ((s, d) => {
+      val out = tmp(s, "s17_bloom")
+      lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_partkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_partkey", "20000")
+        // bloom filters only materialize for non-dictionary chunks (a
+        // complete dictionary already answers membership exactly); at
+        // real scale l_partkey's ndv overflows the dict page on its own —
+        // on the small fixture, opt the column out to exercise the path
+        .option("parquet.enable.dictionary#l_partkey", "false")
+        .parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_partkey").isin(17, 500, 1031))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_partkey")
+    }),
+
     // S15 — special-character column names PERSISTED: the reference's
     // whole reason for `delta.columnMapping.mode=name` (ref utils.py:139)
     // is survey columns like `Race/Ethnicity` / `% of Survey Responses`
@@ -313,6 +344,10 @@ object Sinks {
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
         "o_orderdate FROM orders WHERE o_orderkey % 7 = 0 " +
         "ORDER BY o_orderkey"),
+    "s17_parquet_bloom" ->
+      ("SELECT l_partkey, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem WHERE l_partkey IN (17, 500, 1031) " +
+        "GROUP BY l_partkey ORDER BY l_partkey"),
     "s15_special_colnames" ->
       ("SELECT n_nationkey AS \"Nation Key\", n_name AS \"Race/Ethnicity\", " +
         "n_nationkey % 2 = 0 AS \"Survey Completed?\", " +
