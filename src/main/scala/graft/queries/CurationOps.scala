@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Packing, Sampling, TextOps}
+import graft.operators.{Bpe, Dedup, Packing, Sampling, TextOps}
 
 /** Corpus-curation operators a 100 TB training-data pipeline runs between
   * ingest and tokenization: repetition scoring (the Gopher-style quality
@@ -381,13 +381,106 @@ object CurationOps {
           .as(Seq("chunk_idx", "c")))
         .select(col("doc_id"), col("chunk_idx"), col("c.start").as("start"),
           col("c.chunk").as("chunk"), col("c.n_tok").as("n_tok"))
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // BPE tokenizer TRAINING: one distributed word-count pass cut to a
+    // bounded frequency table (count desc, word asc — the model-artifact
+    // boundary, the codebook pattern), then driver-side merge training.
+    // The oracle replays the ENTIRE training in SQL with no literals:
+    // each level re-encodes the word table under the previous levels'
+    // argmax merges (scalar subqueries) and derives the next argmax +
+    // frequency — the trained model itself sits on the hash gate.
+    "ta_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      Bpe.trainMerges(
+        Bpe.wordCounts(documents(s, d), "text", BpeTopWords), BpeMerges)
+        .toSeq.map(m => (m.rank, m.left, m.right, m.freq))
+        .toDF("merge_rank", "left_sym", "right_sym", "freq")
+        .orderBy("merge_rank")
+    }),
+
+    // Distributed BPE ENCODE: every token runs the codegen'd
+    // regexp_replace + literal-replace chain (narrow map, no UDF, no
+    // shuffle until the per-doc aggregate); emits per-doc word/char/
+    // BPE-token counts — chars vs BPE tokens is the compression the
+    // merges buy.
+    "ta_bpe_encode" -> ((s, d) => {
+      val merges = Bpe.trainMerges(
+        Bpe.wordCounts(documents(s, d), "text", BpeTopWords), BpeMerges).toSeq
+      documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .withColumn("enc", Bpe.encodeWordCol(col("w"), merges))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_chars"),
+          sum(Bpe.symbolCountCol(col("enc"))).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    })
   )
+
+  private val BpeTopWords = 1000
+  private val BpeMerges = 10
+
+  /** SQL fragment: the symbol list of a bracketed encoding column. */
+  private val bpeSyms = """regexp_extract_all(s, '\[([^\]]*)\]', 1)"""
+
+  /** SQL fragment: apply the argmax merge of CTE `m` to column `s` —
+    * left-to-right non-overlapping replace ≡ the greedy fuse. */
+  private def bpeApply(m: String): String =
+    s"replace(s, '[' || (SELECT l FROM $m) || '][' || (SELECT r FROM $m) || ']', " +
+      s"'[' || (SELECT l FROM $m) || (SELECT r FROM $m) || ']')"
+
+  /** The full training replay as chained CTEs (each starts with ", "):
+    * word-frequency cut, char-split base encoding, then per level k the
+    * weighted adjacent-pair counts, the (freq desc, l asc, r asc) argmax,
+    * and the re-encoded word table. Every CTE is MATERIALIZED: DuckDB
+    * inlines CTEs by default, and with each level referencing the
+    * previous one from multiple scalar subqueries the inlined plan grows
+    * exponentially in the level count (observed as a file-handle
+    * explosion); materialization makes the chain linear. */
+  private def bpeTrainingCtes: String = {
+    val sb = new StringBuilder
+    sb ++= ", tok AS MATERIALIZED (SELECT doc_id, unnest(ws) AS t FROM w)"
+    sb ++= s", wf AS MATERIALIZED (SELECT t AS word, CAST(count(*) AS BIGINT) AS c FROM tok " +
+      s"GROUP BY 1 ORDER BY c DESC, word ASC LIMIT $BpeTopWords)"
+    sb ++= """, e0 AS MATERIALIZED (SELECT word, c, regexp_replace(word, '(.)', '[\1]', 'g') AS s FROM wf)"""
+    for (k <- 1 to BpeMerges) {
+      sb ++= s", y$k AS MATERIALIZED (SELECT c, $bpeSyms AS sy FROM e${k - 1})"
+      sb ++= s", p$k AS MATERIALIZED (SELECT p.l AS l, p.r AS r, CAST(sum(c) AS BIGINT) AS f FROM (" +
+        s"SELECT unnest(list_transform(range(1, len(sy)), " +
+        s"i -> struct_pack(l := sy[i], r := sy[i+1]))) AS p, c FROM y$k) GROUP BY 1, 2)"
+      sb ++= s", m$k AS MATERIALIZED (SELECT l, r, f FROM p$k ORDER BY f DESC, l ASC, r ASC LIMIT 1)"
+      sb ++= s", e$k AS MATERIALIZED (SELECT word, c, ${bpeApply(s"m$k")} AS s FROM e${k - 1})"
+    }
+    sb.toString
+  }
 
   private val wordsCte =
     "SELECT doc_id, source, list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^a-z0-9 ]', ' ', 'g')), ' +'), x -> x <> '') AS ws FROM documents"
 
   def oracleSql: Map[String, String] = Map(
+    // full BPE training replay, no literals: each level's argmax derives
+    // from the previous levels' re-encoding via scalar subqueries
+    "ta_bpe_merges" ->
+      ("WITH w AS (" + wordsCte + ")" + bpeTrainingCtes + " " +
+        (1 to BpeMerges).map(k =>
+          s"SELECT $k AS merge_rank, l AS left_sym, r AS right_sym, f AS freq FROM m$k")
+          .mkString("", " UNION ALL ", " ORDER BY merge_rank")),
+    // same training replay, then every DISTINCT corpus word re-encodes
+    // under the derived merges and joins back to the token stream
+    "ta_bpe_encode" ->
+      ("WITH w AS (" + wordsCte + ")" + bpeTrainingCtes +
+        ", dw AS MATERIALIZED (SELECT DISTINCT t AS word FROM tok)" +
+        """, d0 AS MATERIALIZED (SELECT word, regexp_replace(word, '(.)', '[\1]', 'g') AS s FROM dw)""" +
+        (1 to BpeMerges).map(k =>
+          s", d$k AS MATERIALIZED (SELECT word, ${bpeApply(s"m$k")} AS s FROM d${k - 1})")
+          .mkString +
+        s", denc AS MATERIALIZED (SELECT word, length(s) - length(replace(s, '[', '')) AS n_sym FROM d$BpeMerges) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(length(t)) AS BIGINT) AS n_chars, " +
+        "CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens " +
+        "FROM tok JOIN denc ON tok.t = denc.word " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     // the exact definition the MG+recount pipeline guarantees: every
     // token with count·64 > corpus total, exact counts
     "ta_heavy_hitters" ->
