@@ -11,8 +11,8 @@ object Bench {
     "s1_csv_roundtrip", "s5_parquet_sink", "s6_json_single_file",
     "s7_csv_single_file", "s8_schema_merge", "s9_partition_prune",
     "etl_export", "j6_bucketed_join", "sim_topk_ivf_pruned",
-    "st_window_counts", "st_dedup", "s10_zorder",
-    "dd_incremental_indexed", "s14_orc_roundtrip")
+    "sim_topk_ivf_append", "st_window_counts", "st_dedup", "s10_zorder",
+    "dd_incremental_indexed", "s14_orc_roundtrip", "s17_parquet_bloom")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -230,6 +230,13 @@ object Similarity {
   /** Default coarse codebook: the first `centroids` vectors by id — one
     * tiny driver fetch (centroids × dims doubles), a model artifact, not
     * data; same role as the literal hyperplanes in LSH. */
+  /** Public form of [[coarseCodebook]] for callers that manage a
+    * persisted index lifecycle (freeze at build, reuse on append/probe). */
+  def coarseCodebookOf(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Int = 16): Array[(Long, Seq[Double], Double)] =
+    coarseCodebook(withNorm(emb, vecCol), idCol, centroids)
+
   private def coarseCodebook(
       base: DataFrame, idCol: String, centroids: Int): Array[(Long, Seq[Double], Double)] =
     base.filter(col(idCol) < centroids)
@@ -577,22 +584,49 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       probePred: Column, k: Int, indexPath: String,
       centroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val spark = emb.sparkSession
     val base = withNorm(emb, vecCol)
     val codebook = coarseCodebook(base, idCol, centroids)
     require(codebook.nonEmpty, "ivfPartitionedTopK: empty codebook")
-    val cellsRanked = cellsRankedCol(codebook)
-    // index build: one narrow pass over the corpus, written once per
-    // codebook generation (cent_id as int: parquet partition-value
-    // inference reads small integral dirs back as int, and a type
-    // mismatch would wrap the partition column in a cast that defeats
-    // static pruning)
-    base.withColumn("cent_id",
-      element_at(cellsRanked, 1).getField("cent_id").cast("int"))
+    writeIvfIndex(emb, idCol, vecCol, indexPath, codebook, "overwrite")
+    probeIvfIndexTopK(emb, idCol, vecCol, probePred, k, indexPath,
+      codebook, nprobe)
+  }
+
+  /** Write (or APPEND) the hive-partitioned IVF index for one batch of
+    * vectors under a FIXED codebook — one narrow assignment pass, cell
+    * directories only grow. Append is the incremental-ingest maintenance
+    * path: the codebook is frozen at initial build (retraining would
+    * reassign existing cells and force an index rebuild), new vectors
+    * land in their cells as additional part-files, and probes see the
+    * union — no rebuild, no read-modify-write. cent_id is written as int:
+    * parquet partition-value inference reads small integral dirs back as
+    * int, and a type mismatch would wrap the partition column in a cast
+    * that defeats static pruning. */
+  def writeIvfIndex(
+      emb: DataFrame, idCol: String, vecCol: String, indexPath: String,
+      codebook: Array[(Long, Seq[Double], Double)], mode: String): Unit = {
+    require(codebook.nonEmpty, "writeIvfIndex: empty codebook")
+    withNorm(emb, vecCol)
+      .withColumn("cent_id",
+        element_at(cellsRankedCol(codebook), 1).getField("cent_id").cast("int"))
       .select(col(idCol), col("__vd"), col("__norm"), col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(indexPath)
-    val probes = base.filter(probePred)
-      .withColumn("__cand", explode(slice(cellsRanked, 1, nprobe)))
+      .write.mode(mode).partitionBy("cent_id").parquet(indexPath)
+  }
+
+  /** Probe a persisted IVF index: each probe explodes to its nprobe
+    * nearest cells, the index scan statically PRUNES to those cell
+    * directories (PartitionFilters on cent_id, pinned in PlanSpec), and
+    * candidates score by exact cosine. The probed cell-id set is a
+    * driver-side model artifact (≤ codebook-size ints — bounded by the
+    * codebook, not the probe count, and needed as literals precisely so
+    * the filter is static partition pruning rather than a runtime join). */
+  def probeIvfIndexTopK(
+      probeSrc: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, k: Int, indexPath: String,
+      codebook: Array[(Long, Seq[Double], Double)], nprobe: Int = 4): DataFrame = {
+    val spark = probeSrc.sparkSession
+    val probes = withNorm(probeSrc, vecCol).filter(probePred)
+      .withColumn("__cand", explode(slice(cellsRankedCol(codebook), 1, nprobe)))
       .select(col(idCol).as("probe_id"),
         col("__cand.cent_id").cast("int").as("cent_id"),
         col("__vd").as("__pd"), col("__norm").as("__pn"))

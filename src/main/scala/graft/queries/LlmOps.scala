@@ -269,6 +269,31 @@ object LlmOps {
           s"graft_ivf_index_${s.sparkContext.applicationId}").toString)
         .orderBy("probe_id", "rank")),
 
+    // INCREMENTAL index maintenance — the ingest path a production ANN
+    // index lives on: the codebook FREEZES at initial build, a later
+    // batch (every 5th vector, excluding the codebook seeds) appends
+    // into its cell directories as new part-files (no rebuild, no
+    // read-modify-write), and probes read the union through the same
+    // pruned scan. Hash-identical to sim_topk_ivf by construction —
+    // base ∪ batch is the full corpus and the frozen codebook equals
+    // the full-corpus codebook (seed ids 0..15 are all in the base).
+    "sim_topk_ivf_append" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val isBatch = col("vec_id") % 5 === 0 && col("vec_id") >= 16
+      val idx = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft_ivf_incr_${s.sparkContext.applicationId}").toString
+      val cb = Similarity.coarseCodebookOf(
+        emb.filter(!isBatch), "vec_id", "embedding")
+      Similarity.writeIvfIndex(
+        emb.filter(!isBatch), "vec_id", "embedding", idx, cb, "overwrite")
+      Similarity.writeIvfIndex(
+        emb.filter(isBatch), "vec_id", "embedding", idx, cb, "append")
+      Similarity.probeIvfIndexTopK(
+        emb, "vec_id", "embedding", col("vec_id") < 10, 5, idx, cb)
+        .orderBy("probe_id", "rank")
+    }),
+
     // Token counting: whitespace tokens, BPE-ish regex tokens, char stats
     "ta_token_stats" -> ((s, d) => {
       val w = TextOps.tokens(col("text"))
@@ -1119,6 +1144,9 @@ object LlmOps {
     // index round-trip changes WHERE the candidates are read from (pruned
     // cell directories), not which candidates score
     "sim_topk_ivf_pruned" -> ivfOracleSql,
+    // append path: base ∪ batch = full corpus under the same frozen
+    // codebook, so the full-index oracle applies verbatim
+    "sim_topk_ivf_append" -> ivfOracleSql,
     // IVF×PQ composition: cell CTEs from sim_topk_ivf gate the candidate
     // pairs; code/LUT CTEs from sim_topk_pq score them asymmetrically
     "sim_topk_ivfpq" ->

@@ -286,4 +286,37 @@ class SimilaritySpec extends SparkSpec {
       fixture, "vec_id", "embedding", 0.5, centroids = 8)
     assert(sem.except(all).count() == 0)
   }
+
+  test("IVF index append adds part-files without rewriting the base index") {
+    val idx = java.nio.file.Files.createTempDirectory("sim-ivf-incr").toString
+    val isBatch = col("vec_id") % 3 === 0 && col("vec_id") >= 8
+    val cb = Similarity.coarseCodebookOf(
+      fixture.filter(!isBatch), "vec_id", "embedding", centroids = 8)
+    Similarity.writeIvfIndex(
+      fixture.filter(!isBatch), "vec_id", "embedding", idx, cb, "overwrite")
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).iterator.flatten.toSeq.flatMap(c =>
+          if (c.isDirectory) walk(c) else Seq(c))
+      walk(new java.io.File(idx))
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).toSet
+    }
+    val baseFiles = files()
+    Similarity.writeIvfIndex(
+      fixture.filter(isBatch), "vec_id", "embedding", idx, cb, "append")
+    // the no-rebuild contract: every base part-file survives byte-for-
+    // name, the batch lands as NEW files only
+    assert(files().intersect(baseFiles) == baseFiles,
+      "append rewrote or dropped base index files")
+    assert(files().size > baseFiles.size, "append added no files")
+    // and the probe over the appended index equals the single-build index
+    val combined = Similarity.probeIvfIndexTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 3, idx, cb)
+    val single = Similarity.ivfPartitionedTopK(
+      fixture, "vec_id", "embedding", col("vec_id") < 5, 3,
+      java.nio.file.Files.createTempDirectory("sim-ivf-single").toString,
+      centroids = 8)
+    assert(combined.except(single).count() == 0 &&
+      single.except(combined).count() == 0)
+  }
 }
