@@ -268,6 +268,51 @@ object StreamingQueries {
     // batch-SQL oracle gate: the oracle replays winner-per-key over the
     // full change log. State alternates between batchId-keyed dirs
     // (read-then-overwrite of one dir would race the lazy scan).
+    // Stream-STATIC enrichment join — the most common production
+    // streaming shape: each micro-batch of events joins a broadcast
+    // dimension snapshot (no state store for the join: the static side
+    // is a plan literal per batch, the stream side never waits), then a
+    // running per-nation rollup in complete mode. At 100 TB/day the
+    // stream side scales with executors and the dim broadcast is the
+    // same bounded artifact every batch job ships.
+    "st_enrich" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$d/events.parquet"
+      val rawSchema = s.read.parquet(path).schema
+      val srcDir = tmp(s, "enrich_src")
+      rmrf(srcDir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(path),
+        java.nio.file.Paths.get(srcDir, "events.parquet"))
+      val stream = Tables.normalizeEventTs(
+        s.readStream.schema(rawSchema).parquet(srcDir))
+      val dim = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey")))
+      val outDir = tmp(s, "enrich_out")
+      val ckDir = tmp(s, "enrich_ck")
+      rmrf(ckDir)
+      rmrf(outDir)
+      withStatePartitions(s, 8) {
+        val q = stream.join(dim, stream("user_id") === dim("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(outDir); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(outDir)
+        .select(col("c_nationkey").cast("long").as("nation_key"),
+          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("nation_key")
+    }),
+
     "st_upsert" -> ((s, d) => {
       val cents = round(col("o_totalprice") * 100).cast("long")
       val o = Tables.orders(s, d).select(
@@ -353,6 +398,12 @@ object StreamingQueries {
         "AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts " +
         "WHERE p.event_type = 'purchase' AND v.event_type = 'view' " +
         "ORDER BY p.user_id, p_ts_us, v_ts_us"),
+    // stream-static enrichment ≡ the plain batch join + rollup
+    "st_enrich" ->
+      ("SELECT CAST(c_nationkey AS BIGINT) AS nation_key, " +
+        "count(*) AS n_events, round(sum(value), 2) AS sum_value " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+        "GROUP BY 1 ORDER BY 1"),
     // winner-per-key over the full change log = the confluent merge's
     // fixed point, however the stream batched it
     "st_upsert" ->
