@@ -79,6 +79,49 @@ object Graph {
     * Lineage is truncated per round (localCheckpoint, the
     * Dedup.connectedComponents pattern) so round N's plan does not
     * embed N copies of the edge derivation. */
+  /** Bounded weighted shortest path (Bellman–Ford with a frontier
+    * optimization): minimum total integer weight from any seed over paths
+    * of ≤ `maxHops` edges. Returns (id, dist) for every node reachable
+    * within the bound.
+    *
+    * Per round, ONLY nodes whose distance improved last round relax
+    * their out-edges (the frontier — classic Bellman-Ford relaxes every
+    * edge every round, maxHops× the work on graphs where shortest paths
+    * stabilize early), candidates take a per-target min, and the
+    * distance table folds in strict improvements via one full-outer
+    * merge. Weights are integers so the min-fold is exact: no float sum
+    * order can flip a comparison, and the hash gate + recursive-CTE
+    * oracle replay bit-identically. Lineage truncates per round
+    * (the Dedup.connectedComponents pattern). */
+  def ssspWeighted(
+      edges: DataFrame, src: String, dst: String, weightCol: String,
+      seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"),
+      col(weightCol).cast("long").as("w")).localCheckpoint(true)
+    var dist = seeds.select(col(idCol).as("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val cand = e.join(frontier, e("src") === frontier("id"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("cand"))
+        .groupBy("id").agg(min("cand").as("cand"))
+      val improved = cand.join(dist, Seq("id"), "left")
+        .filter(col("dist").isNull || col("cand") < col("dist"))
+        .select(col("id"), col("cand").as("dist")).localCheckpoint(true)
+      // improved rows are STRICT improvements (or brand-new nodes) by the
+      // filter above, so the merge is a plain coalesce — no re-compare
+      dist = dist.join(improved.select(col("id"), col("dist").as("nd")),
+        Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("nd"), col("dist")).as("dist"))
+        .localCheckpoint(true)
+      frontier = improved
+      h += 1
+    }
+    dist
+  }
+
   def bfsHops(
       edges: DataFrame, src: String, dst: String,
       seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = {

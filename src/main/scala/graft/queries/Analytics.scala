@@ -198,6 +198,35 @@ object Analytics {
         .orderBy("id")
     }),
 
+    // Weighted shortest path over the same co-purchase graph: edge cost
+    // 1000 div support (frequently co-bought pairs are cheap to
+    // traverse), minimum total cost from the seed set over ≤3-edge
+    // paths. Bellman–Ford with a frontier optimization (only nodes
+    // improved last round relax their out-edges — Graph.ssspWeighted);
+    // integer weights keep the min-fold exact, and the oracle replays
+    // with a hop-bounded recursive CTE over identical integer sums.
+    "an_sssp" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      val pairs = a.join(b, "l_orderkey")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+      val edges = pairs.select(col("part_a").as("src"),
+          col("part_b").as("dst"), col("support"))
+        .unionByName(pairs.select(col("part_b").as("src"),
+          col("part_a").as("dst"), col("support")))
+        .withColumn("w", expr("1000 div support"))
+      val seeds = edges.select(col("src").as("id"))
+        .filter(col("id") % 97 === 0).distinct()
+      graft.operators.Graph.ssspWeighted(
+        edges, "src", "dst", "w", seeds, "id", maxHops = 3)
+        .orderBy("id")
+    }),
+
     // Weekly cohort retention: cohort = Monday-truncated week of the
     // user's first event; each (cohort, weeks-since) cell counts the
     // cohort's users active that week.
@@ -296,6 +325,22 @@ object Analytics {
         "UNION SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.id " +
         "WHERE w.dist < 3) " +
         "SELECT id, CAST(min(dist) AS BIGINT) AS hops FROM walk " +
+        "GROUP BY id ORDER BY id"),
+    // hop-bounded recursive CTE over the weighted graph: UNION dedupes
+    // identical (id, cost, hops) states, min per node = shortest path;
+    // // is floor division = Spark's div on the all-positive supports
+    "an_sssp" ->
+      ("WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support FROM li a " +
+        "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "edges AS (SELECT pa AS src, pb AS dst, 1000 // support AS w FROM pairs " +
+        "UNION ALL SELECT pb, pa, 1000 // support FROM pairs), " +
+        "seeds AS (SELECT DISTINCT src AS id FROM edges WHERE src % 97 = 0), " +
+        "walk(id, d, hops) AS (SELECT id, CAST(0 AS BIGINT), 0 FROM seeds " +
+        "UNION SELECT e.dst, w.d + e.w, w.hops + 1 FROM walk w " +
+        "JOIN edges e ON e.src = w.id WHERE w.hops < 3) " +
+        "SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk " +
         "GROUP BY id ORDER BY id"),
     // the identical scaled-integer formula unrolled: // is floor
     // division = Spark's div on the all-positive ranks; integer sums

@@ -76,4 +76,29 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(d == Map(1L -> 0L, 2L -> 1L))
   }
+
+  test("ssspWeighted minimizes WEIGHT, not hops, and respects the hop bound") {
+    // 1→4 direct costs 10; 1→2→3→4 costs 1+1+1=3 but needs 3 hops
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    val at3 = Graph.ssspWeighted(edges, "src", "dst", "w", seeds, "id", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(at3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // with only 2 hops allowed, the cheap path is out of reach: the
+    // direct edge's cost stands
+    val at2 = Graph.ssspWeighted(edges, "src", "dst", "w", seeds, "id", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(at2(4L) == 10L)
+  }
+
+  test("ssspWeighted multi-source takes the cheapest seed and stops when stable") {
+    val edges = Seq((1L, 3L, 5L), (2L, 3L, 2L), (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L, 2L).toDF("id")
+    // maxHops beyond stabilization must not loop; node 3 takes seed 2's
+    // cheaper edge
+    val d = Graph.ssspWeighted(edges, "src", "dst", "w", seeds, "id", 10)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 3L))
+  }
 }
