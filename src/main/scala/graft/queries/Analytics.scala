@@ -198,6 +198,38 @@ object Analytics {
         .orderBy("id")
     }),
 
+    // Per-node triangle participation over the co-purchase graph — the
+    // clustering-coefficient numerator. Edges are ORIENTED a<b once, so
+    // each triangle (a<b<c) materializes exactly one wedge join
+    // (e1.b=e2.a) plus one closing-edge semi-check — the standard
+    // skew-bounded formulation (a hub's wedge count is deg²/2 on the
+    // oriented list, not deg² on both directions; at larger scale the
+    // orientation flips to degree order, same plan). Two equi-joins on
+    // the bounded pair table, no cartesian; top-20 with deterministic
+    // tie-break.
+    "an_triangles" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      val edges = a.join(b, "l_orderkey")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("part_a").as("u"), col("part_b").as("v"))
+      val tri = edges.select(col("u").as("x"), col("v").as("y"))
+        .join(edges.select(col("u").as("y"), col("v").as("z")), "y")
+        .join(edges.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"),
+          "left_semi")
+      tri.select(col("x").as("node"))
+        .unionByName(tri.select(col("y").as("node")))
+        .unionByName(tri.select(col("z").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("node"))
+        .limit(20)
+    }),
+
     // Weighted shortest path over the same co-purchase graph: edge cost
     // 1000 div support (frequently co-bought pairs are cheap to
     // traverse), minimum total cost from the seed set over ≤3-edge
@@ -326,6 +358,20 @@ object Analytics {
         "WHERE w.dist < 3) " +
         "SELECT id, CAST(min(dist) AS BIGINT) AS hops FROM walk " +
         "GROUP BY id ORDER BY id"),
+    // oriented wedge join + closing-edge EXISTS = one row per triangle
+    "an_triangles" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM li a " +
+        "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "e AS (SELECT pa AS u, pb AS v FROM pairs), " +
+        "tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM e e1 " +
+        "JOIN e e2 ON e1.v = e2.u " +
+        "WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v)), " +
+        "nodes AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri " +
+        "UNION ALL SELECT z FROM tri) " +
+        "SELECT node, count(*) AS n_triangles FROM nodes GROUP BY 1 " +
+        "ORDER BY n_triangles DESC, node LIMIT 20"),
     // hop-bounded recursive CTE over the weighted graph: UNION dedupes
     // identical (id, cost, hops) states, min per node = shortest path;
     // // is floor division = Spark's div on the all-positive supports

@@ -59,6 +59,37 @@ object TimeSeriesQueries {
           col("n_events"), col("value_cents"))
         .orderBy("event_type", "bucket_us")),
 
+    // OHLC candle downsample — the finance-style bucket summary: per
+    // (type, hour), the first/last value by (ts, event_id) — the id
+    // tie-break makes open/close deterministic even under equal
+    // timestamps — plus high/low in exact cents. One shuffle (the
+    // window partition = the aggregate key, so the agg reuses the
+    // window's exchange), same per-bucket shape at any scale.
+    "ts_ohlc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = round(col("value") * 100).cast("long")
+      val w = Window.partitionBy(col("event_type"), col("bucket"))
+        .orderBy(col("ts"), col("event_id"))
+      val wDesc = Window.partitionBy(col("event_type"), col("bucket"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+        .withColumn("cents", cents)
+        .withColumn("rn_a", row_number().over(w))
+        .withColumn("rn_d", row_number().over(wDesc))
+        .groupBy("event_type", "bucket")
+        .agg(
+          max(when(col("rn_a") === 1, col("cents"))).as("open_cents"),
+          max("cents").as("high_cents"),
+          min("cents").as("low_cents"),
+          max(when(col("rn_d") === 1, col("cents"))).as("close_cents"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"), unix_micros(col("bucket")).as("bucket_us"),
+          col("open_cents"), col("high_cents"), col("low_cents"),
+          col("close_cents"), col("n_events"))
+        .orderBy("event_type", "bucket_us")
+    }),
+
     // Forward fill: carry each user's last purchase value across their
     // subsequent events — last(ignoreNulls) over a streaming frame, the
     // sparse→dense repair for downstream feature joins.
@@ -230,6 +261,20 @@ object TimeSeriesQueries {
         |SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
         |  asof_event_id, asof_event_type
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin),
+    "ts_ohlc" ->
+      ("WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents, " +
+        "row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts) " +
+        "ORDER BY ts, event_id) AS rn_a, " +
+        "row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts) " +
+        "ORDER BY ts DESC, event_id DESC) AS rn_d FROM events) " +
+        "SELECT event_type, epoch_us(bucket) AS bucket_us, " +
+        "CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents, " +
+        "CAST(max(cents) AS BIGINT) AS high_cents, " +
+        "CAST(min(cents) AS BIGINT) AS low_cents, " +
+        "CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents, " +
+        "count(*) AS n_events " +
+        "FROM b GROUP BY 1, 2 ORDER BY event_type, bucket_us"),
     "ts_resample" ->
       ("SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us, " +
         "count(*) AS n_events, " +
