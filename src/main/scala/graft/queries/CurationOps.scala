@@ -358,6 +358,40 @@ object CurationOps {
         .orderBy(col("n").desc, col("bigram"))
     }),
 
+    // PMI collocation mining: ln(c_xy·N·N / (N2·c_x·c_y)) for bigrams
+    // with support ≥ 5 — the classic corpus-collocation score. FLOAT-SAFE
+    // by construction: every input is an integer aggregate, both
+    // numerator and denominator products stay under 2^53 (exact
+    // doubles), and the single ln runs once per OUTPUT row — no float
+    // sum whose order could drift between engines. Scale shape: two
+    // map-side-combined count aggregates, bigrams join their two
+    // unigram counts (unigram side bounded by vocabulary, broadcast),
+    // scalar totals are 1-row broadcast literals.
+    "ta_pmi" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      val uni = toks.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val bi = toks.filter(size(col("ws")) > 1)
+        .select(explode(expr(
+          "transform(slice(ws, 1, size(ws) - 1), " +
+            "(w, i) -> struct(w AS x, element_at(ws, i + 2) AS y))")).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 5)
+      val totals = uni.agg(sum("c1").as("n1")).crossJoin(
+        bi.agg(sum("cxy").as("n2")))
+      bi.join(broadcast(uni.select(col("w").as("x"), col("c1").as("cx"))), "x")
+        .join(broadcast(uni.select(col("w").as("y"), col("c1").as("cy"))), "y")
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi", round(log(
+          (col("cxy").cast("double") * col("n1") * col("n1")) /
+            (col("n2").cast("double") * col("cx") * col("cy"))), 6))
+        .select(col("x"), col("y"), col("cxy"), col("pmi"))
+        .orderBy(col("pmi").desc, col("x"), col("y")).limit(20)
+        .orderBy(col("pmi").desc, col("x"), col("y"))
+    }),
+
     // Edit-distance near-dup: prefix-blocked pairs, bounded-window
     // levenshtein verify.
     "dd_edit_distance" -> ((s, d) =>
@@ -672,6 +706,25 @@ object CurationOps {
         "FROM w WHERE len(ws) > 1) " +
         "SELECT bigram, count(*) AS n FROM bg GROUP BY 1 " +
         "ORDER BY n DESC, bigram LIMIT 20"),
+    // identical integer products inside one ln per row: the double
+    // division is exact-over-exact (< 2^53), so both engines see the
+    // same argument and round the same 6dp value
+    "ta_pmi" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "tokn AS (SELECT unnest(ws) AS t FROM w), " +
+        "uni AS (SELECT t AS wd, CAST(count(*) AS BIGINT) AS c1 FROM tokn GROUP BY 1), " +
+        "bg AS (SELECT p.x AS x, p.y AS y, CAST(count(*) AS BIGINT) AS cxy FROM (" +
+        "SELECT unnest(list_transform(range(1, len(ws)), " +
+        "i -> struct_pack(x := ws[i], y := ws[i + 1]))) AS p " +
+        "FROM w WHERE len(ws) > 1) GROUP BY 1, 2 HAVING count(*) >= 5), " +
+        "tot AS (SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM uni) AS n1, " +
+        "(SELECT CAST(sum(cxy) AS BIGINT) FROM bg) AS n2) " +
+        "SELECT x, y, cxy, round(ln(" +
+        "(CAST(cxy AS DOUBLE) * n1 * n1) / (CAST(n2 AS DOUBLE) * ux.c1 * uy.c1)" +
+        "), 6) AS pmi " +
+        "FROM bg JOIN uni ux ON bg.x = ux.wd JOIN uni uy ON bg.y = uy.wd " +
+        "CROSS JOIN tot " +
+        "ORDER BY pmi DESC, x, y LIMIT 20"),
     "dd_edit_distance" ->
       ("WITH b AS (SELECT doc_id, md5(substring(text, 1, 30)) AS blk, " +
         "substring(text, 1, 120) AS t FROM documents) " +
