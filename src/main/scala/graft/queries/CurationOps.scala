@@ -229,6 +229,26 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // Bitwise + cryptographic-hash battery (extension): the bit-twiddling
+    // vocabulary sketches/fingerprints are built from (&, |, xor, shifts,
+    // popcount) plus the md5/sha2 digests the dedup tier depends on —
+    // each pinned against the oracle so the primitives themselves are
+    // cross-engine-exact, not just the operators composed from them.
+    "f28_bitwise_battery" -> ((s, d) => {
+      val k = col("doc_id")
+      documents(s, d).select(
+        k,
+        (k.bitwiseAND(lit(255L))).as("k_and"),
+        (k.bitwiseOR(lit(4096L))).as("k_or"),
+        (k.bitwiseXOR(lit(0x5bd1e995L))).as("k_xor"),
+        shiftleft(k, 3).as("k_shl"),
+        shiftright(k, 2).as("k_shr"),
+        bit_count(k).cast("int").as("k_pop"),
+        md5(col("text")).as("text_md5"),
+        sha2(col("text"), 256).as("text_sha256"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test split: cumulative hash cut points
     // label each doc once, appends never move old rows between splits.
     // Cut points: round(0.8*65536)=52429, +round(0.1*65536)=58983.
@@ -620,6 +640,12 @@ object CurationOps {
         "ORDER BY doc_id"),
     // ws[1:3] / ws[-1] clamp on short lists exactly like Spark's
     // slice/get-null behavior
+    "f28_bitwise_battery" ->
+      ("SELECT doc_id, doc_id & 255 AS k_and, doc_id | 4096 AS k_or, " +
+        "xor(doc_id, 1540483477) AS k_xor, doc_id << 3 AS k_shl, " +
+        "doc_id >> 2 AS k_shr, CAST(bit_count(doc_id) AS INTEGER) AS k_pop, " +
+        "md5(text) AS text_md5, sha256(text) AS text_sha256 " +
+        "FROM documents ORDER BY doc_id"),
     "f27_array_battery" ->
       ("WITH w AS (" + wordsCte + ") " +
         "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
