@@ -35,9 +35,14 @@ object TimeSeries {
       key: String, ts: String, tieBreak: String,
       leftCols: Seq[String], rightCols: Seq[String],
       direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
+    require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown as-of direction: $direction")
-    val carried = struct(rightCols.map(col): _*)
+    // nearest mode also carries the right TIMESTAMP so the two candidate
+    // matches can be distance-compared after the windows
+    val carried =
+      if (direction == "nearest")
+        struct((col(ts).as("__cts") +: rightCols.map(col)): _*)
+      else struct(rightCols.map(col): _*)
     val l = left.select(
       (Seq(col(key), col(ts), col(tieBreak).as("__tie"), lit(1).as("__side"),
         lit(null).cast(
@@ -52,17 +57,34 @@ object TimeSeries {
     // forward: earliest right at-or-after (ties included — left sorts
     // before right at equal ts; lowest tie-break wins via first()).
     val base = Window.partitionBy(key)
-    val (w, matchExpr) =
-      if (direction == "backward")
-        (base.orderBy(col(ts).asc, col("__side").asc, col("__tie").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow),
-          last(col("__carry"), ignoreNulls = true))
-      else
-        (base.orderBy(col(ts).asc, col("__side").desc, col("__tie").asc)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing),
-          first(col("__carry"), ignoreNulls = true))
-    l.unionByName(r)
-      .withColumn("__match", matchExpr.over(w))
+    val wB = base.orderBy(col(ts).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = base.orderBy(col(ts).asc, col("__side").desc, col("__tie").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val unioned = l.unionByName(r)
+    val matched = direction match {
+      case "backward" =>
+        unioned.withColumn("__match",
+          last(col("__carry"), ignoreNulls = true).over(wB))
+      case "forward" =>
+        unioned.withColumn("__match",
+          first(col("__carry"), ignoreNulls = true).over(wF))
+      case _ =>
+        // nearest: both directional matches ride the SAME exchange (two
+        // sorts, one shuffle), then the closer one wins; equal distance
+        // prefers the backward match
+        val b = last(col("__carry"), ignoreNulls = true).over(wB)
+        val f = first(col("__carry"), ignoreNulls = true).over(wF)
+        unioned.withColumn("__mb", b).withColumn("__mf", f)
+          .withColumn("__match",
+            when(col("__mf").isNull, col("__mb"))
+              .when(col("__mb").isNull, col("__mf"))
+              .when(unix_micros(col(ts)) - unix_micros(col("__mb.__cts")) <=
+                unix_micros(col("__mf.__cts")) - unix_micros(col(ts)),
+                col("__mb"))
+              .otherwise(col("__mf")))
+    }
+    matched
       .filter(col("__side") === 1)
       .select((Seq(col(key), col(ts)) ++ leftCols.map(col) ++
         rightCols.map(c => col(s"__match.$c").as(s"asof_$c"))): _*)

@@ -383,7 +383,9 @@ object CurationOps {
     // by construction: every input is an integer aggregate, both
     // numerator and denominator products stay under 2^53 (exact
     // doubles), and the single ln runs once per OUTPUT row — no float
-    // sum whose order could drift between engines. Scale shape: two
+    // sum whose order could drift between engines. (Past ~1e12 tokens
+    // N·N itself exceeds 2^53: rescale counts to per-million BEFORE the
+    // ratio — same one-ln shape, same determinism.) Scale shape: two
     // map-side-combined count aggregates, bigrams join their two
     // unigram counts (unigram side bounded by vocabulary, broadcast),
     // scalar totals are 1-row broadcast literals.

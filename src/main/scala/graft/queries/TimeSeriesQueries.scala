@@ -59,6 +59,29 @@ object TimeSeriesQueries {
           col("n_events"), col("value_cents"))
         .orderBy("event_type", "bucket_us")),
 
+    // NEAREST as-of: each purchase matched to the user's closest
+    // view/click in EITHER direction (ties prefer the backward match) —
+    // the sensor-alignment join. Both directional candidates ride one
+    // shuffle (two sorted window passes over the same exchange); the
+    // oracle replays via per-user candidate ranking with the identical
+    // (distance, direction, tie-break) order.
+    "ts_asof_nearest" -> ((s, d) => {
+      val ev = events(s, d)
+      TimeSeries.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type").isin("view", "click")),
+        key = "user_id", ts = "ts", tieBreak = "event_id",
+        leftCols = Seq("event_id", "value"),
+        rightCols = Seq("event_id", "ts"),
+        direction = "nearest")
+        .select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"),
+          col("asof_event_id").as("nearest_id"),
+          unix_micros(col("asof_ts")).as("nearest_ts_us"))
+        .orderBy("event_id")
+    }),
+
     // OHLC candle downsample — the finance-style bucket summary: per
     // (type, hour), the first/last value by (ts, event_id) — the id
     // tie-break makes open/close deterministic even under equal
@@ -261,6 +284,26 @@ object TimeSeriesQueries {
         |SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
         |  asof_event_id, asof_event_type
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin),
+    // candidate ranking replays the engine's exact choice: distance
+    // first, backward (fwd=0) on equal distance, then the directional
+    // tie-break (backward: max id; forward: min id)
+    "ts_asof_nearest" ->
+      ("WITH p AS (SELECT user_id, ts, event_id, value FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "o AS (SELECT user_id, ts, event_id FROM events " +
+        "WHERE event_type IN ('view', 'click')), " +
+        "cand AS (SELECT p.event_id, p.user_id, p.ts, p.value, " +
+        "o.event_id AS o_id, o.ts AS o_ts, " +
+        "abs(epoch_us(p.ts) - epoch_us(o.ts)) AS dist, " +
+        "CASE WHEN o.ts <= p.ts THEN 0 ELSE 1 END AS fwd " +
+        "FROM p JOIN o ON p.user_id = o.user_id), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY event_id " +
+        "ORDER BY dist, fwd, CASE WHEN fwd = 0 THEN -o_id ELSE o_id END) AS rn " +
+        "FROM cand) " +
+        "SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.event_id, p.value, " +
+        "r.o_id AS nearest_id, epoch_us(r.o_ts) AS nearest_ts_us " +
+        "FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r " +
+        "ON p.event_id = r.event_id ORDER BY p.event_id"),
     "ts_ohlc" ->
       ("WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket, " +
         "CAST(round(value * 100) AS BIGINT) AS cents, " +

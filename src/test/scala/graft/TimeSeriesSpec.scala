@@ -59,6 +59,44 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 3L, "click"), (4L, -1L, null), (5L, 6L, "view"), (7L, -1L, null)))
   }
 
+  test("asofJoin nearest picks the closer side; equal distance prefers backward") {
+    val out = TimeSeries.asofJoin(
+      evs.filter($"event_type" === "purchase"),
+      evs.filter($"event_type".isin("view", "click")),
+      key = "user_id", ts = "ts", tieBreak = "event_id",
+      leftCols = Seq("event_id", "value"),
+      rightCols = Seq("event_id", "event_type"),
+      direction = "nearest")
+      .orderBy("event_id")
+      .select("event_id", "asof_event_id", "asof_event_type")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    // purchase 2 @10:05: click 3 at distance 0 (both directions see it;
+    // backward preferred); purchase 4 @10:06: click 3 one minute back
+    // beats nothing ahead; purchase 5 @09:00: only view 6 ahead —
+    // forward fills when backward is null; purchase 7 @12:30: view 6
+    // thirty minutes back.
+    assert(out.toSeq === Seq(
+      (2L, 3L, "click"), (4L, 3L, "click"), (5L, 6L, "view"), (7L, 6L, "view")))
+  }
+
+  test("asofJoin nearest equal-distance tie prefers the backward match") {
+    // right rows exactly 1 minute before AND after the left row
+    val left = Seq((10L, t("2024-01-01 10:01:00"), 1L, 5.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val right = Seq(
+      (20L, t("2024-01-01 10:00:00"), 1L, "before"),
+      (21L, t("2024-01-01 10:02:00"), 1L, "after"))
+      .toDF("event_id", "ts", "user_id", "tag")
+    val m = TimeSeries.asofJoin(left, right,
+      key = "user_id", ts = "ts", tieBreak = "event_id",
+      leftCols = Seq("event_id"), rightCols = Seq("event_id", "tag"),
+      direction = "nearest")
+      .select("asof_event_id", "asof_tag").collect().head
+    assert((m.getLong(0), m.getString(1)) == ((20L, "before")))
+  }
+
   test("sessionize splits on gaps strictly greater than the threshold") {
     val sess = TimeSeries.sessionize(
       evs.filter($"user_id" === 2L), key = "user_id", ts = "ts",
