@@ -311,6 +311,42 @@ object Extended {
         .orderBy("grp")
     }),
 
+    // Robust MAD outlier detection — the median-based alternative to
+    // stddev/IQR monitoring (immune to the outliers it hunts). Same
+    // tolerance-free discipline as qa_outliers: the median is the
+    // DISCRETE element at rank (n+1) div 2 of the integer-cents sort (no
+    // interpolation → no float), MAD is the discrete median of the
+    // absolute deviations (longs), and the 3·1.4826·MAD fence compares
+    // at 10⁴ scale (adev·10000 > mad·44478) so the flag is an integer
+    // compare on both engines. Two sort shuffles + two broadcast-back
+    // joins of group-sized tables — the monitoring shape at 100 TB.
+    "qa_outliers_mad" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = events(s, d).select(
+        col("event_type").as("grp"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val med = o.select(col("grp"), col("cents"),
+        row_number().over(Window.partitionBy("grp").orderBy("cents")).as("rn"),
+        count(lit(1)).over(Window.partitionBy("grp")).as("n"))
+        .groupBy("grp")
+        .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("med"))
+      val dev = o.join(broadcast(med), "grp")
+        .withColumn("adev", abs(col("cents") - col("med")))
+      val mad = dev.select(col("grp"), col("adev"),
+        row_number().over(Window.partitionBy("grp").orderBy("adev")).as("rn"),
+        count(lit(1)).over(Window.partitionBy("grp")).as("n"))
+        .groupBy("grp")
+        .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("adev"))).as("mad"))
+      dev.join(broadcast(mad), "grp")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum(when(col("adev") * 10000L > col("mad") * 44478L, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("grp")
+    }),
+
     // Event-time RANGE frame: per-user trailing-hour counts/sums — the
     // sliding-window feature every real-time feature store computes.
     // RANGE (not ROWS) so equal-timestamp peers land in the same frame on
@@ -649,6 +685,23 @@ object Extended {
         "CAST(sum(CASE WHEN o.cents * 2 < q.q1 * 2 - (q.q3 - q.q1) * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low, " +
         "CAST(sum(CASE WHEN o.cents * 2 > q.q3 * 2 + (q.q3 - q.q1) * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high " +
         "FROM o JOIN q ON o.grp = q.grp GROUP BY o.grp ORDER BY o.grp"),
+    // discrete lower-median ranks, integer fence at 10^4 scale — the
+    // identical tolerance-free replay as qa_outliers
+    "qa_outliers_mad" ->
+      ("WITH o AS (SELECT event_type AS grp, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "rm AS (SELECT grp, cents, row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn, " +
+        "count(*) OVER (PARTITION BY grp) AS n FROM o), " +
+        "m AS (SELECT grp, max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med FROM rm GROUP BY grp), " +
+        "dv AS (SELECT o.grp, o.cents, abs(o.cents - m.med) AS adev, m.med FROM o JOIN m ON o.grp = m.grp), " +
+        "rd AS (SELECT grp, adev, row_number() OVER (PARTITION BY grp ORDER BY adev) AS rn, " +
+        "count(*) OVER (PARTITION BY grp) AS n FROM dv), " +
+        "md AS (SELECT grp, max(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad FROM rd GROUP BY grp) " +
+        "SELECT dv.grp, count(*) AS n, " +
+        "CAST(max(dv.med) AS BIGINT) AS med_cents, " +
+        "CAST(max(md.mad) AS BIGINT) AS mad_cents, " +
+        "CAST(sum(CASE WHEN dv.adev * 10000 > md.mad * 44478 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM dv JOIN md ON dv.grp = md.grp GROUP BY dv.grp ORDER BY dv.grp"),
     // floor(epoch(ts)) matches Spark's unix_timestamp truncation; RANGE
     // frames include equal-key peers identically on both engines
     "w6_range_frame" ->
