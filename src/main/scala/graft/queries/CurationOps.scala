@@ -378,6 +378,53 @@ object CurationOps {
         .orderBy(col("n").desc, col("bigram"))
     }),
 
+    // Repeated-SPAN removal (the Lee-et-al substring-dedup signal at
+    // fixed n): every 8-token window fingerprints (md5 of the joined
+    // slice); a fingerprint seen ≥2 times ANYWHERE in the corpus
+    // (cross-doc or within-doc) marks its token positions covered; a
+    // doc's cleaned form keeps exactly the uncovered tokens in order.
+    // Scale shape: windows explode O(n_tokens) rows, the dup set comes
+    // from one fingerprint-count shuffle, coverage is a semi-join on
+    // the fingerprint, and reassembly sorts each doc's kept tokens
+    // inside one array — no all-pairs anything. Output carries the
+    // cleaned text's md5 so the cross-engine compare pins the EXACT
+    // reconstruction, not just counts. A doc whose EVERY token is
+    // covered (an exact/near-exact duplicate copy) drops out of the
+    // cleaned corpus entirely — for full duplicates that is the
+    // intended outcome (run exact dedup first to keep one canonical
+    // copy; this pass then removes residual cross-doc boilerplate).
+    "dd_span_dedup" -> ((s, d) => {
+      val W = 8
+      val toks = documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      val wins = toks.filter(size(col("ws")) >= W)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(ws) - ${W - 1}), " +
+            s"i -> struct(i AS s, md5(concat_ws(' ', slice(ws, i, $W))) AS fp))"))
+          .as("p"))
+        .select(col("doc_id"), col("p.s").as("s"), col("p.fp").as("fp"))
+      val dups = wins.groupBy("fp").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("fp")
+      val covered = wins.join(dups, Seq("fp"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("s"), col("s") + (W - 1))).as("pos"))
+        .distinct()
+      toks
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+          posexplode(col("ws")).as(Seq("idx0", "tok")))
+        .withColumn("pos", col("idx0") + 1)
+        .join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id", "n_tokens")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)")))
+            .as("cleaned_md5"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - col("n_kept")).as("n_removed"),
+          col("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     // PMI collocation mining: ln(c_xy·N·N / (N2·c_x·c_y)) for bigrams
     // with support ≥ 5 — the classic corpus-collocation score. FLOAT-SAFE
     // by construction: every input is an integer aggregate, both
@@ -734,6 +781,25 @@ object CurationOps {
         "FROM w WHERE len(ws) > 1) " +
         "SELECT bigram, count(*) AS n FROM bg GROUP BY 1 " +
         "ORDER BY n DESC, bigram LIMIT 20"),
+    // same window fingerprints, dup set, coverage anti-join, and ordered
+    // md5 reassembly; parallel unnests zip token/position
+    "dd_span_dedup" ->
+      ("WITH w AS (" + wordsCte + "), " +
+        "wins AS (SELECT doc_id, p.s AS s, p.fp AS fp FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6), i -> " +
+        "struct_pack(s := i, fp := md5(array_to_string(ws[i:i+7], ' '))))) AS p " +
+        "FROM w WHERE len(ws) >= 8)), " +
+        "dups AS (SELECT fp FROM wins GROUP BY fp HAVING count(*) >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, pos FROM (" +
+        "SELECT wins.doc_id, unnest(range(s, s + 8)) AS pos " +
+        "FROM wins JOIN dups USING (fp))), " +
+        "tokp AS (SELECT doc_id, len(ws) AS n_tokens, unnest(ws) AS tok, " +
+        "unnest(range(1, len(ws) + 1)) AS pos FROM w), " +
+        "kept AS (SELECT t.* FROM tokp t ANTI JOIN cov USING (doc_id, pos)) " +
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(n_tokens - count(*) AS BIGINT) AS n_removed, " +
+        "md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5 " +
+        "FROM kept GROUP BY doc_id, n_tokens ORDER BY doc_id"),
     // identical integer products inside one ln per row: the double
     // division is exact-over-exact (< 2^53), so both engines see the
     // same argument and round the same 6dp value
