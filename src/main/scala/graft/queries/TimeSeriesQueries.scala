@@ -217,6 +217,48 @@ object TimeSeriesQueries {
         .orderBy("channel")
     }),
 
+    // LINEAR multi-touch attribution — every view/click in the 7 days
+    // before a purchase shares its credit equally. Credit is EXACT
+    // integers at ppm scale: each touch gets 1000000 div n ppm (the
+    // remainder is deterministically dropped — same div on both
+    // engines), attributed revenue is cents·ppm micro-cents, and the
+    // per-channel rollup sums integers only. Untouched purchases credit
+    // 'direct' in full. The windowed purchase×touch join is per-user
+    // equi-keyed (at 100 TB bucket it by time like ts_interval_join;
+    // per-user touch lists here are bounded).
+    "an_attribution_linear" -> ((s, d) => {
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val t = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("ts").as("t_ts"))
+      val touches = p.join(t, Seq("user_id"))
+        .filter(col("t_ts") <= col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+        .select("p_id", "cents", "channel")
+      val cnt = touches.groupBy("p_id").agg(count(lit(1)).as("n"))
+      val credited = touches.groupBy("p_id", "cents", "channel")
+        .agg(count(lit(1)).as("k"))
+        .join(cnt, "p_id")
+        .select(col("p_id"), col("channel"),
+          (col("k") * expr("1000000 div n")).as("credit_ppm"),
+          (col("cents") * col("k") * expr("1000000 div n")).as("rev_micro"))
+      val direct = p
+        .join(touches.select("p_id").distinct(), Seq("p_id"), "left_anti")
+        .select(col("p_id"), lit("direct").as("channel"),
+          lit(1000000L).as("credit_ppm"),
+          (col("cents") * 1000000L).as("rev_micro"))
+      credited.unionByName(direct)
+        .groupBy("channel")
+        .agg(countDistinct(col("p_id")).as("n_purchases"),
+          sum("credit_ppm").as("credit_ppm_total"),
+          sum("rev_micro").as("rev_micro_total"))
+        .orderBy("channel")
+    }),
+
     // 30-minute-gap sessions per user, rolled up to per-session stats
     "ts_sessionize" -> ((s, d) => {
       val sess = TimeSeries.sessionize(
@@ -374,6 +416,28 @@ object TimeSeriesQueries {
         |  count(*) AS n_purchases,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM w WHERE side = 1 GROUP BY 1 ORDER BY channel""".stripMargin),
+    // identical integer ppm credit math; // = Spark's div on positives
+    "an_attribution_linear" ->
+      ("WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "t AS (SELECT user_id, event_type AS channel, ts AS t_ts FROM events " +
+        "WHERE event_type IN ('view', 'click')), " +
+        "tc AS (SELECT p.p_id, p.cents, t.channel FROM p JOIN t " +
+        "ON p.user_id = t.user_id AND t.t_ts <= p.p_ts " +
+        "AND t.t_ts >= p.p_ts - INTERVAL 7 DAY), " +
+        "cnt AS (SELECT p_id, count(*) AS n FROM tc GROUP BY 1), " +
+        "pc AS (SELECT p_id, cents, channel, count(*) AS k FROM tc GROUP BY 1, 2, 3), " +
+        "cr AS (SELECT pc.p_id, pc.channel, k * (1000000 // n) AS credit_ppm, " +
+        "cents * k * (1000000 // n) AS rev_micro FROM pc JOIN cnt USING (p_id)), " +
+        "dir AS (SELECT p_id, 'direct' AS channel, 1000000 AS credit_ppm, " +
+        "cents * 1000000 AS rev_micro FROM p " +
+        "WHERE p_id NOT IN (SELECT p_id FROM tc)), " +
+        "allc AS (SELECT * FROM cr UNION ALL SELECT * FROM dir) " +
+        "SELECT channel, count(DISTINCT p_id) AS n_purchases, " +
+        "CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total, " +
+        "CAST(sum(rev_micro) AS BIGINT) AS rev_micro_total " +
+        "FROM allc GROUP BY channel ORDER BY channel"),
     "ts_fill_forward" ->
       ("SELECT event_id, user_id, " +
         "last_value(CASE WHEN event_type = 'purchase' THEN round(value, 4) END IGNORE NULLS) " +
