@@ -245,4 +245,35 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles.size <= 4,
       s"rollup gained extra shuffles: ${shuffles.size}")
   }
+
+  test("BPE encode is one narrow codegen pass: agg exchange + sort only") {
+    val plan = planOf("ta_bpe_encode")
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }
+    // scan → tokenize-explode → replace chain → partial agg | exchange |
+    // final agg | sort exchange — the replace chain itself must add NO
+    // shuffle and NO join
+    assert(shuffles.size <= 2,
+      s"BPE encode gained shuffles (replace chain no longer narrow): ${shuffles.size}")
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, "BPE encode should not join — merges are literals")
+  }
+
+  test("PMI joins its unigram sides as broadcasts; span dedup plans no cartesian") {
+    val bhj = collectWithSubqueries(planOf("ta_pmi")) {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bhj.size >= 2, "expected the two unigram-count broadcast joins")
+    Seq("dd_span_dedup", "an_triangles", "an_attribution_linear").foreach { q =>
+      val cart = collectWithSubqueries(planOf(q)) {
+        case c: CartesianProductExec => c
+      }
+      assert(cart.isEmpty, s"$q plans a cartesian product")
+      val nlj = collectWithSubqueries(planOf(q)) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      assert(nlj.isEmpty, s"$q plans a nested-loop join")
+    }
+  }
 }
