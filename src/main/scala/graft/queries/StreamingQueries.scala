@@ -268,6 +268,53 @@ object StreamingQueries {
     // batch-SQL oracle gate: the oracle replays winner-per-key over the
     // full change log. State alternates between batchId-keyed dirs
     // (read-then-overwrite of one dir would race the lazy scan).
+    // CUSTOM per-key state on the oracle gate: runningUserActivity keeps
+    // one mapGroupsWithState row per user (count + running max) and
+    // emits the updated state every micro-batch. Both fields are
+    // MONOTONE, so the sink's per-user maximum is the final state no
+    // matter how AvailableNow chopped the file — which is exactly what
+    // the batch oracle states (count + max per user). This puts the
+    // arbitrary-state API itself, not just built-in window aggs, on the
+    // correctness gate.
+    "st_state" -> ((s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$d/events.parquet"
+      val rawSchema = s.read.parquet(path).schema
+      val srcDir = tmp(s, "state_src")
+      rmrf(srcDir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(path),
+        java.nio.file.Paths.get(srcDir, "events.parquet"))
+      val stream = Tables.normalizeEventTs(
+        s.readStream.schema(rawSchema).parquet(srcDir))
+      val typed = stream.select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+      val outDir = tmp(s, "state_out")
+      val ckDir = tmp(s, "state_ck")
+      rmrf(ckDir)
+      rmrf(outDir)
+      withStatePartitions(s, 8) {
+        val q = EventStream.runningUserActivity(typed)
+          .toDF()
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outDir); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(outDir)
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          round(max(col("max_value")), 2).as("max_value"))
+        .orderBy("user_id")
+    }),
+
     // Stream-STATIC enrichment join — the most common production
     // streaming shape: each micro-batch of events joins a broadcast
     // dimension snapshot (no state store for the join: the static side
@@ -398,6 +445,11 @@ object StreamingQueries {
         "AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts " +
         "WHERE p.event_type = 'purchase' AND v.event_type = 'view' " +
         "ORDER BY p.user_id, p_ts_us, v_ts_us"),
+    // final custom state per user ≡ the plain batch count + max
+    "st_state" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "round(max(value), 2) AS max_value " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     // stream-static enrichment ≡ the plain batch join + rollup
     "st_enrich" ->
       ("SELECT CAST(c_nationkey AS BIGINT) AS nation_key, " +
