@@ -573,4 +573,47 @@ object Multimodal {
         WavFeature(id, wav.sampleRate, wav.samples.length, sum, sumAbs, peak, zc)
       })
   }
+
+  case class WavSegments(
+      doc_id: Long, n_segments: Long, active_samples: Long,
+      first_start: Long, last_end: Long)
+
+  /** Energy-run activity segmentation over REAL decoded audio — the
+    * VAD-shaped pass a speech pipeline runs before transcription: an
+    * ACTIVE run is ≥ `minRun` consecutive samples with |amplitude| ≥
+    * `threshold`. Pure integer decisions on decoded PCM (no float
+    * energy), so segment boundaries are engine-exact and the oracle
+    * replays them from the generating formula with a gaps-and-islands
+    * window. Narrow per-partition map, decode-bound, no shuffle —
+    * the same scale shape as every codec operator. `first_start` /
+    * `last_end` are -1 when a clip has no qualifying run. */
+  def wavActiveSegments(
+      assets: DataFrame, threshold: Int, minRun: Int): Dataset[WavSegments] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val wav = decodeWav(bytes)
+        var (nSeg, active, firstStart, lastEnd) = (0L, 0L, -1L, -1L)
+        var runStart = -1
+        var i = 0
+        while (i <= wav.samples.length) {
+          val on = i < wav.samples.length &&
+            math.abs(wav.samples(i).toInt) >= threshold
+          if (on && runStart < 0) runStart = i
+          else if (!on && runStart >= 0) {
+            val len = i - runStart
+            if (len >= minRun) {
+              nSeg += 1
+              active += len
+              if (firstStart < 0) firstStart = runStart.toLong
+              lastEnd = (i - 1).toLong
+            }
+            runStart = -1
+          }
+          i += 1
+        }
+        WavSegments(id, nSeg, active, firstStart, lastEnd)
+      })
+  }
 }

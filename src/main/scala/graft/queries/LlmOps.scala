@@ -501,6 +501,25 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Activity segmentation (VAD shape) through the real codec: decode,
+    // then integer energy-run detection — ≥4 consecutive samples with
+    // |amp| ≥ 1024. Oracle replays the segments from the generating
+    // formula with a gaps-and-islands window.
+    "mm_wav_segments" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 64 + (id % 33).toInt
+          val rate = 8000 + (id % 4).toInt * 4000
+          val samples = Array.tabulate(n)(i =>
+            ((id * 31 + 7919L * i) % 4096 - 2048).toShort)
+          (id, Multimodal.encodeWav(rate, samples))
+        }).toDF("doc_id", "content")
+        .transform(df =>
+          Multimodal.wavActiveSegments(df, threshold = 1024, minRun = 4).toDF())
+        .orderBy("doc_id")
+    }),
+
     // REAL audio resample through the codec: decode → nearest-index
     // decimation to 32 samples → re-encode → decode again for the stats.
     // Oracle evaluates the formula at the remapped indices (j·n/32).
@@ -1301,6 +1320,28 @@ object LlmOps {
         "CAST(max(abs(v)) AS INTEGER) AS peak, " +
         "CAST(sum(CASE WHEN i >= 1 AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross " +
         "FROM s GROUP BY doc_id, n ORDER BY doc_id"),
+    // gaps-and-islands over the generating formula: active rows group by
+    // i - row_number (consecutive actives share a group), runs of ≥4
+    // become segments; docs with no run keep -1 sentinels via LEFT JOIN
+    "mm_wav_segments" ->
+      ("WITH p AS (SELECT doc_id, 64 + doc_id % 33 AS n FROM documents), " +
+        "s AS (SELECT p.doc_id, i, " +
+        "abs((p.doc_id * 31 + 7919 * i) % 4096 - 2048) AS a " +
+        "FROM p, range(0, 97) t(i) WHERE i < p.n), " +
+        "act AS (SELECT doc_id, i, " +
+        "i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp " +
+        "FROM s WHERE a >= 1024), " +
+        "runs AS (SELECT doc_id, min(i) AS seg_start, max(i) AS seg_end, " +
+        "count(*) AS len FROM act GROUP BY doc_id, grp HAVING count(*) >= 4), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments, " +
+        "CAST(sum(len) AS BIGINT) AS active_samples, " +
+        "CAST(min(seg_start) AS BIGINT) AS first_start, " +
+        "CAST(max(seg_end) AS BIGINT) AS last_end FROM runs GROUP BY doc_id) " +
+        "SELECT p.doc_id, coalesce(a.n_segments, 0) AS n_segments, " +
+        "coalesce(a.active_samples, 0) AS active_samples, " +
+        "coalesce(a.first_start, -1) AS first_start, " +
+        "coalesce(a.last_end, -1) AS last_end " +
+        "FROM p LEFT JOIN agg a ON p.doc_id = a.doc_id ORDER BY p.doc_id"),
     // remapped ground truth: resampled index j reads source index
     // (j·n)/32 with truncating integer division — the formula evaluates
     // at the REMAPPED indices, never touching the re-encoded bytes
