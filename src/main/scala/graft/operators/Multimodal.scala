@@ -574,6 +574,49 @@ object Multimodal {
       })
   }
 
+  case class ImageTilePatch(
+      doc_id: Long, tile_x: Int, tile_y: Int, n_px: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** ViT-style patch extraction over REAL decoded pixels: the image
+    * splits into a `tile`×`tile` grid (edge tiles smaller) and each
+    * patch reduces to exact per-channel integer sums — the
+    * image-side analogue of document chunking, and the shape a
+    * patch-embedding pipeline runs before projection. One decode per
+    * asset, a bounded 1→(⌈w/t⌉·⌈h/t⌉) flatMap, no shuffle. */
+  def imageTiles(assets: DataFrame, tile: Int): Dataset[ImageTilePatch] = {
+    require(tile >= 1, s"tile must be >= 1, got $tile")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"asset $id: not a decodable image payload")
+        val (w, h) = (img.getWidth, img.getHeight)
+        for {
+          ty <- 0 until (h + tile - 1) / tile
+          tx <- 0 until (w + tile - 1) / tile
+        } yield {
+          var (sr, sg, sb, n) = (0L, 0L, 0L, 0L)
+          var y = ty * tile
+          while (y < math.min((ty + 1) * tile, h)) {
+            var x = tx * tile
+            while (x < math.min((tx + 1) * tile, w)) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          ImageTilePatch(id, tx, ty, n, sr, sg, sb)
+        }
+      })
+  }
+
   case class WavSegments(
       doc_id: Long, n_segments: Long, active_samples: Long,
       first_start: Long, last_end: Long)

@@ -81,6 +81,34 @@ object EtlQueries {
         .orderBy("resp_id")
     }),
 
+    // Completeness profile over the bronze frame — the first data-quality
+    // report a pipeline runs after ingest: per-column null counts in ONE
+    // pass (a single aggregate row unpivoted to long form). The bronze
+    // union null-pads the one-sided columns (Time Started and Internal
+    // Notes exist only online), so the profile has real signal, not
+    // all-zeros. At 100 TB this is one scan with map-side partials —
+    // the profiling shape that replaces N per-column jobs.
+    "qa_null_profile" -> ((s, _) => {
+      def read(name: String) =
+        s.read.option("header", "true").csv(s"$FixtureDir/$name")
+      val bronze = graft.etl.ConfigSource.stage(s, FixtureDir)(cfg =>
+        Bronze.ingest(read("survey_online.csv"), read("survey_offline.csv"), cfg))
+      val cols = Seq("Response ID", "Time Started", "Survey Completed?",
+        "Survey Link Used", "Alchemer Admin Comments", "IP Address - Country",
+        "Age", "Gender", "Race/Ethnicity", "Household Income",
+        "Survey Language", "CM Name", "Internal Notes")
+      bronze
+        .agg(count(lit(1)).as("__n"),
+          cols.map(c => sum(when(col(s"`$c`").isNull, 1L).otherwise(0L))
+            .as(c)): _*)
+        .select(col("__n").as("n_rows"), explode(array(
+          cols.map(c => struct(lit(c).as("col_name"),
+            col(s"`$c`").as("n_nulls"))): _*)).as("p"))
+        .select(col("p.col_name").as("col_name"), col("n_rows"),
+          col("p.n_nulls").as("n_nulls"))
+        .orderBy("col_name")
+    }),
+
     // Volume-export pipeline (ref write_to_volume.py:7-16), composed end
     // to end: stage two catalog tables carrying the city marker, let
     // Export DISCOVER them from the catalog and write single-file
@@ -430,7 +458,7 @@ object EtlQueries {
   /** Bronze oracle: DuckDB replays the union-by-name + "Offline #" prefix
     * over the same checked-in CSVs (all_varchar ≡ Spark's no-inferSchema
     * all-string read; empty CSV fields are NULL in both engines). */
-  private val bronzeSql: String =
+  private val bronzeCte: String =
     s"""WITH online AS (
       |  SELECT * FROM read_csv('$FixtureDir/survey_online.csv', header=true, all_varchar=true)
       |), offline AS (
@@ -438,17 +466,38 @@ object EtlQueries {
       |  FROM read_csv('$FixtureDir/survey_offline.csv', header=true, all_varchar=true)
       |), merged AS (
       |  SELECT * FROM online UNION ALL BY NAME SELECT * FROM offline
-      |)
-      |SELECT "Response ID" AS resp_id, "Time Started" AS time_started,
+      |)""".stripMargin.replaceAll("\\s+", " ")
+
+  private val bronzeSql: String =
+    (bronzeCte +
+      """ SELECT "Response ID" AS resp_id, "Time Started" AS time_started,
       |  "Survey Completed?" AS completed, "Survey Link Used" AS link,
       |  "Alchemer Admin Comments" AS admin, "IP Address - Country" AS country,
       |  "Age" AS age, "Q5: Gender" AS gender, "Race/Ethnicity" AS race,
       |  "Household Income" AS income, "Survey Language" AS language,
       |  "CM Name" AS cm, "Internal Notes" AS internal_notes
-      |FROM merged ORDER BY resp_id""".stripMargin.replaceAll("\\s+", " ")
+      |FROM merged ORDER BY resp_id""".stripMargin).replaceAll("\\s+", " ")
+
+  // per-column null counts over the same merged frame; the profile names
+  // the RENAMED column (Gender) while counting the raw one (Q5: Gender),
+  // matching Bronze.ingest's output contract
+  private val nullProfileSql: String = {
+    val cols = Seq(
+      "Response ID", "Time Started", "Survey Completed?", "Survey Link Used",
+      "Alchemer Admin Comments", "IP Address - Country", "Age", "Gender",
+      "Race/Ethnicity", "Household Income", "Survey Language", "CM Name",
+      "Internal Notes")
+    val arms = cols.map { c =>
+      val src = if (c == "Gender") "Q5: Gender" else c
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows, """ +
+        s"""CAST(sum(CASE WHEN "$src" IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM merged"""
+    }
+    bronzeCte + " " + arms.mkString(" UNION ALL ") + " ORDER BY col_name"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "etl_bronze" -> bronzeSql,
+    "qa_null_profile" -> nullProfileSql,
     "etl_export" ->
       ("SELECT 'graft_gexpo_nation' AS tbl, n_nationkey AS key, n_name AS name FROM nation " +
         "UNION ALL " +

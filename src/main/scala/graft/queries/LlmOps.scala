@@ -501,6 +501,25 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // ViT-style patch extraction through the real PNG codec: each image
+    // splits into 4×4-pixel tiles (edge tiles smaller) with exact
+    // per-channel integer sums — the image analogue of ta_chunk. Oracle
+    // sums the generating formula within each tile's pixel bounds.
+    "mm_image_tiles" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 6 + (id % 7).toInt
+          (id, Multimodal.encodeImage(w, h, "png", (x, y) => (
+            ((id + 7L * x + 13L * y) % 256).toInt,
+            ((id * 2 + 5L * x + 11L * y) % 256).toInt,
+            ((id * 3 + 3L * x + 17L * y) % 256).toInt)))
+        }).toDF("doc_id", "content")
+        .transform(df => Multimodal.imageTiles(df, tile = 4).toDF())
+        .orderBy("doc_id", "tile_y", "tile_x")
+    }),
+
     // Activity segmentation (VAD shape) through the real codec: decode,
     // then integer energy-run detection — ≥4 consecutive samples with
     // |amp| ≥ 1024. Oracle replays the segments from the generating
@@ -1320,6 +1339,19 @@ object LlmOps {
         "CAST(max(abs(v)) AS INTEGER) AS peak, " +
         "CAST(sum(CASE WHEN i >= 1 AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross " +
         "FROM s GROUP BY doc_id, n ORDER BY doc_id"),
+    // per-tile sums of the generating formula: pixel (x, y) belongs to
+    // tile (x // 4, y // 4); edge tiles aggregate fewer pixels
+    "mm_image_tiles" ->
+      ("WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents) " +
+        "SELECT d.doc_id, CAST(x // 4 AS INTEGER) AS tile_x, CAST(y // 4 AS INTEGER) AS tile_y, " +
+        "count(*) AS n_px, " +
+        "CAST(sum((d.doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r, " +
+        "CAST(sum((d.doc_id * 2 + 5 * x + 11 * y) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(sum((d.doc_id * 3 + 3 * x + 17 * y) % 256) AS BIGINT) AS sum_b " +
+        "FROM dims d, range(0, 16) tx(x), range(0, 12) ty(y) " +
+        "WHERE x < d.w AND y < d.h " +
+        "GROUP BY d.doc_id, x // 4, y // 4 " +
+        "ORDER BY d.doc_id, tile_y, tile_x"),
     // gaps-and-islands over the generating formula: active rows group by
     // i - row_number (consecutive actives share a group), runs of ≥4
     // become segments; docs with no run keep -1 sentinels via LEFT JOIN
