@@ -216,6 +216,26 @@ object Extended {
         .orderBy("event_id")
     }),
 
+    // The remaining ranking/navigation window vocabulary: dense_rank
+    // (no rank gaps), cume_dist (an exact small-integer ratio — one
+    // correctly-rounded double division, engine-identical), and
+    // first/last_value over an explicit running frame. Same single
+    // exchange as every w-family query.
+    "w7_rank_navigation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cents"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d).filter(col("user_id") < 20)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("event_type"), col("cents"),
+          dense_rank().over(w).as("drank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          first(col("event_id")).over(run).as("cheapest_id"),
+          last(col("event_id")).over(run).as("running_last_id"))
+        .orderBy("event_id")
+    }),
+
     // Distribution drift (PSI): compare the order-value distribution
     // before/after a cutover date in fixed price buckets — the population
     // stability index every production pipeline monitors between
@@ -639,6 +659,18 @@ object Extended {
         "CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY event_id) AS INTEGER) AS quartile, " +
         "round(percent_rank() OVER (PARTITION BY event_type ORDER BY event_id), 6) AS prank " +
         "FROM events WHERE user_id < 20 ORDER BY event_id"),
+    "w7_rank_navigation" ->
+      ("WITH e AS (SELECT event_id, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events WHERE user_id < 20) " +
+        "SELECT event_id, event_type, cents, " +
+        "CAST(dense_rank() OVER w AS INTEGER) AS drank, " +
+        "round(cume_dist() OVER w, 6) AS cdist, " +
+        "first_value(event_id) OVER wr AS cheapest_id, " +
+        "last_value(event_id) OVER wr AS running_last_id " +
+        "FROM e WINDOW w AS (PARTITION BY event_type ORDER BY cents, event_id), " +
+        "wr AS (PARTITION BY event_type ORDER BY cents, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
     // count ratios are exact rationals; ln agrees to well under 6dp
     "qa_drift" ->
       ("WITH o AS (SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'base' ELSE 'cur' END AS half, " +
