@@ -26,6 +26,16 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.fuse(Array("a", "b", "a", "b"), "a", "b").toSeq == Seq("ab", "ab"))
   }
 
+  test("degenerate inputs: empty frequency table and zero merges") {
+    assert(Bpe.trainMerges(Array.empty, 5).isEmpty)
+    // single-char words have no pairs: training stops immediately
+    assert(Bpe.trainMerges(Array("a" -> 10L, "b" -> 3L), 5).isEmpty)
+    // zero merges → pure char split
+    val enc = Seq("ab").toDF("w")
+      .select(Bpe.encodeWordCol(col("w"), Nil)).collect().head.getString(0)
+    assert(enc == "[a][b]")
+  }
+
   test("column encoder equals the driver-side fuse chain on every word") {
     val words = Seq("abab", "abc", "banana", "aa", "x", "")
     val merges = Bpe.trainMerges(

@@ -194,4 +194,31 @@ class MultimodalSpec extends SparkSpec {
     // sum=-2, sumAbs=18, peak=6, crossings at every step
     assert(out.head == Multimodal.WavFeature(1L, 8000, 4, -2L, 18L, 6, 3L))
   }
+
+  test("wavActiveSegments flushes a run that ends exactly at clip end") {
+    // run of 4 loud samples terminates AT the final sample — the off-end
+    // flush must still count it; a 3-sample run must not qualify
+    val loudTail = Array[Short](0, 0, 2000, 2000, 2000, 2000)
+    val shortRun = Array[Short](2000, 2000, 2000, 0, 0, 0)
+    val df = Seq(
+      (1L, Multimodal.encodeWav(8000, loudTail)),
+      (2L, Multimodal.encodeWav(8000, shortRun)))
+      .toDF("doc_id", "content")
+    val out = Multimodal.wavActiveSegments(df, threshold = 1024, minRun = 4)
+      .collect().map(s => s.doc_id -> s).toMap
+    assert(out(1L) == Multimodal.WavSegments(1L, 1L, 4L, 2L, 5L))
+    assert(out(2L) == Multimodal.WavSegments(2L, 0L, 0L, -1L, -1L))
+  }
+
+  test("imageTiles covers every pixel exactly once, edge tiles smaller") {
+    // 10x6 image, tile 4: grid 3x2; right-edge tiles are 2 wide
+    val img = Multimodal.encodeImage(10, 6, "png", (x, y) => (x, y, 1))
+    val df = Seq((1L, img)).toDF("doc_id", "content")
+    val tiles = Multimodal.imageTiles(df, tile = 4).collect()
+    assert(tiles.length == 6)
+    assert(tiles.map(_.n_px).sum == 60L, "tiles must partition the pixels")
+    val edge = tiles.find(t => t.tile_x == 2 && t.tile_y == 0).get
+    // x in {8,9}, y in 0..3: n=8, sum_r = (8+9)*4 = 68, sum_b = n
+    assert(edge.n_px == 8L && edge.sum_r == 68L && edge.sum_b == 8L)
+  }
 }
