@@ -19,4 +19,12 @@ class SparkEntrySpec extends SparkSpec {
     val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(unoracled.isEmpty, s"unexpected unoracled: $unoracled")
   }
+
+  test("COVERAGE.md names every query (docs cannot drift from the contract)") {
+    val coverage = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
+    val missing = SparkEntry.queries.keySet.filterNot(coverage.contains)
+    assert(missing.isEmpty,
+      s"queries missing from COVERAGE.md: ${missing.toSeq.sorted.mkString(", ")}")
+  }
 }
