@@ -85,6 +85,24 @@ class ScdSpec extends SparkSpec {
       && k9.head.getAs[String]("name") == null)
   }
 
+  test("applyTaggedBatches over one tagged frame equals applyBatches over N frames") {
+    val b1 = Seq((2L, 21.0, "2024-01-01")).toDF("id", "bal", "eff")
+    val b2 = Seq((2L, 22.0, "2024-02-01"), (9L, 99.0, "2024-02-15")).toDF("id", "bal", "eff")
+    val b3 = Seq((2L, 23.0, "2024-03-01")).toDF("id", "bal", "eff")
+    val viaSeq = Scd.applyBatches(target, Seq(b1, b2, b3), "id",
+      carryCols = Seq("name"), trackCols = Seq("bal"),
+      effDateCol = "eff", initDate = "2020-01-01")
+    val tagged = Seq(
+      (2L, 21.0, "2024-01-01", 0), (2L, 22.0, "2024-02-01", 1),
+      (9L, 99.0, "2024-02-15", 1), (2L, 23.0, "2024-03-01", 2))
+      .toDF("id", "bal", "eff", "batch")
+    val viaTag = Scd.applyTaggedBatches(target, tagged, "id",
+      carryCols = Seq("name"), trackCols = Seq("bal"),
+      effDateCol = "eff", batchCol = "batch", initDate = "2020-01-01")
+    assert(viaTag.except(viaSeq).count() == 0 &&
+      viaSeq.except(viaTag).count() == 0)
+  }
+
   test("applyBatches resolves same-(key, eff) restatements to the latest batch") {
     val b1 = Seq((2L, 21.0, "2024-01-01")).toDF("id", "bal", "eff")
     val b2 = Seq((2L, 99.0, "2024-01-01")).toDF("id", "bal", "eff")
