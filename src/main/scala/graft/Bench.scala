@@ -46,11 +46,18 @@ object Bench {
     // samples. Without this, 187×4 executions in one session accumulated
     // scratch blocks until eviction pressure manufactured 2–6× phantom
     // regressions on unchanged code (r7 and r9 each had a different set).
+    // Scratch releases after EVERY execution (warm-up and each timed
+    // sample), not just per query: operators' persisted candidate frames
+    // cache-hit across re-executions of the same plan, so without the
+    // per-sample release runs 2-3 would measure warm-scratch — falsifying
+    // the "all scans/shuffles re-execute" claim above for the dedup
+    // family specifically.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] warm-up of $name failed: ${e.getMessage}")
       }
+      graft.operators.Dedup.releaseScratch(spark)
       val times = Seq.fill(3) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -58,9 +65,10 @@ object Bench {
             System.err.println(s"[bench] timed run of $name failed: ${e.getMessage}")
             -1L
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.operators.Dedup.releaseScratch(spark)
+        dt
       }.sorted
-      graft.operators.Dedup.releaseScratch(spark)
       name -> times(1)
     }
     def fmt(v: Double): String =
