@@ -52,9 +52,17 @@ object Bench {
     // per-sample release runs 2-3 would measure warm-scratch — falsifying
     // the "all scans/shuffles re-execute" claim above for the dedup
     // family specifically.
+    // Failures are STRUCTURAL, not log-only (r8 lesson: a throwing query
+    // records the wall time of the failure — near zero — so breakage
+    // silently DEFLATED the total). Any query whose warm-up or any timed
+    // sample throws lands in "failed":[...] in both the detail file and
+    // the stdout header, and the header carries "valid":false so the
+    // driver/judge can never mistake a smaller total for a speedup.
+    val failed = scala.collection.mutable.SortedSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] warm-up of $name failed: ${e.getMessage}")
       }
       graft.operators.Dedup.releaseScratch(spark)
@@ -62,8 +70,8 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
+            failed += name
             System.err.println(s"[bench] timed run of $name failed: ${e.getMessage}")
-            -1L
         }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.operators.Dedup.releaseScratch(spark)
@@ -78,11 +86,45 @@ object Bench {
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sinkSec = results.collect { case (k, v) if SinkQueries(k) => v }.sum
+
+    // Regression gate: compare this run's medians against the checked-in
+    // per-query baseline (r10 medians). A query regresses when it is both
+    // >1.5x its baseline AND >0.3s absolute over it — the absolute floor
+    // keeps sub-half-second shared-host noise (r10: a1_group_count
+    // 0.12→0.37s on unchanged code) out of the gate while a real 2x on
+    // anything that matters still trips it. Only applied when this run's
+    // scale factor matches the baseline's — an sf1 run is not a
+    // regression, it is a different experiment.
+    val baselinePath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE_PERQ.json")
+    val baseline: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(baselinePath)), "UTF-8")
+      val sfOk = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        .forall(m => sfDir.endsWith(m.group(1)))
+      if (!sfOk) Map.empty
+      else """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.[0-9]+)""".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val regressions = results.collect {
+      case (name, t) if !failed(name) && baseline.get(name).exists(b =>
+        t > b * 1.5 && t - b > 0.3) => name
+    }.sorted
+    val unbaselined =
+      if (baseline.isEmpty) Seq.empty[String]
+      else results.collect { case (name, _) if !baseline.contains(name) => name }.sorted
+    def slist(names: Iterable[String]): String =
+      names.map("\"" + _ + "\"").mkString("[", ",", "]")
+
     def header(extra: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,""" +
         s""""samples":3,"agg":"median","n_queries":${results.size},""" +
         s""""compute_sec":${fmt(total - sinkSec)},""" +
-        s""""sink_sec":${fmt(sinkSec)},$extra"sf":"$sfDir"}"""
+        s""""sink_sec":${fmt(sinkSec)},""" +
+        s""""valid":${failed.isEmpty},"failed":${slist(failed)},""" +
+        s""""regressions":${slist(regressions)},""" +
+        s""""unbaselined":${slist(unbaselined)},$extra"sf":"$sfDir"}"""
     // FULL per-query detail + the sink tag list → the bench file (the
     // judge reads it; $SPARK_GRAFT_BENCH_OUT can point the driver at it).
     val sinkList = SinkQueries.toSeq.sorted.map("\"" + _ + "\"")

@@ -60,6 +60,16 @@ object Bpe {
     * early if no adjacent pair remains. Deterministic: total order on
     * (freq desc, left asc, right asc). */
   def trainMerges(wordFreq: Array[(String, Long)], numMerges: Int): Array[Merge] = {
+    // Delimiter contract: symbols must never contain '[' or ']' — the
+    // encode side delimits symbols with brackets, so a bracket INSIDE a
+    // symbol would silently corrupt every downstream merge match.
+    // TextOps.tokens output satisfies this by construction; anything
+    // else fails fast here rather than training a corrupt model.
+    wordFreq.foreach { case (w, _) =>
+      require(w.indexOf('[') < 0 && w.indexOf(']') < 0,
+        s"Bpe.trainMerges: word '$w' contains a bracket delimiter; " +
+          "feed words from TextOps.tokens (or strip [ ] upstream)")
+    }
     var words = wordFreq.map { case (w, c) => (w.map(_.toString).toArray, c) }
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 1
@@ -87,12 +97,24 @@ object Bpe {
 
   /** Column form of the encoder: word → bracketed symbol string after
     * all merges, entirely codegen'd (`regexp_replace` + literal
-    * `replace` chain). */
-  def encodeWordCol(word: Column, merges: Seq[Merge]): Column =
-    merges.foldLeft(regexp_replace(word, "(.)", "[$1]")) { (c, m) =>
+    * `replace` chain).
+    *
+    * Input contract: `word` must not contain the bracket delimiters
+    * (`TextOps.tokens` output satisfies this by construction). A bracket
+    * inside a word would alias the symbol delimiter and produce silently
+    * wrong encodings, so the column RAISES on violation — two codegen'd
+    * `instr` probes per row, negligible next to the merge chain. */
+  def encodeWordCol(word: Column, merges: Seq[Merge]): Column = {
+    val guarded = when(
+      instr(word, "[") > 0 || instr(word, "]") > 0,
+      raise_error(concat(
+        lit("Bpe.encodeWordCol: word contains a bracket delimiter: "), word)))
+      .otherwise(word)
+    merges.foldLeft(regexp_replace(guarded, "(.)", "[$1]")) { (c, m) =>
       call_function("replace", c,
         lit(s"[${m.left}][${m.right}]"), lit(s"[${m.left}${m.right}]"))
     }
+  }
 
   /** Symbol count of an encoded word: one `[` per symbol. */
   def symbolCountCol(encoded: Column): Column =

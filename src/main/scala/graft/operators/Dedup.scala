@@ -37,7 +37,22 @@ object Dedup {
     * see — so a long-lived session calls this between pipelines to drop
     * the blocks deterministically instead of waiting for LRU eviction.
     * Blocking unpersist: the caller wants the memory NOW, not after a
-    * racing async drop. */
+    * racing async drop.
+    *
+    * CONTRACT — this is a session-level barrier, not a targeted drop. It
+    * unpersists EVERY persistent RDD in the session and clears the
+    * relation cache, which permanently invalidates any still-live frame
+    * whose plan touches a `localCheckpoint` (the iterative operators'
+    * results and anything derived from them): a localCheckpoint truncates
+    * lineage, so once its blocks drop, re-executing such a frame HARD-
+    * FAILS on missing blocks instead of recomputing. Tracking "scratch
+    * only" ids would not help — a returned frame's lineage references the
+    * operator's checkpointed scratch directly (e.g. pageRankScaled's
+    * result plan reads its checkpointed edge/degree frames), so no subset
+    * release is safe while any result is live. Call it only at pipeline
+    * boundaries, after every frame from the previous pipeline has been
+    * consumed (written to a sink, collected, or discarded). Unrelated
+    * user caches are dropped too — re-`persist` them afterwards. */
   def releaseScratch(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
@@ -497,34 +512,18 @@ object Dedup {
     * checkpoint blocks and counts moved labels in the same job (an eager
     * checkpoint + separate count paid two job launches per round).
     *
-    * `checkpointDir = None` (default) uses `localCheckpoint` — blocks
-    * live on executors, fine for local mode and restartable jobs. On a
-    * real cluster pass a reliable dir (HDFS/object store): an executor
-    * loss mid-iteration then recovers from the checkpoint files instead
-    * of killing the job. The reliable path checkpoints eagerly with the
-    * frame persisted first, so the checkpoint write reads the persisted
-    * blocks rather than recomputing the iteration from scratch.
-    * Returns (id, component) for every node that appears in a pair. */
+    * Lineage strategy is injectable ([[Checkpointer]]): default
+    * `localCheckpoint` (local mode, restartable jobs); a reliable dir —
+    * via the `checkpointDir` param or session-wide
+    * `spark.graft.checkpointDir` — survives executor loss on a real
+    * cluster. Returns (id, component) for every node in a pair. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
-    val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // strategy selection (incl. the persist-around-eager-write dance for
+    // the reliable mode) lives in Checkpointer; an explicit param here
+    // overrides the session-wide spark.graft.checkpointDir
     def truncate(df: DataFrame, eager: Boolean): DataFrame =
-      if (checkpointDir.isEmpty) df.localCheckpoint(eager)
-      else {
-        // reliable checkpoint recomputes the RDD in a second pass unless
-        // the blocks are persisted — persist, checkpoint, then drop the
-        // scratch blocks (the checkpoint files carry the data from here).
-        // ALWAYS eager in this mode: a lazy reliable checkpoint without
-        // persist would recompute the whole step from lineage in the
-        // checkpoint-write job — every iteration would pay 2× its compute.
-        // The iteration's fixpoint count then reads the checkpoint files
-        // (cheap IO), so the per-iteration cost stays one compute pass.
-        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val ck = cached.checkpoint(true)
-        cached.unpersist(false)
-        ck
-      }
+      Checkpointer.truncate(df, eager, checkpointDir)
     val edges = truncate(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))

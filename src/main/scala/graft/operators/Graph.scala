@@ -40,12 +40,12 @@ object Graph {
     // (bench: an_pagerank 3.76s → the derivation is paid once). Same
     // lazy-checkpoint pattern as Dedup.connectedComponents.
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
-      .localCheckpoint(true)
+      .transform(Checkpointer.truncate(_))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .transform(Checkpointer.truncate(_))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .transform(Checkpointer.truncate(_))
     // N and the teleport term are scalars of a bounded aggregate
     val n = nodes.count()
     val teleport = (15L * scale) / (100L * n)
@@ -76,9 +76,10 @@ object Graph {
     * visited set each round would not. Min-hop BFS is deterministic by
     * construction (no arithmetic, only set reachability), so the result
     * sits on the exact hash gate and a recursive-CTE oracle replays it.
-    * Lineage is truncated per round (localCheckpoint, the
-    * Dedup.connectedComponents pattern) so round N's plan does not
-    * embed N copies of the edge derivation. */
+    * Lineage is truncated per round via the injectable [[Checkpointer]]
+    * (localCheckpoint by default, reliable checkpoint under
+    * `spark.graft.checkpointDir`) so round N's plan does not embed N
+    * copies of the edge derivation. */
   /** Bounded weighted shortest path (Bellman–Ford with a frontier
     * optimization): minimum total integer weight from any seed over paths
     * of ≤ `maxHops` edges. Returns (id, dist) for every node reachable
@@ -98,9 +99,9 @@ object Graph {
       seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val e = edges.select(col(src).as("src"), col(dst).as("dst"),
-      col(weightCol).cast("long").as("w")).localCheckpoint(true)
+      col(weightCol).cast("long").as("w")).transform(Checkpointer.truncate(_))
     var dist = seeds.select(col(idCol).as("id")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+      .withColumn("dist", lit(0L)).transform(Checkpointer.truncate(_))
     var frontier = dist
     var h = 1
     while (h <= maxHops && !frontier.isEmpty) {
@@ -109,13 +110,13 @@ object Graph {
         .groupBy("id").agg(min("cand").as("cand"))
       val improved = cand.join(dist, Seq("id"), "left")
         .filter(col("dist").isNull || col("cand") < col("dist"))
-        .select(col("id"), col("cand").as("dist")).localCheckpoint(true)
+        .select(col("id"), col("cand").as("dist")).transform(Checkpointer.truncate(_))
       // improved rows are STRICT improvements (or brand-new nodes) by the
       // filter above, so the merge is a plain coalesce — no re-compare
       dist = dist.join(improved.select(col("id"), col("dist").as("nd")),
         Seq("id"), "full_outer")
         .select(col("id"), coalesce(col("nd"), col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .transform(Checkpointer.truncate(_))
       frontier = improved
       h += 1
     }
@@ -127,16 +128,16 @@ object Graph {
       seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
-      .localCheckpoint(true)
+      .transform(Checkpointer.truncate(_))
     var dist = seeds.select(col(idCol).as("id")).distinct()
-      .withColumn("hops", lit(0L)).localCheckpoint(true)
+      .withColumn("hops", lit(0L)).transform(Checkpointer.truncate(_))
     var frontier = dist
     var h = 1
     while (h <= maxHops && !frontier.isEmpty) {
       val next = e.join(frontier, e("src") === frontier("id"))
         .select(col("dst").as("id")).distinct()
         .join(dist, Seq("id"), "left_anti")
-        .withColumn("hops", lit(h.toLong)).localCheckpoint(true)
+        .withColumn("hops", lit(h.toLong)).transform(Checkpointer.truncate(_))
       // dist stays a UNION of already-checkpointed frontiers — every leg
       // is materialized, so re-checkpointing the growing union each round
       // would only re-copy the visited set maxHops times; the anti-join

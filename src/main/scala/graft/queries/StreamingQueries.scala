@@ -341,9 +341,13 @@ object StreamingQueries {
       rmrf(ckDir)
       rmrf(outDir)
       withStatePartitions(s, 8) {
+        // integer-cents discipline (the ts_*/w* precedent): per-row cents
+        // then an exact integer sum, so no cross-engine/partition-order
+        // float reassociation can drift past a rounding mask at scale
         val q = stream.join(dim, stream("user_id") === dim("c_custkey"))
           .groupBy("c_nationkey")
-          .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
           .writeStream
           .outputMode("complete")
           .option("checkpointLocation", ckDir)
@@ -356,7 +360,7 @@ object StreamingQueries {
       }
       s.read.parquet(outDir)
         .select(col("c_nationkey").cast("long").as("nation_key"),
-          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+          col("n_events"), col("sum_cents"))
         .orderBy("nation_key")
     }),
 
@@ -453,7 +457,8 @@ object StreamingQueries {
     // stream-static enrichment ≡ the plain batch join + rollup
     "st_enrich" ->
       ("SELECT CAST(c_nationkey AS BIGINT) AS nation_key, " +
-        "count(*) AS n_events, round(sum(value), 2) AS sum_value " +
+        "count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
         "GROUP BY 1 ORDER BY 1"),
     // winner-per-key over the full change log = the confluent merge's

@@ -36,6 +36,26 @@ class BpeSpec extends SparkSpec {
     assert(enc == "[a][b]")
   }
 
+  test("bracket-delimiter contract fails fast on both sides") {
+    // training: a word containing the delimiter would train a corrupt
+    // model — reject at the boundary
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.trainMerges(Array("a[b" -> 1L), 2)
+    }
+    assert(ex.getMessage.contains("bracket delimiter"))
+    // encoding: a delimiter-carrying word raises instead of silently
+    // producing a wrong encoding
+    val thrown = intercept[Exception] {
+      Seq("ok", "bad]word").toDF("w")
+        .select(Bpe.encodeWordCol(col("w"), Nil)).collect()
+    }
+    assert(thrown.getMessage != null)
+    // and clean words still encode through the guarded column
+    val enc = Seq("ab").toDF("w")
+      .select(Bpe.encodeWordCol(col("w"), Nil)).collect().head.getString(0)
+    assert(enc == "[a][b]")
+  }
+
   test("column encoder equals the driver-side fuse chain on every word") {
     val words = Seq("abab", "abc", "banana", "aa", "x", "")
     val merges = Bpe.trainMerges(

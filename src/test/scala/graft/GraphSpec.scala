@@ -92,6 +92,24 @@ class GraphSpec extends SparkSpec {
     assert(at2(4L) == 10L)
   }
 
+  test("pageRankScaled under the reliable checkpoint strategy is bit-identical") {
+    // spark.graft.checkpointDir switches every Checkpointer.truncate from
+    // localCheckpoint to reliable checkpoint files; the integer result
+    // must not move, and the files must actually land in the dir.
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    spark.conf.set(graft.operators.Checkpointer.DirKey, ckDir)
+    try {
+      val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+      val r = Graph.pageRankScaled(edges, "src", "dst", iters = 1)
+        .as[(Long, Long)].collect().toMap
+      assert(r == Map(
+        1L -> 616666666666L, 2L -> 333333333333L, 3L -> 50000000000L))
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable mode must write checkpoint files")
+    } finally spark.conf.unset(graft.operators.Checkpointer.DirKey)
+  }
+
   test("ssspWeighted multi-source takes the cheapest seed and stops when stable") {
     val edges = Seq((1L, 3L, 5L), (2L, 3L, 2L), (3L, 4L, 1L)).toDF("src", "dst", "w")
     val seeds = Seq(1L, 2L).toDF("id")

@@ -260,6 +260,34 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(joins.isEmpty, "BPE encode should not join — merges are literals")
   }
 
+  test("SQL front door plans identically to the DataFrame path (modulo ids)") {
+    import org.apache.spark.sql.functions._
+    // the s16 SQL rollup vs the same query written against the DataFrame
+    // API: after view resolution both must optimize to the SAME physical
+    // plan — SQL entry is a parse path, not a materialization penalty.
+    // Compare executed-plan strings with expression/plan ids normalized
+    // (ids are mint-order artifacts, not plan shape).
+    val sqlDf = SparkEntry.queries("s16_sql_entry")(spark, d)
+    val r = graft.queries.Tables.t(spark, d, "region")
+    val n = graft.queries.Tables.t(spark, d, "nation")
+    val c = graft.queries.Tables.t(spark, d, "customer")
+    val apiDf = r.join(n, n("n_regionkey") === r("r_regionkey"))
+      .join(c, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(r("r_name").as("region_name"))
+      .agg(countDistinct(n("n_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"),
+        round(sum(c("c_acctbal")), 2).as("total_acctbal"))
+      .orderBy("region_name")
+    def shape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+", "#x")
+        .replaceAll("plan_id=\\d+", "plan_id=x")
+        .replaceAll("\\[id=#x\\]", "")
+    assert(shape(sqlDf) == shape(apiDf),
+      s"SQL and DataFrame plans diverged:\n--- SQL ---\n${shape(sqlDf)}\n" +
+        s"--- API ---\n${shape(apiDf)}")
+  }
+
   test("PMI joins its unigram sides as broadcasts; span dedup plans no cartesian") {
     val bhj = collectWithSubqueries(planOf("ta_pmi")) {
       case j: BroadcastHashJoinExec => j
