@@ -12,7 +12,8 @@ object Bench {
     "s7_csv_single_file", "s8_schema_merge", "s9_partition_prune",
     "etl_export", "j6_bucketed_join", "sim_topk_ivf_pruned",
     "sim_topk_ivf_append", "st_window_counts", "st_dedup", "s10_zorder",
-    "dd_incremental_indexed", "s14_orc_roundtrip", "s17_parquet_bloom")
+    "dd_incremental_indexed", "s14_orc_roundtrip", "s17_parquet_bloom",
+    "st_resume")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

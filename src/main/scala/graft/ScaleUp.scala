@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of the driver's test fixtures: tiles each fact
+  * table `factor` times with per-copy key offsets, so sf1 = 10 disjoint
+  * sf0.1-shaped shards sharing the fixed dimensions (region/nation) —
+  * the same scaling law TPC-H uses (more keys at the same per-key
+  * density), which is what a 100 TB corpus looks like relative to a
+  * 10 TB one.
+  *
+  * Content perturbation keeps the SIMILARITY structure linear:
+  *  - `documents.text` is Caesar-shifted by the copy index (letters only,
+  *    case-preserving, via one codegen'd `translate`) — every copy keeps
+  *    identical lengths, token-frequency shape, and in-copy duplicate
+  *    clusters, while cross-copy shingle overlap drops to ~zero. Naive
+  *    tiling would instead make each document near-identical to its 9
+  *    clones: 45 extra near-dup pairs per document, a QUADRATIC blowup
+  *    in candidate pairs that would masquerade as super-linear operator
+  *    cost. sf1 must mean "10x the clusters", not "every cluster x10".
+  *  - `embeddings.embedding` is circularly rotated by the copy index —
+  *    an orthogonal transform, so norms and all in-copy angles are
+  *    EXACTLY preserved while cross-copy cosine decorrelates; probe
+  *    queries pinned to `vec_id < 10` stay bounded (copy 0 is verbatim)
+  *    while the corpus under them grows `factor`x.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <destDir> [factor]
+  */
+object ScaleUp {
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase(java.util.Locale.ROOT)
+
+  private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
+    val k = ((shift % 26) + 26) % 26
+    if (k == 0) c
+    else translate(c, Lower + Upper,
+      Lower.drop(k) + Lower.take(k) + Upper.drop(k) + Upper.take(k))
+  }
+
+  private def rotate(arr: org.apache.spark.sql.Column, shift: Int) =
+    if (shift == 0) arr
+    else concat(
+      slice(arr, lit(shift + 1), size(arr) - lit(shift)),
+      slice(arr, lit(1), lit(shift)))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <srcDir> <destDir> [factor]")
+    val (srcDir, destDir) = (args(0), args(1))
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$destDir/$t.parquet")
+    // key stride = next power of ten above the max key, so scaled keys
+    // stay human-readable (copy i of key k is i*stride + k)
+    def stride(df: DataFrame, key: String): Long = {
+      val mx = df.agg(max(col(key).cast("long"))).head().getLong(0)
+      var s = 1L
+      while (s <= mx) s *= 10
+      s
+    }
+    // union of `factor` per-copy transforms; copy 0 is always verbatim
+    def tile(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => copy(df, i)).reduce(_ unionByName _)
+
+    // fixed dimensions ride along unchanged
+    Seq("region", "nation").foreach(t => write(read(t), t))
+
+    val customer = read("customer")
+    val orders = read("orders")
+    val supplier = read("supplier")
+    val part = read("part")
+    val docs = read("documents")
+    val emb = read("embeddings")
+    val events = read("events")
+    val sC = stride(customer, "c_custkey")
+    val sO = stride(orders, "o_orderkey")
+    val sS = stride(supplier, "s_suppkey")
+    val sP = stride(part, "p_partkey")
+    val sD = stride(docs, "doc_id")
+    val sV = stride(emb, "vec_id")
+    val sE = stride(events, "event_id")
+
+    write(tile(customer) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * sC)) }, "customer")
+    write(tile(supplier) { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * sS)) }, "supplier")
+    write(tile(part) { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * sP)) }, "part")
+    write(tile(orders) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * sO))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * sC)) }, "orders")
+    write(tile(read("lineitem")) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * sO))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * sP))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * sS)) }, "lineitem")
+    write(tile(events) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * sE))
+        .withColumn("user_id", col("user_id") + lit(i * sC)) }, "events")
+    write(tile(docs) { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * sD))
+        .withColumn("text", caesar(col("text"), i)) }, "documents")
+    write(tile(emb) { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * sV))
+        .withColumn("embedding", rotate(col("embedding"), i)) }, "embeddings")
+
+    val counts = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+      .map(t => s"$t=${spark.read.parquet(s"$destDir/$t.parquet").count()}")
+    println(s"[scaleup] factor=$factor ${counts.mkString(" ")}")
+    spark.stop()
+  }
+}

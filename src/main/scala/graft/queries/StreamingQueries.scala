@@ -258,6 +258,52 @@ object StreamingQueries {
         .orderBy("user_id", "p_ts_us", "v_ts_us")
     }),
 
+    // Checkpoint RESUME on the oracle gate: the fixture arrives in TWO
+    // separate query lifetimes against ONE checkpoint — run 1 aggregates
+    // half the events and terminates (AvailableNow), half two lands in
+    // the drop directory, run 2 restarts from the same checkpoint. The
+    // source log makes run 2 read ONLY the new file, the restored state
+    // store carries run 1's partial aggregates, and the final complete-
+    // mode epoch must therefore equal the plain batch aggregate over ALL
+    // events: lost state would undercount, reprocessing would double-
+    // count, and either fails the hash compare. (EventStreamSpec pins
+    // the same property for the append-mode file sink.)
+    "st_resume" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$d/events.parquet"
+      val rawSchema = s.read.parquet(path).schema
+      val srcDir = tmp(s, "resume_src")
+      val outDir = tmp(s, "resume_out")
+      val ckDir = tmp(s, "resume_ck")
+      rmrf(srcDir); rmrf(outDir); rmrf(ckDir)
+      val raw = s.read.schema(rawSchema).parquet(path)
+      def run(): Unit = withStatePartitions(s, 8) {
+        val stream = s.readStream.schema(rawSchema)
+          .option("recursiveFileLookup", "true").parquet(srcDir)
+        val q = stream.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(outDir); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      raw.filter(col("event_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$srcDir/half_a")
+      run() // first lifetime: half the fixture, then the query STOPS
+      raw.filter(col("event_id") % 2 === 1)
+        .coalesce(1).write.parquet(s"$srcDir/half_b")
+      run() // second lifetime: SAME checkpoint, only half_b is new
+      s.read.parquet(outDir)
+        .select(col("event_type"), col("n_events"), col("sum_cents"))
+        .orderBy("event_type")
+    }),
+
     // Streaming CDC apply: a base snapshot plus a change LOG landing as
     // files, folded into a serving table by foreachBatch. The merge is
     // Merge.applyVersioned — per-key highest-version wins, tombstones
@@ -454,6 +500,11 @@ object StreamingQueries {
       ("SELECT user_id, count(*) AS n_events, " +
         "round(max(value), 2) AS max_value " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    // two query lifetimes over one checkpoint ≡ one batch aggregate
+    "st_resume" ->
+      ("SELECT event_type, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     // stream-static enrichment ≡ the plain batch join + rollup
     "st_enrich" ->
       ("SELECT CAST(c_nationkey AS BIGINT) AS nation_key, " +
