@@ -78,15 +78,22 @@ object Bench {
         graft.operators.Dedup.releaseScratch(spark)
         dt
       }.sorted
-      name -> times(1)
+      // (median, min): median is the reported cost; min is what the
+      // regression gate compares, because on a shared host a CPU-steal
+      // window can inflate 2 of 3 samples (r11: an_pagerank median 14.1s
+      // in one full-battery run vs a flat 3.1-4.0s series in isolation)
+      // while a real code regression slows EVERY sample.
+      name -> (times(1), times.head)
     }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qjson(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val sinkSec = results.collect { case (k, v) if SinkQueries(k) => v }.sum
+    val medians = results.map { case (k, (med, _)) => k -> med }
+    val mins = results.map { case (k, (_, mn)) => k -> mn }
+    val total = if (medians.nonEmpty) medians.map(_._2).sum else 0.0
+    val sinkSec = medians.collect { case (k, v) if SinkQueries(k) => v }.sum
 
     // Regression gate: compare this run's medians against the checked-in
     // per-query baseline (r10 medians). A query regresses when it is both
@@ -108,30 +115,75 @@ object Bench {
         .findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
-    val regressions = results.collect {
-      case (name, t) if !failed(name) && baseline.get(name).exists(b =>
-        t > b * 1.5 && t - b > 0.3) => name
+    // Gate on the MIN sample: all three samples must exceed the
+    // threshold for a flag, so an isolated host-stall spike (which
+    // inflates the median) cannot manufacture a regression, while a real
+    // slowdown — present in every sample — still trips it.
+    //
+    // Two further defenses, both needed on this host (r11 measured ~16%
+    // median steal with 2-3x localized windows on unchanged code):
+    //  1. HOST FACTOR — the whole run may be uniformly slower than the
+    //     machine that produced the baseline. The median min/baseline
+    //     ratio over substantial (>0.3s) queries estimates that shift;
+    //     the 1.5x threshold is applied on top of it (never below 1.0 —
+    //     a fast host must not mask a regression).
+    //  2. CONFIRMATION RE-RUN — a sustained contention window can cover
+    //     several consecutive queries (iteration is sorted, so the
+    //     window lands on an alphabetical block) and inflate all three
+    //     samples at once. Each preliminary flag is re-run twice at the
+    //     END of the battery, when that window has typically passed; the
+    //     flag stands only if the merged min still exceeds the
+    //     threshold. A real code regression reproduces in the re-run; a
+    //     transient window does not.
+    val hostFactor: Double = {
+      val ratios = mins.collect {
+        case (n, t) if baseline.get(n).exists(_ > 0.3) => t / baseline(n)
+      }.sorted
+      if (ratios.size < 8) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+    }
+    def overThreshold(name: String, t: Double): Boolean =
+      baseline.get(name).exists(b => t > b * 1.5 * hostFactor && t - b > 0.3)
+    val prelim = mins.collect {
+      case (name, t) if !failed(name) && overThreshold(name, t) => name -> t
+    }
+    val retried: Seq[(String, Double)] = prelim.map { case (name, batteryMin) =>
+      val rerunMin = try {
+        Seq.fill(2) {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.operators.Dedup.releaseScratch(spark)
+          dt
+        }.min
+      } catch { case _: Throwable => batteryMin } // re-run failure: keep flag
+      name -> math.min(batteryMin, rerunMin)
+    }
+    val regressions = retried.collect {
+      case (name, t) if overThreshold(name, t) => name
     }.sorted
     val unbaselined =
       if (baseline.isEmpty) Seq.empty[String]
-      else results.collect { case (name, _) if !baseline.contains(name) => name }.sorted
+      else medians.collect { case (name, _) if !baseline.contains(name) => name }.sorted
     def slist(names: Iterable[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     def header(extra: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,""" +
-        s""""samples":3,"agg":"median","n_queries":${results.size},""" +
+        s""""samples":3,"agg":"median","n_queries":${medians.size},""" +
         s""""compute_sec":${fmt(total - sinkSec)},""" +
         s""""sink_sec":${fmt(sinkSec)},""" +
         s""""valid":${failed.isEmpty},"failed":${slist(failed)},""" +
         s""""regressions":${slist(regressions)},""" +
+        s""""host_factor":${fmt(hostFactor)},""" +
+        s""""retried":${qjson(retried)},""" +
         s""""unbaselined":${slist(unbaselined)},$extra"sf":"$sfDir"}"""
     // FULL per-query detail + the sink tag list → the bench file (the
     // judge reads it; $SPARK_GRAFT_BENCH_OUT can point the driver at it).
     val sinkList = SinkQueries.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val fullJson = header(
-      s""""queries":${qjson(results)},"sink_queries":$sinkList,""")
+      s""""queries":${qjson(medians)},"queries_min":${qjson(mins)},""" +
+        s""""sink_queries":$sinkList,""")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullJson + "\n")
     catch { case e: Throwable =>
@@ -143,7 +195,7 @@ object Bench {
     // top-40 in r6) still truncated mid-JSON ("parsed": null). The
     // headline totals + top-10 fit in ~600 bytes with certainty; the
     // full per-query map is in the detail file above.
-    val top = results.sortBy(-_._2).take(10)
+    val top = medians.sortBy(-_._2).take(10)
     val json = header(s""""top10":${qjson(top)},"detail":"$out",""")
     // printed LAST — after spark.stop()'s log chatter — so the line sits
     // intact at the very end of the driver's captured tail
