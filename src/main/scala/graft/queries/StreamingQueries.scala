@@ -29,6 +29,33 @@ object StreamingQueries {
     rec(new java.io.File(path))
   }
 
+  /** Stage a parquet fixture into a file-stream drop directory. The
+    * driver's testdata fixtures are single parquet FILES, but
+    * regenerated/scaled fixtures (anything Spark wrote, e.g.
+    * `graft.ScaleUp`'s sf1) are parquet DIRECTORIES of part files —
+    * and `Files.copy` on a directory copies only the empty directory
+    * entry, which silently yields a ZERO-BATCH stream (the query
+    * "succeeds" over no data; r11 found all file-source st_* queries
+    * dead at sf1 this way). A file is copied as `<name>.parquet`; a
+    * directory's part files land as `<name>_partN.parquet`. */
+  private def stageFixture(path: String, destDir: String, name: String): Unit = {
+    val src = new java.io.File(path)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destDir))
+    val staged: Seq[(java.io.File, String)] =
+      if (src.isDirectory)
+        src.listFiles.toSeq
+          .filter(f => f.isFile && f.getName.startsWith("part-"))
+          .sortBy(_.getName)
+          .zipWithIndex.map { case (f, i) => f -> s"${name}_part$i.parquet" }
+      else Seq(src -> s"$name.parquet")
+    require(staged.nonEmpty, s"no parquet files to stage under $path")
+    staged.foreach { case (f, n) =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(destDir, n),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** A stateful streaming query fixes its state-store partition count
     * from `spark.sql.shuffle.partitions` at FIRST start (it's baked into
     * the checkpoint). Every partition carries a state store with real
@@ -59,15 +86,12 @@ object StreamingQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val path = s"$d/events.parquet"
       val rawSchema = s.read.parquet(path).schema
-      // the file stream source monitors DIRECTORIES; the fixture is a
-      // single parquet file, so stage it into one (the "files landing in
-      // a drop directory" shape a streaming ingest actually has)
+      // the file stream source monitors DIRECTORIES; stage the fixture
+      // into one (the "files landing in a drop directory" shape a
+      // streaming ingest actually has)
       val srcDir = tmp(s, "win_src")
       rmrf(srcDir)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(path),
-        java.nio.file.Paths.get(srcDir, "events.parquet"))
+      stageFixture(path, srcDir, "events")
       val stream = Tables.normalizeEventTs(
         s.readStream.schema(rawSchema).parquet(srcDir))
       val outDir = tmp(s, "win_out")
@@ -108,12 +132,7 @@ object StreamingQueries {
       val rawSchema = s.read.parquet(path).schema
       val srcDir = tmp(s, "dedup_src")
       rmrf(srcDir)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      Seq("events_a.parquet", "events_b.parquet").foreach { f =>
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(path),
-          java.nio.file.Paths.get(srcDir, f))
-      }
+      Seq("events_a", "events_b").foreach(stageFixture(path, srcDir, _))
       val stream = Tables.normalizeEventTs(
         s.readStream.schema(rawSchema).parquet(srcDir))
       val outDir = tmp(s, "dedup_out")
@@ -156,10 +175,7 @@ object StreamingQueries {
       val rawSchema = raw.schema
       val srcDir = tmp(s, "sess_src")
       rmrf(srcDir)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(path),
-        java.nio.file.Paths.get(srcDir, "events.parquet"))
+      stageFixture(path, srcDir, "events")
       // sentinel ts must match the fixture's physical ts type (long
       // nanos on legacy data, timestamp on current) or the file-source
       // schema check rejects the staged file
@@ -226,10 +242,7 @@ object StreamingQueries {
       val rawSchema = s.read.parquet(path).schema
       val srcDir = tmp(s, "join_src")
       rmrf(srcDir)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(path),
-        java.nio.file.Paths.get(srcDir, "events.parquet"))
+      stageFixture(path, srcDir, "events")
       def side(eventType: String): DataFrame =
         Tables.normalizeEventTs(
           s.readStream.schema(rawSchema).parquet(srcDir))
@@ -329,10 +342,7 @@ object StreamingQueries {
       val rawSchema = s.read.parquet(path).schema
       val srcDir = tmp(s, "state_src")
       rmrf(srcDir)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(path),
-        java.nio.file.Paths.get(srcDir, "events.parquet"))
+      stageFixture(path, srcDir, "events")
       val stream = Tables.normalizeEventTs(
         s.readStream.schema(rawSchema).parquet(srcDir))
       val typed = stream.select(col("user_id"), col("value"))
@@ -374,10 +384,7 @@ object StreamingQueries {
       val rawSchema = s.read.parquet(path).schema
       val srcDir = tmp(s, "enrich_src")
       rmrf(srcDir)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(path),
-        java.nio.file.Paths.get(srcDir, "events.parquet"))
+      stageFixture(path, srcDir, "events")
       val stream = Tables.normalizeEventTs(
         s.readStream.schema(rawSchema).parquet(srcDir))
       val dim = broadcast(Tables.customer(s, d)
