@@ -19,11 +19,18 @@ import org.apache.spark.sql.functions._
   *    clones: 45 extra near-dup pairs per document, a QUADRATIC blowup
   *    in candidate pairs that would masquerade as super-linear operator
   *    cost. sf1 must mean "10x the clusters", not "every cluster x10".
-  *  - `embeddings.embedding` is circularly rotated by the copy index —
-  *    an orthogonal transform, so norms and all in-copy angles are
-  *    EXACTLY preserved while cross-copy cosine decorrelates; probe
-  *    queries pinned to `vec_id < 10` stay bounded (copy 0 is verbatim)
-  *    while the corpus under them grows `factor`x.
+  *  - `embeddings.embedding` is sign-flipped per copy: every vector in
+  *    copy i multiplies elementwise by the same deterministic ±1
+  *    pattern (a diagonal orthogonal matrix), so norms and all IN-copy
+  *    angles are EXACTLY preserved while cross-copy cosine collapses to
+  *    a random-sign sum (~N(0, 1/√dim)). Circular rotation — the first
+  *    attempt — is also orthogonal but decorrelates only vectors that
+  *    look like white noise; these embeddings are smooth enough that a
+  *    1..9-position shift kept cross-copy cosine above the near-dup
+  *    thresholds, and the sf1 pair count grew ~90x instead of 10x
+  *    (measured: dd_semantic 873 → 78.5k pairs). Probe queries pinned
+  *    to `vec_id < 10` stay bounded (copy 0 is verbatim) while the
+  *    corpus under them grows `factor`x.
   *
   * Usage: runMain graft.ScaleUp <srcDir> <destDir> [factor]
   */
@@ -39,11 +46,20 @@ object ScaleUp {
       Lower.drop(k) + Lower.take(k) + Upper.drop(k) + Upper.take(k))
   }
 
-  private def rotate(arr: org.apache.spark.sql.Column, shift: Int) =
-    if (shift == 0) arr
-    else concat(
-      slice(arr, lit(shift + 1), size(arr) - lit(shift)),
-      slice(arr, lit(1), lit(shift)))
+  /** Deterministic ±1 pattern for copy `i` (splitmix64 over the element
+    * index) applied elementwise — one diagonal orthogonal transform per
+    * copy. Copy 0 is the identity (verbatim vectors). */
+  private def signFlip(arr: org.apache.spark.sql.Column, copy: Int, dim: Int) =
+    if (copy == 0) arr
+    else {
+      val signs = Array.tabulate(dim) { j =>
+        var z = copy * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
+        z ^= z >>> 31; z *= 0x94D049BB133111EBL; z ^= z >>> 27
+        if ((z & 1L) == 0L) 1.0f else -1.0f
+      }
+      zip_with(arr, array(signs.map(lit(_)).toIndexedSeq: _*),
+        (x, s) => x * s)
+    }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <srcDir> <destDir> [factor]")
@@ -89,6 +105,7 @@ object ScaleUp {
     val sP = stride(part, "p_partkey")
     val sD = stride(docs, "doc_id")
     val sV = stride(emb, "vec_id")
+    val embDim = emb.select(size(col("embedding"))).head().getInt(0)
     val sE = stride(events, "event_id")
 
     write(tile(customer) { (df, i) =>
@@ -112,7 +129,7 @@ object ScaleUp {
         .withColumn("text", caesar(col("text"), i)) }, "documents")
     write(tile(emb) { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * sV))
-        .withColumn("embedding", rotate(col("embedding"), i)) }, "embeddings")
+        .withColumn("embedding", signFlip(col("embedding"), i, embDim)) }, "embeddings")
 
     val counts = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")

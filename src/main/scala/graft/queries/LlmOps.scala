@@ -30,6 +30,21 @@ object LlmOps {
   private def memo[T <: AnyRef](key: String)(f: => T): T =
     cbMemo.computeIfAbsent(key, _ => f).asInstanceOf[T]
 
+  /** SemDeDup's blocking codebook, cells sized to the corpus: k =
+    * max(16, ⌈n/128⌉) bounds cells to ~128 vectors so within-cell
+    * candidate pairs stay LINEAR in n (fixed k makes them quadratic —
+    * measured at sf1: 12.5M candidates for 10x the sf0.1 data). At the
+    * oracle scales n/128 < 16, so k = 16 and the codebook — and every
+    * oracle-checked result — is bit-identical to the fixed cb16x2 one
+    * the sim_topk_*_trained queries share (same memo key then). The
+    * count is a parquet metadata read, not a scan. */
+  private def semanticCodebook(s: SparkSession, d: String) = {
+    val emb = embeddings(s, d)
+    val k = math.max(16, math.ceil(emb.count() / 128.0).toInt)
+    emb -> memo(s"cb${k}x2:$d") {
+      Similarity.trainCodebook(emb, "vec_id", "embedding", k, 2) }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: deterministic keep-first-by-id per key
     "dd_exact_rownum" -> ((s, d) =>
@@ -119,9 +134,7 @@ object LlmOps {
     // same memo key — it is the IDENTICAL trainCodebook(16, 2) call, and
     // retraining it per invocation was the query's dominant cost
     "dd_semantic" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val cb = memo(s"cb16x2:$d") {
-        Similarity.trainCodebook(emb, "vec_id", "embedding", 16, 2) }
+      val (emb, cb) = semanticCodebook(s, d)
       Similarity.semanticNearDupPairs(emb, "vec_id", "embedding", 0.35,
         codebookOpt = Some(cb))
         .orderBy("a", "b")
@@ -132,9 +145,7 @@ object LlmOps {
     // per-label survivor stats (the label here standing in for a
     // source/domain column).
     "dd_semantic_keep" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val cb = memo(s"cb16x2:$d") {
-        Similarity.trainCodebook(emb, "vec_id", "embedding", 16, 2) }
+      val (emb, cb) = semanticCodebook(s, d)
       val drops = Similarity.semanticNearDupPairs(
         emb, "vec_id", "embedding", 0.35, codebookOpt = Some(cb))
         .select(col("b").as("vec_id")).distinct()
