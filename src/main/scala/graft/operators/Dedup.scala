@@ -452,11 +452,24 @@ object Dedup {
     * matches EXACTLY on at least one of the C(B, 3) three-block key
     * tables — candidate generation is lossless for the threshold (that is
     * why the oracle can be brute-force all-pairs). Each key packs three
-    * ≤16-bit block values into one long; docs shuffle by (table, key), an
-    * O(n·C(B,3)) narrow emit, and only same-key docs pair up. Bucket
-    * cardinality is 2^(3·64/B) (~2^32 for maxHamming=3) — bounded
-    * in-bucket quadratics at any corpus size, unlike bucketing on a
-    * single 16-bit slice. */
+    * ≤16-bit block values into one long; signatures shuffle by
+    * (table, key), an O(m·C(B,3)) narrow emit, and only same-key
+    * signatures pair up. Bucket cardinality is 2^(3·64/B) (~2^32 for
+    * maxHamming=3) — bounded in-bucket quadratics at any corpus size,
+    * unlike bucketing on a single 16-bit slice.
+    *
+    * EXACT-COLLAPSE-THEN-BAND: banding runs over the m DISTINCT
+    * signatures, not the n documents. Hamming(s, s') is a function of
+    * the signatures alone, so identical-signature groups contribute
+    * (a) their C(g, 2) member pairs at Hamming 0 — emitted directly
+    * from a signature self-join — and (b) one representative each to
+    * the banding, whose surviving signature pairs expand back to
+    * g₁·g₂ member pairs. The result set is IDENTICAL to banding all n
+    * docs, but the quadratic candidate joins see m, not n. Real corpora
+    * are exactly where this matters: duplicate documents are the
+    * common case at scale (the sf1 image fixture collapses 10k docs to
+    * 1.7k signatures with a 552-member group; banding members would
+    * put 552² rows through every shared key bucket). */
   def simhashPairsFromSigs(
       sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming >= 1 && maxHamming + 3 <= 16,
@@ -473,18 +486,36 @@ object Dedup {
         .bitwiseOR(shiftleft(block(c(1)), 16))
         .bitwiseOR(shiftleft(block(c(2)), 32))
     }.toSeq: _*)
-    val keyed = sigs.select(
-      col(idCol), col("sig"), posexplode(keys).as(Seq("tbl", "key")))
-    val x = keyed.select(col("tbl"), col("key"), col(idCol).as("a"), col("sig").as("siga"))
-    val y = keyed.select(col("tbl"), col("key"), col(idCol).as("b"), col("sig").as("sigb"))
+    val members = sigs.select(col(idCol), col("sig"))
+    // (a) Hamming-0 pairs: all member pairs within an identical-signature
+    // group — one equi-self-join on the signature, output Σ C(g, 2).
+    val intra = members.select(col("sig"), col(idCol).as("a"))
+      .join(members.select(col("sig"), col(idCol).as("b")), "sig")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(0).as("hamming"))
+    // (b) Cross-signature pairs: band the distinct signatures only.
+    val keyed = members.select(col("sig")).distinct()
+      .select(col("sig"), posexplode(keys).as(Seq("tbl", "key")))
+    val x = keyed.select(col("tbl"), col("key"), col("sig").as("siga"))
+    val y = keyed.select(col("tbl"), col("key"), col("sig").as("sigb"))
     // Hamming-filter BEFORE the dedup shuffle: bit_count is a narrow
     // per-row expression, so rejecting over-threshold pairs first shrinks
     // the distinct exchange by the candidate miss rate (each surviving
     // pair still appears once per shared key table, hence the distinct).
-    x.hint("merge").join(y, Seq("tbl", "key")).filter(col("a") < col("b"))
+    val sigPairs = x.hint("merge").join(y, Seq("tbl", "key"))
+      .filter(col("siga") < col("sigb"))
       .withColumn("hamming", bit_count(expr("siga ^ sigb")).cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming")).distinct()
+      .select(col("siga"), col("sigb"), col("hamming")).distinct()
+    // ... then expand each surviving signature pair to its member pairs.
+    // siga ≠ sigb, so each unordered member pair appears exactly once;
+    // least/greatest restores the a < b id order the caller expects.
+    val cross = sigPairs
+      .join(members.select(col("sig").as("siga"), col(idCol).as("ia")), "siga")
+      .join(members.select(col("sig").as("sigb"), col(idCol).as("ib")), "sigb")
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("hamming"))
+    intra.unionByName(cross)
   }
 
   /** SimHash near-dup over 64-bit signatures with pigeonhole banding —

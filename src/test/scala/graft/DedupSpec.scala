@@ -171,11 +171,17 @@ class DedupSpec extends SparkSpec {
         s ^ (1L << rnd.nextInt(64)))
       (1000L + i, flipped)
     }
-    val all = baseSigs ++ planted
+    // exact duplicates (identical signatures) pin the Hamming-0 path:
+    // the collapse-then-band implementation emits these from the
+    // signature group self-join, not the banding
+    val dupes = (0 until 10).map(i => (2000L + i, baseSigs(i * 3)._2))
+    val all = baseSigs ++ planted ++ dupes
     val expected = (for {
       (a, sa) <- all; (b, sb) <- all
       if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
     } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
+    assert(dupes.exists { case (_, s) =>
+      all.count(_._2 == s) >= 2 }, "fixture must contain duplicate sigs")
     assert(expected.nonEmpty, "fixture must plant at least one near pair")
     val got = Dedup.simhashPairsFromSigs(all.toDF("doc_id", "sig"), "doc_id", 3)
       .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
