@@ -18,9 +18,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default shuffle.partitions = cores (the local-mode sweet spot); the
+    // override exists to run the battery under the CLUSTER-shaped config
+    // (2-3x cores, AQE coalescing the excess — SCALE.md "Knobs") and
+    // diff the plans/times against the local default. AQE itself is
+    // Spark's default-on and is never disabled here.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -66,7 +73,7 @@ object Bench {
           failed += name
           System.err.println(s"[bench] warm-up of $name failed: ${e.getMessage}")
       }
-      graft.operators.Dedup.releaseScratch(spark)
+      graft.operators.Dedup.releaseAllCaches(spark)
       val times = Seq.fill(3) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -75,7 +82,7 @@ object Bench {
             System.err.println(s"[bench] timed run of $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        graft.operators.Dedup.releaseScratch(spark)
+        graft.operators.Dedup.releaseAllCaches(spark)
         dt
       }.sorted
       // (median, min): median is the reported cost; min is what the
@@ -95,8 +102,9 @@ object Bench {
     val total = if (medians.nonEmpty) medians.map(_._2).sum else 0.0
     val sinkSec = medians.collect { case (k, v) if SinkQueries(k) => v }.sum
 
-    // Regression gate: compare this run's medians against the checked-in
-    // per-query baseline (r10 medians). A query regresses when it is both
+    // Regression gate: compare this run's per-query MINs against the
+    // checked-in min-based per-query baseline (r11 rebaseline:
+    // min-of-two-full-runs on the same host). A query regresses when it is both
     // >1.5x its baseline AND >0.3s absolute over it — the absolute floor
     // keeps sub-half-second shared-host noise (r10: a1_group_count
     // 0.12→0.37s on unchanged code) out of the gate while a real 2x on
@@ -135,12 +143,24 @@ object Bench {
     //     flag stands only if the merged min still exceeds the
     //     threshold. A real code regression reproduces in the re-run; a
     //     transient window does not.
-    val hostFactor: Double = {
+    // Failed queries record near-zero wall times; including them in the
+    // ratio set would drag the median toward 0 and suppress a legitimate
+    // >1.0 host factor, re-enabling noise flags on a slow host — so they
+    // are excluded. The factor is also CAPPED at 1.5x: an engine-wide
+    // real regression (session config, shared operator) would otherwise
+    // inflate the median ratio and scale the threshold up with itself,
+    // letting a large uniform slowdown pass as "host shift". When the
+    // raw factor exceeds the cap, host_factor_capped:true lands in the
+    // JSON so the run reads as suspect rather than clean.
+    val hostFactorRaw: Double = {
       val ratios = mins.collect {
-        case (n, t) if baseline.get(n).exists(_ > 0.3) => t / baseline(n)
+        case (n, t) if !failed(n) && baseline.get(n).exists(_ > 0.3) =>
+          t / baseline(n)
       }.sorted
       if (ratios.size < 8) 1.0 else math.max(1.0, ratios(ratios.size / 2))
     }
+    val hostFactor = math.min(hostFactorRaw, 1.5)
+    val hostFactorCapped = hostFactorRaw > 1.5
     def overThreshold(name: String, t: Double): Boolean =
       baseline.get(name).exists(b => t > b * 1.5 * hostFactor && t - b > 0.3)
     val prelim = mins.collect {
@@ -152,7 +172,7 @@ object Bench {
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
-          graft.operators.Dedup.releaseScratch(spark)
+          graft.operators.Dedup.releaseAllCaches(spark)
           dt
         }.min
       } catch { case _: Throwable => batteryMin } // re-run failure: keep flag
@@ -175,6 +195,8 @@ object Bench {
         s""""valid":${failed.isEmpty},"failed":${slist(failed)},""" +
         s""""regressions":${slist(regressions)},""" +
         s""""host_factor":${fmt(hostFactor)},""" +
+        s""""host_factor_raw":${fmt(hostFactorRaw)},""" +
+        s""""host_factor_capped":$hostFactorCapped,""" +
         s""""retried":${qjson(retried)},""" +
         s""""unbaselined":${slist(unbaselined)},$extra"sf":"$sfDir"}"""
     // FULL per-query detail + the sink tag list → the bench file (the

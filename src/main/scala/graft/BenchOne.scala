@@ -29,12 +29,12 @@ object BenchOne {
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query: $name (${SparkEntry.queries.size} registered)"))
     fn(spark, sfDir).count() // warm-up: JIT + codegen, unrecorded
-    graft.operators.Dedup.releaseScratch(spark)
+    graft.operators.Dedup.releaseAllCaches(spark)
     val times = (1 to n).map { _ =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      graft.operators.Dedup.releaseScratch(spark)
+      graft.operators.Dedup.releaseAllCaches(spark)
       dt
     }
     val s = times.sorted

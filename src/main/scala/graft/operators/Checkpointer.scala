@@ -32,6 +32,21 @@ object Checkpointer {
   /** Session conf key selecting the reliable strategy. */
   val DirKey = "spark.graft.checkpointDir"
 
+  /** Drop the storage blocks backing a frame [[truncate]] returned, once
+    * the OPERATOR knows nothing references them any more (an iterative
+    * loop releasing round N's checkpoint after round N+1 materialized).
+    * The truncated frame wraps a `LogicalRDD`; unpersisting that RDD
+    * frees its localCheckpoint blocks. Reliable-mode frames read
+    * checkpoint FILES (their RDD holds no blocks), so this is a no-op
+    * there — file retention stays the deployment's policy. Safe to call
+    * on any frame: non-LogicalRDD plans are left untouched. */
+  def release(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = true)
+      case _ => ()
+    } catch { case _: Throwable => () /* stopped session: nothing to free */ }
+
   /** Truncate `df`'s lineage under the configured strategy. `eager`
     * only applies to the local strategy (reliable is always eager — see
     * the class note); `dir` overrides the session conf for one call. */

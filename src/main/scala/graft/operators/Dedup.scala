@@ -29,31 +29,62 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Release every scratch block this session holds: the collision-bounded
-    * frames the dedup operators persist (see [[jaccardVerify]]'s cache
-    * lifecycle note) plus any `localCheckpoint` RDDs left by iterative
-    * operators. The operators cannot unpersist eagerly — their scratch
-    * must outlive the returned frame, whose consumption time they cannot
-    * see — so a long-lived session calls this between pipelines to drop
-    * the blocks deterministically instead of waiting for LRU eviction.
-    * Blocking unpersist: the caller wants the memory NOW, not after a
-    * racing async drop.
+  /** Registry of the frames the operators persist as SCRATCH: candidate
+    * pair tables, per-candidate shingle tables, banded batch tables —
+    * every one a plain `persist` whose lineage survives the blocks, so
+    * dropping them is always CORRECT (a still-live consumer silently
+    * recomputes; nothing hard-fails). localCheckpoint blocks are NOT in
+    * this registry — their lineage is truncated, so dropping them while a
+    * result frame is live would hard-fail re-execution; the iterative
+    * operators release their own superseded checkpoints in-loop
+    * ([[Checkpointer.release]]) and leave only the final one, which backs
+    * the returned frame, alive. */
+  private val scratch = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist a frame as operator scratch and register it for
+    * [[releaseScratch]]. */
+  private[graft] def scratchPersist(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scratch.add(df)
+    df
+  }
+
+  /** Release the scratch blocks the operators have registered (see
+    * [[scratchPersist]]). The operators cannot unpersist eagerly — their
+    * scratch must outlive the returned frame, whose consumption time they
+    * cannot see — so a long-lived session calls this between pipelines to
+    * drop the blocks deterministically instead of waiting for LRU
+    * eviction. Blocking unpersist: the caller wants the memory NOW, not
+    * after a racing async drop.
     *
-    * CONTRACT — this is a session-level barrier, not a targeted drop. It
-    * unpersists EVERY persistent RDD in the session and clears the
-    * relation cache, which permanently invalidates any still-live frame
-    * whose plan touches a `localCheckpoint` (the iterative operators'
-    * results and anything derived from them): a localCheckpoint truncates
-    * lineage, so once its blocks drop, re-executing such a frame HARD-
-    * FAILS on missing blocks instead of recomputing. Tracking "scratch
-    * only" ids would not help — a returned frame's lineage references the
-    * operator's checkpointed scratch directly (e.g. pageRankScaled's
-    * result plan reads its checkpointed edge/degree frames), so no subset
-    * release is safe while any result is live. Call it only at pipeline
-    * boundaries, after every frame from the previous pipeline has been
-    * consumed (written to a sink, collected, or discarded). Unrelated
-    * user caches are dropped too — re-`persist` them afterwards. */
+    * SAFE while results are live: only plain persists are registered, and
+    * a persisted frame's lineage survives its blocks — any still-live
+    * consumer recomputes. Checkpointed results (e.g. a
+    * [[connectedComponents]] frame a caller still holds) are untouched;
+    * the session-barrier variant that would invalidate them is
+    * [[releaseAllCaches]]. */
   def releaseScratch(spark: SparkSession): Unit = {
+    var df = scratch.poll()
+    while (df != null) {
+      try df.unpersist(blocking = true)
+      catch { case _: Throwable => () /* stopped session: nothing to free */ }
+      df = scratch.poll()
+    }
+  }
+
+  /** Session-level cache BARRIER: unpersists EVERY persistent RDD in the
+    * session — operator scratch, surviving final checkpoints of iterative
+    * operators, user caches — and clears the relation cache. This
+    * permanently invalidates any still-live frame whose plan reads a
+    * `localCheckpoint` (truncated lineage cannot recompute: re-executing
+    * such a frame HARD-FAILS on missing blocks). Call it only at pipeline
+    * boundaries, after every frame from the previous pipeline has been
+    * consumed (written to a sink, collected, or discarded) — Bench does,
+    * between samples, precisely so no query's surviving state can shift a
+    * later query's measurement. For routine between-pipeline hygiene with
+    * results still in flight, use [[releaseScratch]]. */
+  def releaseAllCaches(spark: SparkSession): Unit = {
+    releaseScratch(spark)
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     spark.catalog.clearCache()
@@ -71,11 +102,41 @@ object Dedup {
   private val Spaces = java.util.regex.Pattern.compile(" +")
 
   /** Tokenizer matching TextOps.tokens / the SQL oracle exactly:
-    * lowercase, non-alphanumerics fold to space, split, drop empties. */
-  private[graft] def tokenize(text: String): Array[String] =
-    Spaces.split(
-      NonAlnum.matcher(text.toLowerCase(java.util.Locale.ROOT)).replaceAll(" "))
-      .filter(_.nonEmpty)
+    * lowercase, non-alphanumerics fold to space, split, drop empties.
+    *
+    * ASCII fast path: one allocation-lean char scan (A-Z fold, a-z/0-9
+    * accumulate, everything else is a boundary) — provably identical to
+    * the regex pipeline for ASCII input, and the regex engine never runs.
+    * Any non-ASCII char falls back to the regex path, whose
+    * String.toLowerCase semantics are authoritative (multi-char case
+    * foldings like İ exist only there). This kernel is the inner loop of
+    * every tokenize-bearing operator (minhash, simhash, graft_tokens),
+    * so its constant factor is corpus-sized. */
+  private[graft] def tokenize(text: String): Array[String] = {
+    val n = text.length
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) {
+      if (text.charAt(i) >= 128) ascii = false
+      i += 1
+    }
+    if (!ascii)
+      return Spaces.split(
+        NonAlnum.matcher(text.toLowerCase(java.util.Locale.ROOT)).replaceAll(" "))
+        .filter(_.nonEmpty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder()
+    i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
 
   private val HexChars = "0123456789abcdef".toCharArray
 
@@ -212,7 +273,7 @@ object Dedup {
       .join(candIds, Seq(idCol), "left_semi")
     val shing = withShinglesAndSigs(needed, idCol, textCol, k, numHashes = 2)
       .select(col(idCol), col("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(scratchPersist)
     val sa = shing.select(col(idCol).as("a"), col("shingles").as("sha"))
     val sb = shing.select(col(idCol).as("b"), col("shingles").as("shb"))
     cands.join(sa.hint("merge"), "a").join(sb.hint("merge"), "b")
@@ -284,7 +345,7 @@ object Dedup {
     val cands = x.hint("merge").join(y, Seq("band_idx", "band_hash"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(scratchPersist)
     jaccardVerify(df, idCol, textCol, k, cands, thresholdNum, thresholdDen)
   }
 
@@ -314,7 +375,7 @@ object Dedup {
       withShinglesAndSigs(df, idCol, textCol, k, numHashes).select(
         col(idCol), posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
     val bandedBatch = banded(batch)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(scratchPersist)
     val bandedCorpus = banded(corpus)
     val x = bandedBatch.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
     // batch × corpus: every bucket collision, either orientation
@@ -332,7 +393,7 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b")
     val cands = crossCands.union(withinCands).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(scratchPersist)
     jaccardVerify(corpus.unionByName(batch), idCol, textCol, k, cands,
       thresholdNum, thresholdDen)
   }
@@ -390,7 +451,7 @@ object Dedup {
     val bandedBatch = withShinglesAndSigs(batch, idCol, textCol, k, numHashes)
       .select(col(idCol),
         posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(scratchPersist)
     val probedPfx = bandedBatch.select(bandPfxCol.as("band_pfx"))
       .distinct().collect().map(_.getString(0)).sorted
     val index = spark.read.parquet(indexPath)
@@ -412,7 +473,7 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b")
     val cands = crossCands.union(withinCands).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(scratchPersist)
     jaccardVerify(corpus.unionByName(batch), idCol, textCol, k, cands,
       thresholdNum, thresholdDen)
   }
@@ -486,7 +547,12 @@ object Dedup {
         .bitwiseOR(shiftleft(block(c(1)), 16))
         .bitwiseOR(shiftleft(block(c(2)), 32))
     }.toSeq: _*)
-    val members = sigs.select(col(idCol), col("sig"))
+    // The (id, sig) frame is referenced up to 5 times below (intra
+    // self-join ×2, distinct banding, cross expansion ×2); without the
+    // persist each reference re-executes the upstream signature scan —
+    // the dominant cost when the input is a text kernel. Narrow
+    // fixed-width rows (16 bytes/doc), registered as scratch.
+    val members = scratchPersist(sigs.select(col(idCol), col("sig")))
     // (a) Hamming-0 pairs: all member pairs within an identical-signature
     // group — one equi-self-join on the signature, output Σ C(g, 2).
     val intra = members.select(col("sig"), col(idCol).as("a"))
@@ -565,6 +631,13 @@ object Dedup {
         .withColumn("component", col("id")), eager = true)
     var changed = 1L
     var iters = 0
+    // round N's checkpoint blocks are dead the moment round N+1's
+    // checkpoint materializes (N+1's RDD is self-contained after the
+    // count) — released in-loop so live state is a constant two rounds,
+    // not O(iterations), and so the FINAL checkpoint (which backs the
+    // returned frame) is the only one left alive. releaseScratch never
+    // touches it; only the releaseAllCaches barrier does.
+    var prevCkpt: DataFrame = labels
     while (changed > 0) {
       iters += 1
       require(iters <= maxIters,
@@ -584,8 +657,13 @@ object Dedup {
             least(col("component"), coalesce(col("nbr_min"), col("component")))
               .as("component")), eager = false)
       changed = step.filter(col("component") =!= col("old")).count()
+      Checkpointer.release(prevCkpt)
+      prevCkpt = step
       labels = step.select("id", "component")
     }
+    // the fixpoint labels read only the final step's blocks — the edge
+    // table's checkpoint is scratch from here
+    Checkpointer.release(edges)
     labels
   }
 
@@ -627,7 +705,7 @@ object Dedup {
     val b = blocks.select(col("blk"), col(idCol).as("b"))
     val cands = a.hint("merge").join(b, "blk").filter(col("a") < col("b"))
       .select("a", "b").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(scratchPersist)
     jaccardVerify(df, idCol, textCol, k, cands,
       thresholdNum = 0, thresholdDen = 1)
   }

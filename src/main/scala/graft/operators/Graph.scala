@@ -55,10 +55,24 @@ object Graph {
         .join(deg, "src")
         .select(col("dst").as("id"), expr("r div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("c"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(teleport) +
-            expr("85 * coalesce(c, cast(0 as bigint)) div 100")).as("r"))
+      // LAZY truncation every round: each round's plan then reaches back
+      // only to the previous round's LogicalRDD, so analysis/optimization
+      // stays O(1) per round at ANY iteration count (un-truncated, round
+      // N's plan nested N copies of the join subtree — fine at the
+      // default 3, analysis-time blowup at deep counts). Lazy because
+      // PageRank needs no per-round action: the final action executes
+      // the whole chain as one job, materializing each round's
+      // checkpoint blocks as it passes — same wall-clock as the
+      // un-truncated plan (an_pagerank bench unchanged), bounded plan
+      // depth. Blocks of superseded rounds stay until the session
+      // barrier (they cannot be released in-loop — nothing has
+      // materialized yet); live state is iters × node-table, disk-backed.
+      ranks = Checkpointer.truncate(
+        nodes.join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            (lit(teleport) +
+              expr("85 * coalesce(c, cast(0 as bigint)) div 100")).as("r")),
+        eager = false)
     }
     ranks.select(col("id"), col("r").as("rank_scaled"))
   }

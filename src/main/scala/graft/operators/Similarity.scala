@@ -95,6 +95,38 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Corpus-scaled sign-block WIDTH: the smallest `b` (floored at 2,
+    * capped at 48) with `target · 2^b ≥ n`, so the bucket count grows
+    * Ω(n) and the expected block size stays ≈ `target` at ANY corpus
+    * size. Pure integer arithmetic — the SQL oracle replays it exactly
+    * (a min-over-range search), with no float-log boundary hazard. This
+    * is the blocking analogue of SemDeDup's corpus-scaled cell count:
+    * a FIXED-cardinality block key (a label, a static bucket set) makes
+    * per-block size linear in n and in-block pairing quadratic — the
+    * classic blocked-near-dup scale trap. */
+  def signBlockBits(n: Long, target: Long = 256L): Int = {
+    var b = 0
+    while ((target << b) < n && b < 48) b += 1
+    math.max(2, b)
+  }
+
+  /** Axis-aligned sign-LSH block key: bit i is set iff coordinate i+1 is
+    * ≥ 0 — [[hyperplaneSigns]] with identity planes, cheap enough to be
+    * a pure projection (no dot products). For zero-centered embeddings
+    * each bit splits the corpus ≈ in half, so `bits` from
+    * [[signBlockBits]] yields ≈ `target`-sized blocks. Used as a
+    * blocking key (recall boundary — near-dups differing in a low
+    * coordinate's sign land in different blocks, the documented trade
+    * of every blocked near-dup operator), not as a top-k candidate
+    * generator (that is [[lshTopK]]'s multi-table job). */
+  def signBitsCol(vecCol: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 48, s"signBitsCol: bits out of range: $bits")
+    val v = vecCol.cast("array<double>")
+    (0 until bits).map(i =>
+      when(element_at(v, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
   /** Embedding width, from one row of the (already-loaded) table — a tiny
     * driver fetch, same role as pulling the IVF codebook: hyperplanes are a
     * model artifact sized to the data, not a hardcoded guess. Returns 0 on

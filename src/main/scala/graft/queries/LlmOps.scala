@@ -119,11 +119,24 @@ object LlmOps {
       Dedup.prefixBlockedJaccardPairs(documents(s, d), "doc_id", "text")
         .orderBy("a", "b")),
 
-    // Embedding-cosine near-dup pairs, label-blocked
-    "dd_cosine_neardup" -> ((s, d) =>
+    // Embedding-cosine near-dup pairs, blocked on (label, sign-LSH
+    // bucket). Label alone is a FIXED-cardinality key — block size grows
+    // linearly with the corpus, in-block pairing quadratically (the one
+    // blocking shape the sf1 scale audit graded weak). The sign-bucket
+    // factor scales its width with the corpus (Similarity.signBlockBits:
+    // smallest b with 256*2^b >= n), so blocks stay ~256 rows and the
+    // pair count stays O(n) at any scale. The count() sizing probe is a
+    // parquet-metadata read, the same model-artifact pattern as the IVF
+    // codebook pulls.
+    "dd_cosine_neardup" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val bits = Similarity.signBlockBits(emb.count())
       Similarity.cosineNearDupPairs(
-        embeddings(s, d), "vec_id", "embedding", "label", 0.35)
-        .orderBy("a", "b")),
+        emb.withColumn("__blk", concat_ws("_", col("label"),
+          Similarity.signBitsCol(col("embedding"), bits))),
+        "vec_id", "embedding", "__blk", 0.35)
+        .orderBy("a", "b")
+    }),
 
     // SemDeDup-style semantic near-dup: k-means clusters (2 Lloyd
     // iterations, fixed-point means) are the blocking key, exact cosine
@@ -1132,12 +1145,19 @@ object LlmOps {
         "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter, " +
         "CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union " +
         "FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id ORDER BY a, b"),
+    // blocking replayed exactly: the same integer search for the sign
+    // width (smallest b in [0,48] with 256*2^b >= n, floored at 2), the
+    // same per-coordinate sign bits, and the same (label, bucket) key
     "dd_cosine_neardup" ->
-      ("WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "n AS (SELECT vec_id, label, v, sqrt(list_reduce(list_transform(range(1, 65), i -> v[i]*v[i]), (p,q) -> p+q)) AS nm FROM e) " +
+      ("WITH bb AS (SELECT greatest(2, (SELECT min(b) FROM range(0, 49) t(b) " +
+        "WHERE 256 * (1::BIGINT << b) >= (SELECT count(*) FROM embeddings))) AS bits), " +
+        "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "k AS (SELECT vec_id, label, v, list_reduce(list_transform(range(1, (SELECT bits FROM bb) + 1), " +
+        "i -> CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END), (p,q) -> p + q) AS bkt FROM e), " +
+        "n AS (SELECT vec_id, label, bkt, v, sqrt(list_reduce(list_transform(range(1, 65), i -> v[i]*v[i]), (p,q) -> p+q)) AS nm FROM k) " +
         "SELECT a.vec_id AS a, b.vec_id AS b, " +
         "round(list_reduce(list_transform(range(1, 65), i -> a.v[i]*b.v[i]), (p,q) -> p+q) / (a.nm * b.nm), 6) AS score_r " +
-        "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "FROM n a JOIN n b ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id " +
         "WHERE round(list_reduce(list_transform(range(1, 65), i -> a.v[i]*b.v[i]), (p,q) -> p+q) / (a.nm * b.nm), 6) >= 0.35 " +
         "ORDER BY a, b"),
     // SemDeDup replay: both Lloyd iterations unroll (exactly as in

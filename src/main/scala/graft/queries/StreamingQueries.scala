@@ -78,8 +78,10 @@ object StreamingQueries {
     // epoch's state — append mode would hold back windows the
     // end-of-stream watermark never closes), and foreachBatch overwrites
     // the parquet sink per epoch so the LAST epoch is what gets read
-    // back. The double sum rounds to 2dp for hash stability (partition
-    // merge order), same convention as the batch rollups.
+    // back. Value sums are integer cents end-to-end (see
+    // EventStream.windowedTypeCounts): exact regardless of micro-batch
+    // slicing or partition merge order, same convention as the batch
+    // rollups and the other st_* queries.
     "st_window_counts" -> ((s, d) => {
       // same nanos-as-long handling as Tables.events, but the stream
       // needs the RAW schema up front (readStream requires one)
@@ -112,8 +114,7 @@ object StreamingQueries {
       s.read.parquet(outDir)
         .select(
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-          col("event_type"), col("n_events"),
-          round(col("sum_value"), 2).as("sum_value"))
+          col("event_type"), col("n_events"), col("sum_cents"))
         .orderBy("window_start", "event_type")
     }),
 
@@ -154,7 +155,7 @@ object StreamingQueries {
       s.read.parquet(outDir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("sum_value"))
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
         .orderBy("event_type")
     }),
 
@@ -225,7 +226,7 @@ object StreamingQueries {
         .select(col("user_id"),
           unix_micros(col("session_start")).as("session_start_us"),
           unix_micros(col("session_end")).as("session_end_us"),
-          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+          col("n_events"), col("sum_cents"))
         .orderBy("user_id", "session_start_us")
     }),
 
@@ -474,12 +475,14 @@ object StreamingQueries {
     // the tumbling 1-hour window is epoch-aligned = date_trunc('hour')
     "st_window_counts" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, " +
-        "event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value " +
+        "event_type, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
     // duplicates collapsed ⇒ the totals equal plain batch totals over the
     // ONE copy of the events table
     "st_dedup" ->
-      ("SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value " +
+      ("SELECT event_type, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM events GROUP BY 1 ORDER BY event_type"),
     // gaps-and-islands replay of session_window semantics: a session's
     // end is last-event + gap, so a new session breaks when the gap to
@@ -492,7 +495,8 @@ object StreamingQueries {
         "sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
         "SELECT user_id, epoch_us(min(ts)) AS session_start_us, " +
         "epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us, " +
-        "count(*) AS n_events, round(sum(value), 2) AS sum_value " +
+        "count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM sgrp GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
     // the emitted inner-join matches equal the plain batch join
     "st_join" ->

@@ -16,7 +16,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   /** Tumbling-window counts + value sums per event type. Late events
-    * beyond the watermark are dropped; state is bounded accordingly. */
+    * beyond the watermark are dropped; state is bounded accordingly.
+    * Sums are integer CENTS (per-row round(value*100) then an exact
+    * long sum): integer addition is associative, so the result is
+    * bit-identical across micro-batch slicing, partition order, and
+    * engines — a double sum behind a 2 dp output round was the one
+    * aggregation on the gate whose reassociation error could, at scale,
+    * drift past the rounding mask. Same discipline as the ts_ and w
+    * batch rollups and st_enrich / st_resume. */
   def windowedTypeCounts(
       events: DataFrame,
       watermarkDelay: String = "10 minutes",
@@ -24,10 +31,11 @@ object EventStream {
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLength), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
       .select(
         col("window.start").as("window_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
+        col("event_type"), col("n_events"), col("sum_cents"))
 
   case class UserActivity(user_id: Long, n_events: Long, max_value: Double)
 
@@ -81,11 +89,12 @@ object EventStream {
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
       .select(
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
-        col("user_id"), col("n_events"), col("sum_value"))
+        col("user_id"), col("n_events"), col("sum_cents"))
 
   /** Streaming document curation: the SAME narrow column expressions the
     * batch curation queries use — deterministic hash sampling, token
@@ -154,8 +163,9 @@ object EventStream {
   def windowedTypeCountsBatch(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
     events
       .groupBy(window(col("ts"), windowLength), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
       .select(
         col("window.start").as("window_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
+        col("event_type"), col("n_events"), col("sum_cents"))
 }

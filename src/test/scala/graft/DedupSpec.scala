@@ -188,6 +188,24 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("releaseScratch leaves a live checkpointed result usable") {
+    // the targeted release drops only the operators' plain-persist
+    // scratch; a caller still holding a checkpointed connectedComponents
+    // frame must re-materialize from its final checkpoint, not hard-fail
+    // on missing blocks (the r11 hazard of the old session-barrier form)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val comps = graft.operators.Dedup.connectedComponents(pairs, "a", "b")
+    val before = comps.as[(Long, Long)].collect().toMap
+    Dedup.releaseScratch(spark)
+    val after = comps.as[(Long, Long)].collect().toMap
+    assert(after == before)
+    assert(before ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the barrier variant DOES reclaim the surviving final checkpoint
+    Dedup.releaseAllCaches(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("releaseScratch drops every persisted scratch block") {
     // a near-dup run leaves its collision-bounded frames persisted (the
     // documented lifecycle: scratch must outlive the returned frame) —

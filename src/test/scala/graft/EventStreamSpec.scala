@@ -29,16 +29,16 @@ class EventStreamSpec extends SparkSpec {
       query.processAllAvailable()
 
       val streamed = spark.table("win_counts")
-        .as[(Timestamp, String, Long, Double)].collect().toSet
+        .as[(Timestamp, String, Long, Long)].collect().toSet
       val batch = EventStream.windowedTypeCountsBatch(
         Seq(
           (ts("2026-01-01 10:05:00"), "click", 1.0),
           (ts("2026-01-01 10:40:00"), "click", 2.0),
           (ts("2026-01-01 10:50:00"), "view", 5.0)
         ).toDF("ts", "event_type", "value"))
-        .as[(Timestamp, String, Long, Double)].collect().toSet
+        .as[(Timestamp, String, Long, Long)].collect().toSet
       assert(batch.subsetOf(streamed))
-      assert(streamed.contains((ts("2026-01-01 10:00:00"), "click", 2L, 3.0)))
+      assert(streamed.contains((ts("2026-01-01 10:00:00"), "click", 2L, 300L)))
     } finally query.stop()
   }
 
@@ -109,14 +109,14 @@ class EventStreamSpec extends SparkSpec {
       input.addData((ts("2026-01-01 13:00:00"), 9L, 0.0))
       query.processAllAvailable()
       val streamed = spark.table("sessions")
-        .as[(Timestamp, Timestamp, Long, Long, Double)].collect().toSet
+        .as[(Timestamp, Timestamp, Long, Long, Long)].collect().toSet
       val batch = EventStream.sessionCounts(
         batch1.toDF("ts", "user_id", "value"))
-        .as[(Timestamp, Timestamp, Long, Long, Double)].collect().toSet
+        .as[(Timestamp, Timestamp, Long, Long, Long)].collect().toSet
       assert(batch.subsetOf(streamed))
       // user 1's first session merged two events, closed at 09:40
       assert(streamed.contains(
-        (ts("2026-01-01 09:00:00"), ts("2026-01-01 09:40:00"), 1L, 2L, 3.0)))
+        (ts("2026-01-01 09:00:00"), ts("2026-01-01 09:40:00"), 1L, 2L, 300L)))
       // and the 10:30 event opened a SEPARATE session
       assert(streamed.exists(r => r._3 == 1L && r._1 == ts("2026-01-01 10:30:00")))
     } finally query.stop()
@@ -212,9 +212,9 @@ class EventStreamSpec extends SparkSpec {
     runOnce(ckDir, outDir) // run 2: SAME checkpoint picks up only file b
     runOnce(oneCk, oneDir) // reference: one shot over the whole fixture
     val resumed = spark.read.parquet(outDir)
-      .as[(Timestamp, String, Long, Double)].collect().sorted
+      .as[(Timestamp, String, Long, Long)].collect().sorted
     val oneShot = spark.read.parquet(oneDir)
-      .as[(Timestamp, String, Long, Double)].collect().sorted
+      .as[(Timestamp, String, Long, Long)].collect().sorted
     assert(resumed.nonEmpty)
     // sequence (not set) equality: a double-committed window would show
     // up as a duplicate row here

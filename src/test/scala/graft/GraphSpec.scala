@@ -92,6 +92,32 @@ class GraphSpec extends SparkSpec {
     assert(at2(4L) == 10L)
   }
 
+  test("pageRankScaled at deep iteration counts matches an exact integer replay") {
+    // 20 iterations: per-round lineage truncation keeps each round's plan
+    // a constant-depth step over the previous round's LogicalRDD — before
+    // the truncation landed, round N nested N copies of the join subtree
+    // and analysis time exploded at this depth. Exact integer arithmetic
+    // makes a driver-side replay the oracle.
+    val edgeSeq = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L), (5L, 1L), (5L, 3L))
+    val scale = 1000000000000L
+    val iters = 20
+    val nodes = (edgeSeq.map(_._1) ++ edgeSeq.map(_._2)).distinct.sorted
+    val deg = edgeSeq.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val teleport = 15L * scale / (100L * nodes.size)
+    var ref = nodes.map(_ -> scale / nodes.size).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((a, b) <- edgeSeq) contrib(b) += ref(a) / deg(a)
+      ref = nodes.map(id => id -> (teleport + 85L * contrib(id) / 100L)).toMap
+    }
+    val got = Graph.pageRankScaled(
+      edgeSeq.toDF("src", "dst"), "src", "dst", iters = iters)
+      .as[(Long, Long)].collect().toMap
+    assert(got == ref)
+  }
+
   test("pageRankScaled under the reliable checkpoint strategy is bit-identical") {
     // spark.graft.checkpointDir switches every Checkpointer.truncate from
     // localCheckpoint to reliable checkpoint files; the integer result

@@ -319,4 +319,32 @@ class SimilaritySpec extends SparkSpec {
     assert(combined.except(single).count() == 0 &&
       single.except(combined).count() == 0)
   }
+
+  test("signBlockBits scales the block-key width with the corpus") {
+    import graft.operators.Similarity
+    // smallest b (floor 2, cap 48) with 256 * 2^b >= n
+    assert(Similarity.signBlockBits(0) == 2)
+    assert(Similarity.signBlockBits(256) == 2)
+    assert(Similarity.signBlockBits(500) == 2)
+    assert(Similarity.signBlockBits(2000) == 3)
+    assert(Similarity.signBlockBits(20000) == 7)
+    assert(Similarity.signBlockBits(1L << 40) == 32)
+    assert(Similarity.signBlockBits(Long.MaxValue) == 48)
+    // doubling the corpus adds exactly one bit => bucket count is Ω(n)
+    assert(Similarity.signBlockBits(1 << 20) + 1 ==
+      Similarity.signBlockBits(1 << 21))
+  }
+
+  test("signBitsCol packs per-coordinate signs little-endian") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.0f, -0.5f)),   // bits: 1,0,1,0 -> 5
+      (2L, Seq(-1.0f, 3.0f, -7.0f, 0.25f)))  // bits: 0,1,0,1 -> 10
+      .toDF("id", "v")
+    val got = rows.select(col("id"),
+      Similarity.signBitsCol(col("v"), 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> 10L))
+  }
 }

@@ -52,9 +52,18 @@ def main() -> int:
         print(f"FAILED ({len(failed)}): {', '.join(failed)}")
 
     retried = run.get("retried", {})
+    # Failed queries record near-zero times — exclude them so they cannot
+    # drag the median ratio toward 0 and suppress a real host factor.
     ratios = sorted(gate_q[n] / base_q[n] for n in gate_q
-                    if n in base_q and base_q[n] > 0.3)
-    host = max(1.0, ratios[len(ratios) // 2]) if len(ratios) >= 8 else 1.0
+                    if n in base_q and base_q[n] > 0.3 and n not in failed)
+    host_raw = max(1.0, ratios[len(ratios) // 2]) if len(ratios) >= 8 else 1.0
+    # Capped at 1.5x (mirrors Bench.scala): an engine-wide real regression
+    # would otherwise scale the threshold up with itself and pass clean.
+    host = min(host_raw, 1.5)
+    if host_raw > 1.5:
+        print(f"WARNING: raw host factor {host_raw:.2f}x exceeds the 1.5x cap "
+              "— uniform slowdown across the battery; treat this run as "
+              "suspect, not as host noise.")
     if host > 1.0:
         print(f"HOST FACTOR {host:.2f}x (median min/baseline over >0.3s "
               "queries); regression threshold scaled accordingly")

@@ -1,14 +1,20 @@
 #!/usr/bin/env python3
 """Per-query and per-family scaling ratios between two bench runs.
 
-Usage: python3 tools/scale_ratio.py BENCH_SF01.json BENCH_SF1.json [factor]
+Usage: python3 tools/scale_ratio.py BENCH_SF01.json BENCH_SF1.json [factor] [watch]
 
 `factor` is the data-size ratio between the runs (default 10). Queries
 scaling worse than `1.2 * factor` are flagged SUPER-LINEAR; queries with
 a sub-0.2s small-run median are reported but not flagged (fixed per-query
 session overhead dominates them and the ratio is mostly noise).
+
+`watch` is an optional comma-separated list of query names to always
+print, with their fitted per-query exponent log(ratio)/log(factor) —
+for pinning a specific scale-watch query (e.g. dd_cosine_neardup's
+block-key cardinality fix) regardless of whether it makes the top-15.
 """
 import json
+import math
 import sys
 from collections import defaultdict
 
@@ -52,6 +58,20 @@ def main() -> int:
         print(f"\nSUPER-LINEAR ({len(flagged)} > {1.2 * factor:.0f}x):")
         for ratio, name, s, b in sorted(flagged, reverse=True):
             print(f"  {name}: {s:.3f}s -> {b:.3f}s ({ratio:.1f}x)")
+    watch = [w for w in (sys.argv[4].split(",") if len(sys.argv) > 4 else [])
+             if w]
+    if watch:
+        print("\nwatched queries (fitted exponent = log(ratio)/log(factor)):")
+        for name in watch:
+            if name not in sq or name not in bq:
+                print(f"  {name}: missing from one run")
+                continue
+            s, b = sq[name], bq[name]
+            ratio = b / s if s > 0 else float("inf")
+            exp = math.log(ratio) / math.log(factor) if ratio > 0 else 0.0
+            note = " (sub-0.2s base: overhead-dominated)" if s < 0.2 else ""
+            print(f"  {name:28s} {s:7.3f} -> {b:8.3f}  {ratio:6.2f}x  "
+                  f"exp={exp:5.2f}{note}")
     return 1 if flagged else 0
 
 
