@@ -57,6 +57,25 @@ object GraftFunctions {
         Simhash(children.head, bits)
       }),
     (
+      FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[Tokens].getName, "graft_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_tokens takes exactly 1 argument")
+        Tokens(children.head)
+      }),
+    (
+      FunctionIdentifier("graft_all_shingles"),
+      new ExpressionInfo(classOf[AllShingles].getName, "graft_all_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_all_shingles takes (words, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_all_shingles: k must be an integer literal")
+        }
+        AllShingles(children.head, k)
+      }),
+    (
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomMightContain].getName,
         "graft_bloom_contains"),

@@ -77,6 +77,41 @@ object TextKernels {
     sig
   }
 
+  /** Tokenize as an ArrayData for the [[Tokens]] expression: same
+    * `Dedup.tokenize` kernel the minhash/simhash paths use (so every
+    * token consumer in the engine — and the SQL oracle — agrees on word
+    * boundaries), materialized once per row inside codegen. */
+  def tokens(text: UTF8String): ArrayData = {
+    val str = if (text == null) "" else text.toString
+    ArrayData.toArrayData(Dedup.tokenize(str).map(UTF8String.fromString))
+  }
+
+  /** All k-shingles in order (non-distinct) for the [[AllShingles]]
+    * expression: space-joined k-windows, `[]` when the doc is shorter
+    * than k — byte-identical to the composable
+    * `transform(sequence(...), concat_ws(slice(...)))` form it replaces
+    * (that form evaluates its lambda interpreted, per window). */
+  def allShingles(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < k) ArrayData.toArrayData(Array.empty[UTF8String])
+    else {
+      val out = new Array[UTF8String](n - k + 1)
+      var i = 0
+      while (i <= n - k) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words.getUTF8String(i + j).toString)
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+  }
+
   /** Returns null when the doc has no k-shingles (dropped by callers) —
     * matching the RDD path's flatMap-None semantics. */
   def shingleBands(text: UTF8String, k: Int, numHashes: Int): InternalRow = {
@@ -149,6 +184,59 @@ case class Simhash(child: Expression, bits: Int) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): Simhash =
+    copy(child = newChild)
+}
+
+/** Native tokenizer expression: `text → array<string>` with the engine's
+  * single word-boundary contract (`Dedup.tokenize`). Exists because the
+  * composable `filter(split(regexp_replace(lower(text), ...)))` form
+  * runs two regex passes plus an INTERPRETED filter lambda per row — the
+  * text-analysis family calls it at least once per query, so its
+  * constant factor is the family's dominant CPU line at scale. This
+  * evaluates in whole-stage codegen via one static call, with an ASCII
+  * char-scan fast path in the kernel (regex only for rows with
+  * non-ASCII bytes, where regex semantics are authoritative). */
+case class Tokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_tokens requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.tokens(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Tokens =
+    copy(child = newChild)
+}
+
+/** Native all-k-shingles expression over a token array (non-distinct,
+  * in order; `[]` below k tokens) — replaces an interpreted
+  * per-window `transform` lambda in the shingle-based analyses. */
+case class AllShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle width must be >= 1: $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_all_shingles requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.allShingles(t.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextKernels.allShingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): AllShingles =
     copy(child = newChild)
 }
 

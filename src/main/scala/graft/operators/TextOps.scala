@@ -19,11 +19,24 @@ object TextOps {
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "in", "to", "is")
 
-  /** Lowercase word tokens; punctuation folds to whitespace. */
-  def tokens(text: Column): Column =
-    filter(
-      split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +"),
-      w => w =!= "")
+  /** Idempotently install graft's native expressions on the active
+    * session so the Column builders below can reference them. Column
+    * construction always happens driver-side with a live session; if
+    * somehow none is active, the caller's analysis will name the missing
+    * function explicitly. */
+  private def registered(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.expressions.GraftFunctions.register)
+
+  /** Lowercase word tokens; punctuation folds to whitespace. Native
+    * codegen kernel ([[graft.expressions.Tokens]]) — one char-scan pass
+    * per row instead of two regex passes plus an interpreted filter
+    * lambda; word boundaries are bit-identical (same `Dedup.tokenize`
+    * the minhash/simhash kernels and the SQL oracle replay). */
+  def tokens(text: Column): Column = {
+    registered()
+    call_function("graft_tokens", text)
+  }
 
   /** BPE-ish regex tokens: alpha runs and digit runs separately. */
   def regexTokens(text: Column): Column =
@@ -49,12 +62,14 @@ object TextOps {
   }
 
   /** Non-distinct k-word shingles — frequencies matter here, unlike
-    * [[shingles]]: repetition scoring needs every occurrence. */
-  def allShingles(words: Column, k: Int): Column =
-    when(size(words) < k, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(words) - (k - 1)),
-        i => concat_ws(" ", slice(words, i, lit(k)))))
+    * [[shingles]]: repetition scoring needs every occurrence. Native
+    * kernel ([[graft.expressions.AllShingles]]): the composable
+    * `transform(sequence(...), concat_ws(slice(...)))` form evaluated
+    * its lambda interpreted, once per window. */
+  def allShingles(words: Column, k: Int): Column = {
+    registered()
+    call_function("graft_all_shingles", words, lit(k))
+  }
 
   /** PII patterns kept to syntax BOTH Java regex and RE2 (the oracle's
     * engine) interpret identically — char classes, +, bounded repeats. */

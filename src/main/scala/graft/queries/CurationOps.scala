@@ -310,12 +310,16 @@ object CurationOps {
       val toks = documents(s, d)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.select("doc_id", "token").distinct()
-        .groupBy("token").agg(count(lit(1)).as("df"))
+      // df over a WINDOW on the tf table: tf already holds exactly one
+      // row per (doc, token), so count(*) per token IS the distinct-doc
+      // count — one tokenize pass and two keyed shuffles total, where
+      // the join-against-a-second-aggregate form re-executed the whole
+      // tokenize+tf chain for the df branch (2x the corpus work).
+      val wd = Window.partitionBy("token")
       val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score_q6").desc, col("token").asc)
-      tf.join(dfreq, "token")
+      tf.withColumn("df", count(lit(1)).over(wd))
         .crossJoin(broadcast(nDocs))
         .withColumn("score_q6", round(col("tf") * col("n_docs") / col("df"), 6))
         .withColumn("rank", row_number().over(w))
@@ -338,14 +342,27 @@ object CurationOps {
       val qTerms = Seq("window", "hash", "stream")
       val toks = documents(s, d)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // ONE tokenize pass: per-doc length and the |query| per-term counts
+      // come out of a single (doc) aggregate — the separate dl / tf /
+      // dfreq aggregates each re-executed the corpus tokenize (4 passes).
+      // perDoc is one narrow row per document; registered scratch, read
+      // by the stats aggregate, the tf unpivot, and the score join.
+      val perDoc = Dedup.scratchPersist(
+        toks.groupBy("doc_id").agg(
+          count(lit(1)).as("dl"),
+          qTerms.map(t =>
+            sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*))
+      val dl = perDoc.select("doc_id", "dl")
       // integer-valued doubles sum exactly below 2^53 → avgdl is
       // reduction-order-independent
-      val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-      val qtoks = toks.filter(col("token").isin(qTerms: _*))
-      val tf = qtoks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfreq = qtoks.select("doc_id", "token").distinct()
-        .groupBy("token").agg(count(lit(1)).as("df"))
+      val stats = perDoc.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      // unpivot the fixed query terms back to (doc, token, tf) rows;
+      // tf = 0 rows drop, matching the aggregate-over-matches form
+      val tf = perDoc.select(col("doc_id"), explode(map(
+        qTerms.flatMap(t => Seq(lit(t), col(s"tf_$t"))): _*))
+        .as(Seq("token", "tf")))
+        .filter(col("tf") > 0)
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val term = tf.join(broadcast(dfreq), "token")
         .join(dl, "doc_id").crossJoin(broadcast(stats))
         .withColumn("idf",
@@ -397,12 +414,19 @@ object CurationOps {
       val W = 8
       val toks = documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      val wins = toks.filter(size(col("ws")) >= W)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(ws) - ${W - 1}), " +
-            s"i -> struct(i AS s, md5(concat_ws(' ', slice(ws, i, $W))) AS fp))"))
-          .as("p"))
-        .select(col("doc_id"), col("p.s").as("s"), col("p.fp").as("fp"))
+      // the window-fingerprint table feeds BOTH the dup-count aggregate
+      // and the coverage semi-join — un-persisted, each consumer re-ran
+      // the tokenize + per-window md5 kernel over the corpus (the
+      // query's dominant CPU). Registered scratch (MEMORY_AND_DISK):
+      // O(n_tokens) narrow rows, the same order of bytes a shuffle of it
+      // spills anyway, released by releaseScratch at the pipeline
+      // boundary. The windows ride the native shingle kernel; md5 runs
+      // per emitted window either way.
+      val wins = Dedup.scratchPersist(
+        toks.filter(size(col("ws")) >= W)
+          .select(col("doc_id"),
+            posexplode(TextOps.allShingles(col("ws"), W)).as(Seq("i0", "sh")))
+          .select(col("doc_id"), (col("i0") + 1).as("s"), md5(col("sh")).as("fp")))
       val dups = wins.groupBy("fp").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select("fp")
       val covered = wins.join(dups, Seq("fp"), "left_semi")
@@ -439,15 +463,22 @@ object CurationOps {
     "ta_pmi" -> ((s, d) => {
       val toks = documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      val uni = toks.select(explode(col("ws")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c1"))
-      val bi = toks.filter(size(col("ws")) > 1)
-        .select(explode(expr(
-          "transform(slice(ws, 1, size(ws) - 1), " +
-            "(w, i) -> struct(w AS x, element_at(ws, i + 2) AS y))")).as("p"))
-        .select(col("p.x").as("x"), col("p.y").as("y"))
-        .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
-        .filter(col("cxy") >= 5)
+      // uni and bi are vocabulary-bounded aggregates each read 2-3 times
+      // below (two broadcast sides + the scalar totals) — un-persisted,
+      // every read re-ran the corpus tokenize pass (5 executions total);
+      // registered scratch cuts that to the two aggregate builds. The
+      // bigram pass rides the native shingle kernel (tokens contain no
+      // spaces, so the split_part round-trip is exact).
+      val uni = Dedup.scratchPersist(
+        toks.select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1")))
+      val bi = Dedup.scratchPersist(
+        toks.filter(size(col("ws")) > 1)
+          .select(explode(TextOps.allShingles(col("ws"), 2)).as("g"))
+          .select(split_part(col("g"), lit(" "), lit(1)).as("x"),
+            split_part(col("g"), lit(" "), lit(2)).as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+          .filter(col("cxy") >= 5))
       val totals = uni.agg(sum("c1").as("n1")).crossJoin(
         bi.agg(sum("cxy").as("n2")))
       bi.join(broadcast(uni.select(col("w").as("x"), col("c1").as("cx"))), "x")
