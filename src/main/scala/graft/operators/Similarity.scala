@@ -221,12 +221,13 @@ object Similarity {
     require(cb.nonEmpty,
       s"trainCodebook: empty initial codebook — training set has no rows")
     for (_ <- 0 until iters) {
-      val ranked = sort_array(array(cb.map { case (cid, vec, nrm) =>
+      // argmax via array_min (no sort): see cellTop1Col
+      val top1 = array_min(array(cb.map { case (cid, vec, nrm) =>
         val sim = dot(col("__vd"), typedlit(vec)) / (col("__norm") * lit(nrm))
         struct((-sim).as("negsim"), lit(cid).as("cent_id"))
       }.toSeq: _*))
       val assigned = base
-        .withColumn("cent_id", element_at(ranked, 1).getField("cent_id"))
+        .withColumn("cent_id", top1.getField("cent_id"))
       val sums = assigned
         .select(col("cent_id"), posexplode(col("__vd")).as(Seq("pos", "x")))
         .groupBy("cent_id", "pos")
@@ -281,12 +282,24 @@ object Similarity {
     * ascending (= cosine desc, ties cent_id asc — the exact ordering the
     * oracle's row_number replays). A narrow per-row expression over the
     * broadcast-literal codebook — cell assignment never shuffles. */
-  private def cellsRankedCol(codebook: Array[(Long, Seq[Double], Double)]): Column =
-    sort_array(array(codebook.map {
+  private def cellStructs(codebook: Array[(Long, Seq[Double], Double)]): Array[Column] =
+    codebook.map {
       case (cid, vec, nrm) =>
         val sim = dot(col("__vd"), typedlit(vec)) / (col("__norm") * lit(nrm))
         struct((-sim).as("negsim"), lit(cid).as("cent_id"))
-    }: _*))
+    }
+
+  private def cellsRankedCol(codebook: Array[(Long, Seq[Double], Double)]): Column =
+    sort_array(array(cellStructs(codebook): _*))
+
+  /** Top-1 cell struct WITHOUT the sort: `array_min` of the same structs
+    * is the lexicographic minimum — bit-identical to
+    * `element_at(sort_array(...), 1)` (an ascending sort's head IS the
+    * min; same (negsim, cent_id) tie order) but O(k) per row instead of
+    * O(k log k), which matters once the codebook scales with the corpus
+    * (k = ⌈n/128⌉ — hundreds of cells at sf1+). */
+  private def cellTop1Col(codebook: Array[(Long, Seq[Double], Double)]): Column =
+    array_min(array(cellStructs(codebook): _*))
 
   def ivfTopK(
       emb: DataFrame, idCol: String, vecCol: String,
@@ -300,6 +313,12 @@ object Similarity {
       df.withColumn("__cand", explode(slice(cellsRanked, 1, keep)))
         .withColumn("cent_id", col("__cand.cent_id"))
         .drop("__cand")
+    // docs side keeps the keep=1 Generate BARRIER (not an inlined
+    // cellTop1Col): without it CollapseProject re-evaluates the argmax in
+    // the pushed isnotnull filter and the join key — measured 1.4-2x on
+    // sim_topk_ivf*. The sort is trivial at the fixed 16 cells here; the
+    // corpus-scaled callers (knnGraph, semanticClustered, writeIvfIndex)
+    // use cellTop1Col because an exchange/write barrier follows anyway.
     val assigned = cellAssign(base, 1)
       .select(col(idCol), col("cent_id"), col("__vd"), col("__norm"))
     val probes = cellAssign(base.filter(probePred), nprobe).select(
@@ -321,7 +340,9 @@ object Similarity {
     * bound), one per-item top-k window. Same determinism contract as
     * the probe paths: scores round to 6dp BEFORE ranking, ties break
     * id asc. Items alone in their cell emit no edges (by design — raise
-    * `centroids` resolution or multi-probe to densify). */
+    * `centroids` resolution or multi-probe to densify). Callers should
+    * scale `centroids` with the corpus (~n/128, as `sim_knn_graph` does):
+    * a fixed count makes cell size ∝ n and the self-join quadratic. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, centroids: Int = 16): DataFrame = {
     val base = withNorm(emb, vecCol)
@@ -332,8 +353,7 @@ object Similarity {
     // exchange (ReusedExchange), so the 16-dot broadcast-literal argmax
     // runs once per input row instead of being duplicated into each side.
     val assigned = base
-      .withColumn("cent_id",
-        element_at(cellsRankedCol(codebook), 1).getField("cent_id"))
+      .withColumn("cent_id", cellTop1Col(codebook).getField("cent_id"))
       .select(col(idCol), col("cent_id"), col("__vd"), col("__norm"))
       .repartition(col("cent_id"))
     val nbrs = assigned.select(col("cent_id"), col(idCol).as("vec_id_n"),
@@ -416,10 +436,10 @@ object Similarity {
       var cb = init(s)
       require(cb.nonEmpty, s"trainSubCodebooks: empty seed for subspace $s")
       for (_ <- 0 until iters) {
-        val codeCol = element_at(sort_array(array(cb.map { case (j, vec, nrm2) =>
+        val codeCol = array_min(array(cb.map { case (j, vec, nrm2) =>
           struct((lit(nrm2) - lit(2.0) * dot(pqSliceCol(s, width), typedlit(vec))).as("d2"),
             lit(j).as("cid"))
-        }.toSeq: _*)), 1).getField("cid")
+        }.toSeq: _*)).getField("cid")
         val sums = base
           .select(codeCol.as("cid"), posexplode(pqSliceCol(s, width)).as(Seq("pos", "x")))
           .groupBy("cid", "pos")
@@ -441,10 +461,10 @@ object Similarity {
     * centroid id asc — narrow, oracle-replayable. */
   private def pqCodeCol(
       cb: Array[Array[(Int, Seq[Double], Double)]], s: Int, width: Int): Column =
-    element_at(sort_array(array(cb(s).map { case (j, vec, nrm2) =>
+    array_min(array(cb(s).map { case (j, vec, nrm2) =>
       struct((lit(nrm2) - lit(2.0) * dot(pqSliceCol(s, width), typedlit(vec))).as("d2"),
         lit(j).as("cid"))
-    }.toSeq: _*)), 1).getField("cid")
+    }.toSeq: _*)).getField("cid")
 
   /** Per-probe LUT for subspace `s`: the probe's exact slice dotted with
     * each sub-centroid — `cents` doubles, built once per probe row. */
@@ -541,7 +561,7 @@ object Similarity {
     // PQ codes per doc (same CollapseProject hazard as pqTopK's encode)
     val encoded = base
       .select(col(idCol), explode(array(struct(
-        (element_at(cellsRanked, 1).getField("cent_id").as("cent_id") +:
+        (cellTop1Col(codebook).getField("cent_id").as("cent_id") +:
           (0 until subspaces).map(s => pqCodeCol(cb, s, width).as(s"code$s"))): _*))).as("__c"))
       .select((col(idCol) +: col("__c.cent_id").as("cent_id") +:
         (0 until subspaces).map(s => col("__c").getField(s"code$s").as(s"code$s"))): _*)
@@ -640,7 +660,7 @@ object Similarity {
     require(codebook.nonEmpty, "writeIvfIndex: empty codebook")
     withNorm(emb, vecCol)
       .withColumn("cent_id",
-        element_at(cellsRankedCol(codebook), 1).getField("cent_id").cast("int"))
+        cellTop1Col(codebook).getField("cent_id").cast("int"))
       .select(col(idCol), col("__vd"), col("__norm"), col("cent_id"))
       .write.mode(mode).partitionBy("cent_id").parquet(indexPath)
   }
@@ -725,8 +745,7 @@ object Similarity {
       codebook: Array[(Long, Seq[Double], Double)]): DataFrame = {
     require(codebook.nonEmpty, "semanticClustered: empty codebook")
     withNorm(emb, vecCol)
-      .withColumn("__cell",
-        element_at(cellsRankedCol(codebook), 1).getField("cent_id"))
+      .withColumn("__cell", cellTop1Col(codebook).getField("cent_id"))
       .select(col(idCol), col(vecCol), col("__cell"))
   }
 

@@ -200,10 +200,18 @@ object LlmOps {
 
     // k-NN GRAPH over ALL items (not a probe set), IVF-cell-blocked —
     // the SemDeDup / graph-curation precursor. Never all-pairs: items
-    // pair only within their cell.
-    "sim_knn_graph" -> ((s, d) =>
-      Similarity.knnGraph(embeddings(s, d), "vec_id", "embedding", k = 3)
-        .orderBy("vec_id", "rank")),
+    // pair only within their cell. Cell count scales with the corpus
+    // (~128 items/cell, same law as semanticCodebook) so the within-cell
+    // self-join stays linear in n — a fixed 16 went quadratic at sf3
+    // (13.8 s → 104.5 s for 3× data). Equals the oracle's fixed 16 at
+    // all oracle scales (n ≤ 2048); the count is a parquet metadata read.
+    "sim_knn_graph" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cells = math.max(16, math.ceil(emb.count() / 128.0).toInt)
+      Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+          centroids = cells)
+        .orderBy("vec_id", "rank")
+    }),
 
     // IVF with a TRAINED codebook: 2 Lloyd iterations in DataFrame ops
     // (deterministic first-16 init, fixed-point centroid means — exact
