@@ -221,11 +221,9 @@ object Similarity {
     require(cb.nonEmpty,
       s"trainCodebook: empty initial codebook — training set has no rows")
     for (_ <- 0 until iters) {
-      // argmax via array_min (no sort): see cellTop1Col
-      val top1 = array_min(array(cb.map { case (cid, vec, nrm) =>
-        val sim = dot(col("__vd"), typedlit(vec)) / (col("__norm") * lit(nrm))
-        struct((-sim).as("negsim"), lit(cid).as("cent_id"))
-      }.toSeq: _*))
+      // pruned single-expression argmax — bit-identical to the array_min
+      // tree (see cellTop1Col); rebuilt per iteration from the evolving cb
+      val top1 = cellTop1Col(cb)
       val assigned = base
         .withColumn("cent_id", top1.getField("cent_id"))
       val sums = assigned
@@ -292,14 +290,23 @@ object Similarity {
   private def cellsRankedCol(codebook: Array[(Long, Seq[Double], Double)]): Column =
     sort_array(array(cellStructs(codebook): _*))
 
-  /** Top-1 cell struct WITHOUT the sort: `array_min` of the same structs
-    * is the lexicographic minimum — bit-identical to
-    * `element_at(sort_array(...), 1)` (an ascending sort's head IS the
-    * min; same (negsim, cent_id) tie order) but O(k) per row instead of
-    * O(k log k), which matters once the codebook scales with the corpus
-    * (k = ⌈n/128⌉ — hundreds of cells at sf1+). */
-  private def cellTop1Col(codebook: Array[(Long, Seq[Double], Double)]): Column =
-    array_min(array(cellStructs(codebook): _*))
+  /** Top-1 cell struct via [[graft.expressions.IvfTop1]] — bit-identical
+    * to `array_min` over [[cellStructs]] (same dot fold, same norm
+    * product, same nan-safe (negsim, cent_id) ordering; pinned by
+    * SimilaritySpec), but ONE expression holding the codebook as a
+    * serialized primitive-array artifact instead of k literal subtrees:
+    * plan and codegen size are O(1) in k, the scan is a tight primitive
+    * loop, and with k ≥ 32 cells a driver-computed √k grouping prunes
+    * whole groups by a Cauchy-Schwarz bound — typical per-row work drops
+    * from k·dims to ~(√k + k/√k)·dims, which is what keeps the
+    * corpus-scaled codebooks (k = ⌈n/128⌉) from fitting a quadratic
+    * n·k assignment term on the scale ladder. */
+  private def cellTop1Col(codebook: Array[(Long, Seq[Double], Double)]): Column = {
+    val idx = graft.expressions.IvfPrunedIndex.build(codebook)
+    call_function("graft_ivf_top1",
+      lit(graft.expressions.IvfPrunedIndex.serialize(idx)),
+      col("__vd"), col("__norm"))
+  }
 
   def ivfTopK(
       emb: DataFrame, idCol: String, vecCol: String,

@@ -1,0 +1,122 @@
+package graft
+
+import graft.expressions.IvfPrunedIndex
+import graft.operators.Similarity
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pins [[graft.expressions.IvfTop1]] bit-exactly to the `array_min`
+  * expression-tree formulation it replaced: same dot fold, same norm
+  * product order, same nan-safe (negsim, cent_id) struct ordering —
+  * on clustered data (pruning active), adversarial ties, NaN norms, and
+  * ragged row lengths (flat-fallback path). */
+class IvfTop1Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** The formulation cellTop1Col used before: one struct per cell. */
+  private def arrayMinTop1(cb: Array[(Long, Seq[Double], Double)]): Column =
+    array_min(array(cb.map { case (cid, vec, nrm) =>
+      val sim = call_function("graft_dot", col("__vd"), typedlit(vec)) /
+        (col("__norm") * lit(nrm))
+      struct((-sim).as("negsim"), lit(cid).as("cent_id"))
+    }.toIndexedSeq: _*))
+
+  private def prunedTop1(cb: Array[(Long, Seq[Double], Double)]): Column =
+    call_function("graft_ivf_top1",
+      lit(IvfPrunedIndex.serialize(IvfPrunedIndex.build(cb))),
+      col("__vd"), col("__norm"))
+
+  private def assertBitIdentical(
+      df: org.apache.spark.sql.DataFrame,
+      cb: Array[(Long, Seq[Double], Double)]): Unit = {
+    val rows = Similarity.withNorm(df, "embedding")
+      .select(col("vec_id"),
+        arrayMinTop1(cb).as("e"), prunedTop1(cb).as("a"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getStruct(1); val a = r.getStruct(2)
+      assert(e.getLong(1) == a.getLong(1),
+        s"cent_id mismatch for vec ${r.getLong(0)}: " +
+          s"expected ${e.getLong(1)}, got ${a.getLong(1)}")
+      assert(java.lang.Double.doubleToLongBits(e.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(a.getDouble(0)),
+        s"negsim bits mismatch for vec ${r.getLong(0)}: " +
+          s"${e.getDouble(0)} vs ${a.getDouble(0)}")
+    }
+  }
+
+  /** 300 vectors in 12 well-separated clusters + noise — the shape the
+    * pruning groups are built for; codebook of 48 cells (> the 32-cell
+    * grouping threshold, so the bound path is exercised). */
+  private def clustered = {
+    val centers = Array.tabulate(12) { c =>
+      Array.tabulate(64)(i => math.sin(c * 977 + i * 13).toFloat * 10f)
+    }
+    (0L until 300L).map { id =>
+      val c = centers((id % 12).toInt)
+      val v = Array.tabulate(64) { i =>
+        c(i) + (math.sin(id * 64 + i) * 0.3).toFloat
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("pruned top-1 is bit-identical to the array_min tree (grouped path)") {
+    val cb = Similarity.coarseCodebookOf(clustered, "vec_id", "embedding", 48)
+    assert(cb.length == 48)
+    assertBitIdentical(clustered, cb)
+  }
+
+  test("pruned top-1 is bit-identical on a small codebook (flat path)") {
+    val cb = Similarity.coarseCodebookOf(clustered, "vec_id", "embedding", 7)
+    assertBitIdentical(clustered, cb)
+  }
+
+  test("duplicate-centroid ties break cent_id-asc, same as array_min") {
+    // 40 cells where 9 and 31 are IDENTICAL — whichever group each lands
+    // in, a probe equal to them must come back as cent_id 9
+    val cb0 = Similarity.coarseCodebookOf(clustered, "vec_id", "embedding", 40)
+    val cb = cb0.map { case t @ (cid, _, _) =>
+      if (cid == 31L) (31L, cb0(9)._2, cb0(9)._3) else t
+    }
+    val probes = Seq((9000L, cb0(9)._2.map(_.toFloat).toArray))
+      .toDF("vec_id", "embedding")
+    assertBitIdentical(probes, cb)
+    val got = Similarity.withNorm(probes, "embedding")
+      .select(prunedTop1(cb).getField("cent_id")).head().getLong(0)
+    assert(got == 9L)
+  }
+
+  test("zero-norm probe degrades to all-NaN sims and the lowest cent_id") {
+    // The array_min tree cannot even evaluate this row under ANSI mode
+    // (Divide raises DIVIDE_BY_ZERO); the expression keeps the non-ANSI
+    // fold semantics — 0/0 = NaN for every cell, nan-safe ordering ties
+    // them all, lowest cent_id wins — so degenerate vectors degrade
+    // deterministically instead of failing the job.
+    val cb = Similarity.coarseCodebookOf(clustered, "vec_id", "embedding", 40)
+    val probes = Seq((9001L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.withNorm(probes, "embedding")
+      .select(prunedTop1(cb).as("t")).head().getStruct(0)
+    assert(got.getLong(1) == cb.map(_._1).min)
+    assert(java.lang.Double.isNaN(got.getDouble(0)))
+  }
+
+  test("ragged row lengths fall back to the exact flat scan") {
+    val cb = Similarity.coarseCodebookOf(clustered, "vec_id", "embedding", 40)
+    val probes = Seq(
+      (9002L, Array.tabulate(32)(i => math.sin(i).toFloat)),   // short
+      (9003L, Array.tabulate(80)(i => math.cos(i).toFloat)))   // long
+      .toDF("vec_id", "embedding")
+    assertBitIdentical(probes, cb)
+  }
+
+  test("index survives a serialize/deserialize round-trip") {
+    val cb = Similarity.coarseCodebookOf(clustered, "vec_id", "embedding", 48)
+    val idx = IvfPrunedIndex.build(cb)
+    val back = IvfPrunedIndex.deserialize(IvfPrunedIndex.serialize(idx))
+    assert(back.dims == idx.dims)
+    assert(back.cellCid.sameElements(idx.cellCid))
+    assert(back.groupR.sameElements(idx.groupR))
+  }
+}
