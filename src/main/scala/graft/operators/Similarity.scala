@@ -110,6 +110,21 @@ object Similarity {
     math.max(2, b)
   }
 
+  /** Corpus-scaled LSH PLANE count: the smallest plane count (floored at
+    * `minPlanes`) whose 2^planes buckets keep the expected bucket size
+    * ≈ `target` — [[signBlockBits]]'s law applied to [[lshTopK]]'s
+    * hyperplane tables. A FIXED plane count makes bucket occupancy (and
+    * so per-probe candidate mass) linear in n — the measured e≈1.05 term
+    * on sim_topk_lsh's ladder segment; one extra plane per corpus
+    * doubling keeps candidates bounded. Recall per table decays with
+    * planes (the standard LSH trade); the multi-table union is the
+    * repair — callers scaling planes should run ≥4 tables. Identical to
+    * the fixed 8 at oracle scales (target·2^8 ≥ n for n ≤ 16384 at the
+    * default target), so oracles replaying the 8-plane matrices are
+    * untouched. */
+  def lshPlanes(n: Long, target: Long = 64L, minPlanes: Int = 8): Int =
+    math.max(minPlanes, signBlockBits(n, target))
+
   /** Axis-aligned sign-LSH block key: bit i is set iff coordinate i+1 is
     * ≥ 0 — [[hyperplaneSigns]] with identity planes, cheap enough to be
     * a pure projection (no dot products). For zero-centered embeddings
@@ -293,7 +308,7 @@ object Similarity {
   /** Top-1 cell struct via [[graft.expressions.IvfTop1]] — bit-identical
     * to `array_min` over [[cellStructs]] (same dot fold, same norm
     * product, same nan-safe (negsim, cent_id) ordering; pinned by
-    * SimilaritySpec), but ONE expression holding the codebook as a
+    * IvfTop1Spec), but ONE expression holding the codebook as a
     * serialized primitive-array artifact instead of k literal subtrees:
     * plan and codegen size are O(1) in k, the scan is a tight primitive
     * loop, and with k ≥ 32 cells a driver-computed √k grouping prunes

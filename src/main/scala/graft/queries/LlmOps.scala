@@ -183,11 +183,19 @@ object LlmOps {
     // are embedded in the oracle SQL as literals, so DuckDB replays the
     // exact same signature derivations (same left-fold projection order).
     // Recall vs brute force is additionally unit-tested in SimilaritySpec.
-    "sim_topk_lsh" -> ((s, d) =>
+    // Plane count follows the corpus (one extra plane per doubling past
+    // 16k vectors, same law family as the kNN cell count) so per-probe
+    // candidate mass stays ~bounded instead of linear in n; identical to
+    // the fixed 8 planes at oracle scales, so the embedded 8-plane
+    // oracle matrices replay unchanged.
+    "sim_topk_lsh" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val planes = Similarity.lshPlanes(emb.count())
       Similarity.lshTopK(
-        embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5,
-        planes = 8, dims = 64, tables = 4)
-        .orderBy("probe_id", "rank")),
+        emb, "vec_id", "embedding", col("vec_id") < 10, 5,
+        planes = planes, dims = 64, tables = 4)
+        .orderBy("probe_id", "rank")
+    }),
 
     // IVF-cell approximate top-5 — the inverted-file scale path. Oracle-
     // checked: the deterministic codebook (first 16 vectors) and ranked

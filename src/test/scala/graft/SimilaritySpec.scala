@@ -335,6 +335,19 @@ class SimilaritySpec extends SparkSpec {
       Similarity.signBlockBits(1 << 21))
   }
 
+  test("lshPlanes holds the 8-plane floor at oracle scales, then scales") {
+    import graft.operators.Similarity
+    // floor: every oracle-checked scale (n <= 16384 at target 64) is 8
+    assert(Similarity.lshPlanes(0) == 8)
+    assert(Similarity.lshPlanes(200) == 8)     // sf0.01 (the oracle gate)
+    assert(Similarity.lshPlanes(2000) == 8)    // sf0.1 (bench baseline)
+    assert(Similarity.lshPlanes(16384) == 8)
+    // past the floor: one plane per corpus doubling => bounded buckets
+    assert(Similarity.lshPlanes(20000) == 9)   // sf1 ladder point
+    assert(Similarity.lshPlanes(60000) == 10)  // sf3 ladder point
+    assert(Similarity.lshPlanes(1 << 20) + 1 == Similarity.lshPlanes(1 << 21))
+  }
+
   test("signBitsCol packs per-coordinate signs little-endian") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions.col
