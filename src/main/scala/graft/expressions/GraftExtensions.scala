@@ -84,6 +84,20 @@ object GraftFunctions {
         IvfTop1(children.head, children(1), children(2))
       }),
     (
+      FunctionIdentifier("graft_lsh_sigs"),
+      new ExpressionInfo(classOf[LshSigs].getName, "graft_lsh_sigs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_lsh_sigs takes (model, vec)")
+        LshSigs(children.head, children(1))
+      }),
+    (
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_pq_encode takes (model, vec)")
+        PqEncode(children.head, children(1))
+      }),
+    (
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomMightContain].getName,
         "graft_bloom_contains"),

@@ -168,14 +168,26 @@ object Similarity {
       probePred: Column, k: Int, planes: Int = 8, dims: Int = 0,
       tables: Int = 1): DataFrame = {
     val d = math.max(1, if (dims > 0) dims else embeddingDims(emb, vecCol))
-    val sigCols = Array.tabulate(tables)(t =>
-      lshSignature(col(vecCol), hyperplaneSigns(planes, d, t)))
+    // ALL tables' signatures in one fused pass over the vector (the
+    // per-table/per-plane graft_dot tree costs tables·planes separate
+    // array walks per row — the dominant term once lshPlanes scales the
+    // plane count with the corpus); bit-identical to summing the
+    // per-plane when(dot >= 0) bits, pinned in VecEncodeSpec
+    val signsFlat = new Array[Double](tables * planes * d)
+    for (t <- 0 until tables) {
+      val m = hyperplaneSigns(planes, d, t)
+      for (p <- 0 until planes)
+        System.arraycopy(m(p), 0, signsFlat, (t * planes + p) * d, d)
+    }
+    val model = new graft.expressions.LshPlanesModel(tables, planes, d, signsFlat)
+    val sigsCol = call_function("graft_lsh_sigs",
+      lit(graft.expressions.LshPlanesModel.serialize(model)), col("__vd"))
     val base = withNorm(emb, vecCol)
     // probePred is applied on the FULL-column frame, so it may reference
     // any metadata column of emb, not just the id/vector
     def banded(df: DataFrame): DataFrame = df.select(
       col(idCol), col("__vd"), col("__norm"),
-      posexplode(array(sigCols.toSeq: _*)).as(Seq("__tbl", "__sig")))
+      posexplode(sigsCol).as(Seq("__tbl", "__sig")))
     val docs = banded(base)
     val probes = banded(base.filter(probePred)).select(
       col(idCol).as("probe_id"), col("__vd").as("__pd"),
@@ -458,10 +470,10 @@ object Similarity {
       var cb = init(s)
       require(cb.nonEmpty, s"trainSubCodebooks: empty seed for subspace $s")
       for (_ <- 0 until iters) {
-        val codeCol = array_min(array(cb.map { case (j, vec, nrm2) =>
-          struct((lit(nrm2) - lit(2.0) * dot(pqSliceCol(s, width), typedlit(vec))).as("d2"),
-            lit(j).as("cid"))
-        }.toSeq: _*)).getField("cid")
+        // fused single-subspace encode of the EVOLVING codebook (explicit
+        // slice offset s·width; rebuilt per iteration — the model is tiny)
+        val codeCol = element_at(
+          pqEncodeCol(Array(cb), width, Some(Array(s * width))), 1)
         val sums = base
           .select(codeCol.as("cid"), posexplode(pqSliceCol(s, width)).as(Seq("pos", "x")))
           .groupBy("cid", "pos")
@@ -479,14 +491,20 @@ object Similarity {
     }
   }
 
-  /** Per-doc PQ code for subspace `s`: nearest sub-centroid by L2, ties
-    * centroid id asc — narrow, oracle-replayable. */
-  private def pqCodeCol(
-      cb: Array[Array[(Int, Seq[Double], Double)]], s: Int, width: Int): Column =
-    array_min(array(cb(s).map { case (j, vec, nrm2) =>
-      struct((lit(nrm2) - lit(2.0) * dot(pqSliceCol(s, width), typedlit(vec))).as("d2"),
-        lit(j).as("cid"))
-    }.toSeq: _*)).getField("cid")
+  /** Per-doc PQ codes for EVERY subspace in one fused kernel
+    * ([[graft.expressions.PqEncode]]) — nearest sub-centroid by L2 via
+    * ‖c‖²−2⟨x,c⟩, ties centroid id asc, bit-identical to the former
+    * per-subspace `array_min(array(struct(d2, cid)…))` trees (pinned in
+    * VecEncodeSpec) but one pass over the vector instead of
+    * subspaces × cents literal subtrees per row. */
+  private def pqEncodeCol(
+      cb: Array[Array[(Int, Seq[Double], Double)]], width: Int,
+      starts: Option[Array[Int]] = None): Column = {
+    val st = starts.getOrElse(Array.tabulate(cb.length)(_ * width))
+    val model = graft.expressions.PqModel.build(width, st, cb)
+    call_function("graft_pq_encode",
+      lit(graft.expressions.PqModel.serialize(model)), col("__vd"))
+  }
 
   /** Per-probe LUT for subspace `s`: the probe's exact slice dotted with
     * each sub-centroid — `cents` doubles, built once per probe row. */
@@ -518,10 +536,9 @@ object Similarity {
     // lookup below the cross join — per-doc work amplified to per-pair
     // (measured 4×). The barrier materializes codes once per doc.
     val encoded = base
-      .select(col(idCol), explode(array(struct(
-        (0 until subspaces).map(s => pqCodeCol(cb, s, width).as(s"code$s")): _*))).as("__c"))
+      .select(col(idCol), explode(array(pqEncodeCol(cb, width))).as("__c"))
       .select((col(idCol) +:
-        (0 until subspaces).map(s => col(s"__c").getField(s"code$s").as(s"code$s"))): _*)
+        (0 until subspaces).map(s => element_at(col("__c"), s + 1).as(s"code$s"))): _*)
     val probes = base.filter(probePred).select(
       (col(idCol).as("probe_id") +:
         (0 until subspaces).map(s => pqLutCol(cb, s, width).as(s"lut$s"))): _*)
@@ -583,10 +600,11 @@ object Similarity {
     // PQ codes per doc (same CollapseProject hazard as pqTopK's encode)
     val encoded = base
       .select(col(idCol), explode(array(struct(
-        (cellTop1Col(codebook).getField("cent_id").as("cent_id") +:
-          (0 until subspaces).map(s => pqCodeCol(cb, s, width).as(s"code$s"))): _*))).as("__c"))
+        cellTop1Col(codebook).getField("cent_id").as("cent_id"),
+        pqEncodeCol(cb, width).as("codes")))).as("__c"))
       .select((col(idCol) +: col("__c.cent_id").as("cent_id") +:
-        (0 until subspaces).map(s => col("__c").getField(s"code$s").as(s"code$s"))): _*)
+        (0 until subspaces).map(s =>
+          element_at(col("__c.codes"), s + 1).as(s"code$s"))): _*)
     // probe side: nprobe cell rows per probe; the LUTs are projected
     // BELOW the Generate (computed once per probe, replicated per cell)
     val probes = base.filter(probePred).select(
