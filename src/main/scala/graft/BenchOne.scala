@@ -28,7 +28,7 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query: $name (${SparkEntry.queries.size} registered)"))
-    fn(spark, sfDir).count() // warm-up: JIT + codegen, unrecorded
+    val rows = fn(spark, sfDir).count() // warm-up: JIT + codegen, unrecorded
     graft.operators.Dedup.releaseAllCaches(spark)
     val times = (1 to n).map { _ =>
       val t0 = System.nanoTime()
@@ -39,9 +39,11 @@ object BenchOne {
     }
     val s = times.sorted
     def fmt(v: Double) = f"$v%.3f"
+    // rows: output cardinality — the first thing to read on a ladder
+    // flag (an output-bound query's time slope IS its row-count slope)
     println(s"""{"query":"$name","samples":[${times.map(fmt).mkString(",")}],""" +
       s""""min":${fmt(s.head)},"median":${fmt(s(n / 2))},"max":${fmt(s.last)},""" +
-      s""""sf":"$sfDir"}""")
+      s""""rows":$rows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

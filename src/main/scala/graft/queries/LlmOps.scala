@@ -628,6 +628,25 @@ object LlmOps {
         .orderBy("a", "b")
     }),
 
+    // The SCALE-SAFE emission for perceptual-hash dedup: exact-signature
+    // canonicalization — (keep = min doc_id, dup_cnt) per distinct aHash,
+    // one hash-groupBy over the full corpus, output Θ(distinct sigs).
+    // dd_phash's pair form is Θ(Σ C(clique,2)) BY DEFINITION of a pair
+    // list (measured: 720M pairs at the 100× ladder point, time slope
+    // ≈ 2.0 at constant 16M pairs/s — output volume, not compute); this
+    // is the form a 100 TB dedup pipeline actually ships, the phash
+    // analogue of dd_exact_hash.
+    "dd_phash_canonical" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.aHash64(phashAssets(s, d)).toDF()
+        .groupBy(col("sig"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .select(col("keep_id"), col("dup_cnt"),
+          shiftrightunsigned(col("sig"), 32).as("sig_hi"),
+          col("sig").bitwiseAND(lit(0xffffffffL)).as("sig_lo"))
+        .orderBy("keep_id")
+    }),
+
     // REAL video-shaped extraction: each doc becomes a deterministic
     // multi-frame animated GIF (frame count, dims, and pixels are
     // functions of doc_id), the engine parses the actual container via
@@ -1469,6 +1488,12 @@ object LlmOps {
       "WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0 " +
       "AND bit_count(xor(a.lo64, b.lo64)) + bit_count(xor(a.hi64, b.hi64)) <= 6 " +
       "ORDER BY a, b"),
+    // exact-signature canonicalization over the replayed aHash bits —
+    // keep = min doc_id per distinct signature, dup count alongside
+    "dd_phash_canonical" -> (phashSigCte +
+      " SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt, " +
+      "hi64 AS sig_hi, lo64 AS sig_lo " +
+      "FROM sigs GROUP BY hi64, lo64 ORDER BY keep_id"),
     // independent ground truth for the multi-frame tier: the pixel
     // formula summed per (doc, frame) in SQL — never touches the GIF
     // container bytes the Spark side parses frame-by-frame
