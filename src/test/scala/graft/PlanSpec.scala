@@ -304,4 +304,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(nlj.isEmpty, s"$q plans a nested-loop join")
     }
   }
+
+  test("LSH/PQ encode stay fused: one kernel call, never per-plane dot trees") {
+    // the pre-fusion formulations put tables×planes graft_dot calls (LSH)
+    // / subspaces×cents struct subtrees (PQ) into the per-row projection —
+    // the 100× ladder point's dominant term; a regression re-inlining them
+    // shows up as graft_dot back in these plans
+    val lsh = planOf("sim_topk_lsh").toString
+    assert(lsh.contains("graft_lsh_sigs"), s"fused LSH kernel missing:\n$lsh")
+    // the norm + score dots are legitimate (a handful); 8 planes × 4
+    // tables re-inlined would put 32+ back
+    assert("graft_dot\\(".r.findAllIn(lsh).size <= 8,
+      "sim_topk_lsh re-inlined per-plane dot products")
+    val pq = planOf("sim_topk_pq").toString
+    assert(pq.contains("graft_pq_encode"), s"fused PQ kernel missing:\n$pq")
+    assert(!pq.contains("array_min"),
+      "sim_topk_pq regressed to the array_min struct-tree encode")
+  }
 }
