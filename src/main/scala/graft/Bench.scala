@@ -30,6 +30,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Shuffle files outlive the query that wrote them: ContextCleaner
+      // only deletes them once the driver GCs the ShuffleDependency, and
+      // its default forced-GC period is 30 min. A long battery at a big
+      // scale factor accumulates every query's shuffle output meanwhile —
+      // the sf30 run filled 59 GB of /tmp this way and died mid-battery.
+      // 2 min keeps disk occupancy near the single-query working set.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footer reads) so the first timed
@@ -90,6 +97,12 @@ object Bench {
       // window can inflate 2 of 3 samples (r11: an_pagerank median 14.1s
       // in one full-battery run vs a flat 3.1-4.0s series in isolation)
       // while a real code regression slows EVERY sample.
+      // At big scale factors (sf10+) even 2-min periodic GC lets a few
+      // multi-GB shuffle footprints coexist; the ladder runs set this to
+      // force shuffle-file reclamation at every query boundary. Off by
+      // default: a forced full GC between queries is wall-clock overhead
+      // the regression-gated sf0.1 battery should not pay.
+      if (sys.env.get("SPARK_GRAFT_GC_EACH_QUERY").contains("1")) System.gc()
       name -> (times(1), times.head)
     }
     def fmt(v: Double): String =
