@@ -103,6 +103,13 @@ object Bench {
       // default: a forced full GC between queries is wall-clock overhead
       // the regression-gated sf0.1 battery should not pay.
       if (sys.env.get("SPARK_GRAFT_GC_EACH_QUERY").contains("1")) System.gc()
+      // One progress line per completed query: multi-hour ladder batteries
+      // are otherwise silent at WARN until the final JSON, so a wedged or
+      // dying run can only be diagnosed post-mortem (three sf30 attempts
+      // learned this). stderr, like the failure lines.
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] %s median=%.3fs min=%.3fs",
+        name, Double.box(times(1)), Double.box(times.head)))
       name -> (times(1), times.head)
     }
     def fmt(v: Double): String =

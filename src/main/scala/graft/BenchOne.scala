@@ -21,9 +21,20 @@ object BenchOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Same override Bench honours: at big scale factors a fixed
+      // partitions=cores forces per-task state to grow linearly with the
+      // data until spill — raising this is the triage probe that separates
+      // "harness partition count" from "plan defect" on a ladder flag.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Parity with Bench: shuffle files are reclaimed only when the
+      // driver GCs the ShuffleDependency. Without this, 4 executions of
+      // an iterative query at 300x (many shuffles per round, default
+      // 30-min forced GC) piled up >70 GB and died on disk — while the
+      // same query inside the full battery ran fine.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries.getOrElse(name,
@@ -35,6 +46,9 @@ object BenchOne {
       fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       graft.operators.Dedup.releaseAllCaches(spark)
+      // Same opt-in as Bench: at 300x one execution of an iterative query
+      // leaves ~20 GB of shuffle files; reclaim between samples.
+      if (sys.env.get("SPARK_GRAFT_GC_EACH_QUERY").contains("1")) System.gc()
       dt
     }
     val s = times.sorted
