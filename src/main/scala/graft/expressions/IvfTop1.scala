@@ -167,8 +167,11 @@ final class IvfPrunedIndex(
       scan(groupStart(gmax), groupStart(gmax + 1))
       gi = 0
       while (gi < g) {
-        // fail-open form: NaN bound or NaN best never prunes
-        if (gi != gmax && !(bounds(gi) + Eps < -bestNeg))
+        // fail-open form: NaN bound or NaN best never prunes; `init` guards
+        // the degenerate no-best-yet state (an empty seed group would leave
+        // bestNeg at its 0.0 sentinel and wrongly prune anti-correlated
+        // groups) — build() compacts empty groups away, this is the belt
+        if (gi != gmax && !(init && bounds(gi) + Eps < -bestNeg))
           scan(groupStart(gi), groupStart(gi + 1))
         gi += 1
       }
@@ -216,7 +219,15 @@ object IvfPrunedIndex {
     val hat = codebook.map { case (_, v, nrm) =>
       if (nrm > 0.0) v.map(_ / nrm).toArray else new Array[Double](dims)
     }
-    val g = if (k < 32) 1 else math.ceil(math.sqrt(k.toDouble)).toInt
+    // Pruning geometry assumes every cellNrm is a real positive L2 norm:
+    // a nonzero cell with nrm = 0/NaN/Inf has ±Inf/NaN sims that the
+    // radius bound does not cover, so any such codebook gets one flat
+    // group (full scan — exact, just unpruned).
+    val normsOk = codebook.forall { case (_, _, nrm) =>
+      nrm > 0.0 && !java.lang.Double.isInfinite(nrm)
+    }
+    val g = if (k < 32 || !normsOk) 1
+            else math.ceil(math.sqrt(k.toDouble)).toInt
 
     def dist2(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var j = 0
@@ -252,6 +263,19 @@ object IvfPrunedIndex {
             m
           }
         }
+      }
+    }
+
+    // Lloyd's can strand a group with zero members (its mean goes stale);
+    // compact those out so every retained group is non-empty — an empty
+    // seed group in assignTop1 would otherwise leave `init` false.
+    if (mu.length > 1) {
+      val live = (0 until mu.length).filter(gi => assign.contains(gi))
+      if (live.length < mu.length) {
+        val remap = live.zipWithIndex.toMap
+        var ci = 0
+        while (ci < k) { assign(ci) = remap(assign(ci)); ci += 1 }
+        mu = live.map(mu(_)).toArray
       }
     }
 

@@ -191,12 +191,13 @@ final class PqModel(
     val sliceStart: Array[Int],      // one per encoded subspace
     val cid: Array[Array[Int]],      // per subspace, ascending
     val cvec: Array[Array[Double]],  // per subspace, cents × width row-major
-    val nrm2: Array[Array[Double]])  // per subspace: ‖c‖² per centroid
+    val nrm2: Array[Array[Double]],  // per subspace: ‖c‖² per centroid
+    val clen: Array[Array[Int]])     // per subspace: true centroid length
     extends Serializable {
 
   require(sliceStart.length >= 1 &&
     cid.length == sliceStart.length && cvec.length == sliceStart.length &&
-    nrm2.length == sliceStart.length,
+    nrm2.length == sliceStart.length && clen.length == sliceStart.length,
     "PqModel: ragged subspace arrays")
   require(cid.forall(_.nonEmpty), "PqModel: empty sub-codebook")
 
@@ -228,6 +229,7 @@ final class PqModel(
       val cds = cid(s)
       val vs = cvec(s)
       val n2 = nrm2(s)
+      val ls = clen(s)
       var bestD2 = 0.0
       var bestCid = 0
       var init = false
@@ -236,7 +238,12 @@ final class PqModel(
         var acc = 0.0
         var j = 0
         val off = c * width
-        while (j < avail) { acc += xs(st + j) * vs(off + j); j += 1 }
+        // fold min(centroid length, available slice) terms — the zero-pad
+        // past a short centroid must NOT be folded, or a row NaN/Inf at a
+        // padded position turns acc into NaN where the replaced
+        // slice+graft_dot tree stayed finite
+        val lim = if (ls(c) < avail) ls(c) else avail
+        while (j < lim) { acc += xs(st + j) * vs(off + j); j += 1 }
         val d2 = n2(c) - 2.0 * acc
         if (!init || IvfPrunedIndex.cmpDouble(d2, bestD2) < 0) {
           bestD2 = d2; bestCid = cds(c); init = true
@@ -263,6 +270,7 @@ object PqModel {
     val cid = new Array[Array[Int]](cbs.length)
     val cvec = new Array[Array[Double]](cbs.length)
     val nrm2 = new Array[Array[Double]](cbs.length)
+    val clen = new Array[Array[Int]](cbs.length)
     var s = 0
     while (s < cbs.length) {
       val sorted = cbs(s).sortBy(_._1)
@@ -270,6 +278,7 @@ object PqModel {
         s"PqModel.build: centroid wider than $width in subspace $s")
       cid(s) = sorted.map(_._1)
       nrm2(s) = sorted.map(_._3)
+      clen(s) = sorted.map(_._2.length)
       val flat = new Array[Double](sorted.length * width)
       var c = 0
       while (c < sorted.length) {
@@ -281,7 +290,7 @@ object PqModel {
       cvec(s) = flat
       s += 1
     }
-    new PqModel(width, starts, cid, cvec, nrm2)
+    new PqModel(width, starts, cid, cvec, nrm2, clen)
   }
 
   def serialize(m: PqModel): Array[Byte] = {

@@ -111,6 +111,56 @@ class IvfTop1Spec extends SparkSpec {
     assertBitIdentical(probes, cb)
   }
 
+  test("an empty seed group never fabricates a (0.0, 0) result") {
+    // Hand-built index with a stranded EMPTY group whose stale mean is
+    // anti-correlated with the real cells — for a probe along that mean
+    // the empty group wins the seed scan (a no-op), and without the
+    // `init` guard every real group would be pruned against the 0.0
+    // sentinel, fabricating negsim=0.0/cent_id=0.
+    val dims = 4
+    val cells = Array[(Long, Array[Double])](
+      (10L, Array(1.0, 0.0, 0.0, 0.0)),
+      (11L, Array(0.9, 0.1, 0.0, 0.0)),
+      (12L, Array(0.9, 0.0, 0.1, 0.0)))
+    val idx = new IvfPrunedIndex(
+      dims,
+      cells.map(_._1),
+      cells.flatMap(_._2),
+      cells.map(c => math.sqrt(c._2.map(x => x * x).sum)),
+      Array(0, 0, 3),                       // group 0 EMPTY, group 1 = all
+      Array(-1.0, 0.0, 0.0, 0.0,            // stale mean: anti-correlated
+             0.93, 0.03, 0.03, 0.0),
+      Array(0.0, 0.2))
+    val probe = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array(-1.0, 0.0, 0.0, 0.0))
+    val got = idx.assignTop1(probe, 1.0)
+    // flat reference: single group over the same cells
+    val flat = IvfPrunedIndex.build(
+      cells.map { case (cid, v) =>
+        (cid, v.toSeq, math.sqrt(v.map(x => x * x).sum)) })
+    val exp = flat.assignTop1(probe, 1.0)
+    assert(got.getLong(1) == exp.getLong(1),
+      s"fabricated cent_id: ${got.getLong(1)} vs ${exp.getLong(1)}")
+    assert(java.lang.Double.doubleToLongBits(got.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(exp.getDouble(0)))
+  }
+
+  test("build compacts empty Lloyd's groups and rejects bad-norm pruning") {
+    // every built group must be non-empty (strictly increasing offsets)
+    val cb = Similarity.coarseCodebookOf(clustered, "vec_id", "embedding", 48)
+    val idx = IvfPrunedIndex.build(cb)
+    (0 until idx.groupR.length).foreach { gi =>
+      assert(idx.groupStart(gi + 1) > idx.groupStart(gi),
+        s"group $gi is empty after build()")
+    }
+    // a codebook with a zero norm on a NONZERO cell breaks the radius
+    // bound (±Inf sims) — build must fall back to one flat group
+    val bad = cb.updated(5, (cb(5)._1, cb(5)._2, 0.0))
+    assert(IvfPrunedIndex.build(bad).groupR.length == 1)
+    val nanNorm = cb.updated(7, (cb(7)._1, cb(7)._2, Double.NaN))
+    assert(IvfPrunedIndex.build(nanNorm).groupR.length == 1)
+  }
+
   test("index survives a serialize/deserialize round-trip") {
     val cb = Similarity.coarseCodebookOf(clustered, "vec_id", "embedding", 48)
     val idx = IvfPrunedIndex.build(cb)

@@ -154,6 +154,22 @@ class VecEncodeSpec extends SparkSpec {
     assertCodesMatch(short, cbs, width = 16)
   }
 
+  test("pq codes: NaN past a SHORT centroid's length is not folded") {
+    // centroids narrower than the subspace width: the tree's graft_dot
+    // folds min(slice, centroid) terms, so a row NaN at a padded position
+    // must stay out of the accumulator (x * pad0 = NaN would poison d2)
+    val shortCb = Array(Array.tabulate(5) { j =>
+      val v: Seq[Double] = Seq.tabulate(12)(i => math.sin(j * 131 + i) * 2.0)
+      (j, v, v.foldLeft(0.0)((a, x) => a + x * x))
+    })
+    val nanPad = Seq(
+      (0L, Array.tabulate(16)(i => if (i == 14) Float.NaN else 1f)),
+      (1L, Array.tabulate(16)(i =>
+        if (i == 13) Float.PositiveInfinity else 0.5f)))
+      .toDF("vec_id", "embedding")
+    assertCodesMatch(nanPad, shortCb, width = 16)
+  }
+
   test("pq codes: NaN components pick the same (lowest-cid) centroid") {
     val cbs = Array.tabulate(2)(s => subCb(s, 6, 16))
     val nan = Seq((0L, Array.tabulate(32)(i =>
