@@ -530,9 +530,24 @@ object Dedup {
     * are exactly where this matters: duplicate documents are the
     * common case at scale (the sf1 image fixture collapses 10k docs to
     * 1.7k signatures with a 552-member group; banding members would
-    * put 552² rows through every shared key bucket). */
+    * put 552² rows through every shared key bucket).
+    *
+    * `maxGroupSize > 0` is the OUTPUT-side skew guard, the simhash
+    * analogue of [[minhashNearDupPairs]]'s `maxBucketSize`: even with the
+    * exact collapse, a clique of g identical signatures still OWES
+    * C(g, 2) output rows — Θ(pairs) emission by definition of a pair
+    * list, measured at 720 M rows / 36% of an sf30 battery before the
+    * cap existed. With the cap, identical-signature groups larger than
+    * `maxGroupSize` are dropped from BOTH the Hamming-0 self-join and
+    * the cross expansion (output per group ≤ C(cap, 2), per signature
+    * pair ≤ cap²); the flood they represent is exact duplication, which
+    * the Θ(distinct sigs) canonical contract (groupBy sig → keep min id,
+    * e.g. dd_phash_canonical) handles without pair emission. Recall
+    * trade is explicit and one-sided: only pairs INSIDE an oversized
+    * exact-dup flood are dropped. Default 0 = unlimited. */
   def simhashPairsFromSigs(
-      sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+      sigs: DataFrame, idCol: String, maxHamming: Int,
+      maxGroupSize: Int = 0): DataFrame = {
     require(maxHamming >= 1 && maxHamming + 3 <= 16,
       s"maxHamming out of range: $maxHamming")
     val nBlocks = maxHamming + 3
@@ -552,7 +567,16 @@ object Dedup {
     // persist each reference re-executes the upstream signature scan —
     // the dominant cost when the input is a text kernel. Narrow
     // fixed-width rows (16 bytes/doc), registered as scratch.
-    val members = scratchPersist(sigs.select(col(idCol), col("sig")))
+    val allMembers = sigs.select(col(idCol), col("sig"))
+    val members = scratchPersist(
+      if (maxGroupSize <= 0) allMembers
+      // window count over the SAME shuffle key the self-join below uses,
+      // so the cap costs no extra exchange
+      else allMembers
+        .withColumn("__gn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sig")))
+        .filter(col("__gn") <= maxGroupSize)
+        .drop("__gn"))
     // (a) Hamming-0 pairs: all member pairs within an identical-signature
     // group — one equi-self-join on the signature, output Σ C(g, 2).
     val intra = members.select(col("sig"), col(idCol).as("a"))
@@ -629,6 +653,15 @@ object Dedup {
       edges.select(col("src").as("id"))
         .distinct()
         .withColumn("component", col("id")), eager = true)
+    // Per-round shuffle parallelism tracks the EDGE volume, not the
+    // session default: the edge table is eagerly checkpointed above, so
+    // the count is a cached-block scan, and 100 TB of pairs no longer
+    // funnels through a partition count sized for the average query
+    // (Parallelism scaladoc has the measured 300× case). Every action
+    // below runs inside the scope; both returned frames (labels, and the
+    // step backing it) are checkpoint-materialized in-loop.
+    val nParts = Parallelism.forRows(pairs.sparkSession, edges.count())
+    Parallelism.withShufflePartitions(pairs.sparkSession, nParts) {
     var changed = 1L
     var iters = 0
     // round N's checkpoint blocks are dead the moment round N+1's
@@ -665,6 +698,7 @@ object Dedup {
     // table's checkpoint is scratch from here
     Checkpointer.release(edges)
     labels
+    }
   }
 
   /** Edit-distance near-dup with exact-prefix blocking: same-block pairs

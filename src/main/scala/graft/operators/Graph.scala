@@ -38,9 +38,21 @@ object Graph {
     // a fresh copy of the (possibly expensive) edge-derivation subtree —
     // the co-purchase self-join re-ran 3× per action before this landed
     // (bench: an_pagerank 3.76s → the derivation is paid once). Same
-    // lazy-checkpoint pattern as Dedup.connectedComponents.
+    // checkpoint pattern as Dedup.connectedComponents.
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
       .transform(Checkpointer.truncate(_))
+    // Shuffle parallelism tracks the edge volume, not the session
+    // default (see Parallelism scaladoc — an iterative join's per-task
+    // state must not grow with the data); e is checkpointed, so the
+    // count is a cached-block scan. The scope covers the node/degree
+    // derivation shuffles AND the loop; it requires in-loop
+    // materialization, so each round's truncation is EAGER: one job per
+    // round (launch overhead is noise at any real edge count), and
+    // superseded rounds' blocks release in-loop — live state is a
+    // constant two rounds, the connectedComponents discipline, instead
+    // of the lazy form's iters × node-table.
+    val nParts = Parallelism.forRows(edges.sparkSession, e.count())
+    Parallelism.withShufflePartitions(edges.sparkSession, nParts) {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .transform(Checkpointer.truncate(_))
@@ -50,31 +62,27 @@ object Graph {
     val n = nodes.count()
     val teleport = (15L * scale) / (100L * n)
     var ranks = nodes.withColumn("r", lit(scale / n))
+    var prevCkpt: DataFrame = null
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, e("src") === ranks("id"))
         .join(deg, "src")
         .select(col("dst").as("id"), expr("r div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("c"))
-      // LAZY truncation every round: each round's plan then reaches back
-      // only to the previous round's LogicalRDD, so analysis/optimization
-      // stays O(1) per round at ANY iteration count (un-truncated, round
-      // N's plan nested N copies of the join subtree — fine at the
-      // default 3, analysis-time blowup at deep counts). Lazy because
-      // PageRank needs no per-round action: the final action executes
-      // the whole chain as one job, materializing each round's
-      // checkpoint blocks as it passes — same wall-clock as the
-      // un-truncated plan (an_pagerank bench unchanged), bounded plan
-      // depth. Blocks of superseded rounds stay until the session
-      // barrier (they cannot be released in-loop — nothing has
-      // materialized yet); live state is iters × node-table, disk-backed.
+      // eager truncation: round N's plan reaches back only to round
+      // N-1's materialized LogicalRDD, so analysis stays O(1) per round
+      // at ANY iteration count (un-truncated, round N nested N copies
+      // of the join subtree)
       ranks = Checkpointer.truncate(
         nodes.join(contribs, Seq("id"), "left")
           .select(col("id"),
             (lit(teleport) +
               expr("85 * coalesce(c, cast(0 as bigint)) div 100")).as("r")),
-        eager = false)
+        eager = true)
+      if (prevCkpt != null) Checkpointer.release(prevCkpt)
+      prevCkpt = ranks
     }
     ranks.select(col("id"), col("r").as("rank_scaled"))
+    }
   }
 
   /** Multi-source BFS: minimum hop distance from any seed node, bounded
@@ -116,6 +124,11 @@ object Graph {
       col(weightCol).cast("long").as("w")).transform(Checkpointer.truncate(_))
     var dist = seeds.select(col(idCol).as("id")).distinct()
       .withColumn("dist", lit(0L)).transform(Checkpointer.truncate(_))
+    // per-round parallelism tracks edge volume (see Parallelism scaladoc);
+    // e is checkpointed, so the count is a cached-block scan, and every
+    // round's frames materialize inside the scope
+    val nParts = Parallelism.forRows(edges.sparkSession, e.count())
+    Parallelism.withShufflePartitions(edges.sparkSession, nParts) {
     var frontier = dist
     var h = 1
     while (h <= maxHops && !frontier.isEmpty) {
@@ -135,6 +148,7 @@ object Graph {
       h += 1
     }
     dist
+    }
   }
 
   def bfsHops(
@@ -145,6 +159,11 @@ object Graph {
       .transform(Checkpointer.truncate(_))
     var dist = seeds.select(col(idCol).as("id")).distinct()
       .withColumn("hops", lit(0L)).transform(Checkpointer.truncate(_))
+    // per-round parallelism tracks edge volume (see Parallelism scaladoc);
+    // the returned dist is a union of in-scope checkpointed legs, so no
+    // shuffle escapes the override
+    val nParts = Parallelism.forRows(edges.sparkSession, e.count())
+    Parallelism.withShufflePartitions(edges.sparkSession, nParts) {
     var frontier = dist
     var h = 1
     while (h <= maxHops && !frontier.isEmpty) {
@@ -161,5 +180,6 @@ object Graph {
       h += 1
     }
     dist
+    }
   }
 }

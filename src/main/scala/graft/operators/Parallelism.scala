@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Data-volume-derived shuffle parallelism for the operators whose cost
+  * the session-wide `spark.sql.shuffle.partitions` cannot see.
+  *
+  * The session default is sized for the AVERAGE query (locally: one
+  * partition per core). Iterative/join operators break that assumption
+  * two ways, both measured on the 1×–300× scale ladder:
+  *
+  *  - a JOIN whose per-task build state grows with the data spills once
+  *    partitions stop tracking bytes — an_triangles looked e≈1.38 on the
+  *    100×→300× segment until a 128-partition probe restored the linear
+  *    slope (SCALE.md, round 12);
+  *  - an ITERATIVE loop pays its partition count per round, so a count
+  *    that is 4× too high at small scale multiplies into 4× the task
+  *    launches per convergence.
+  *
+  * So the operator derives its own count from what it is about to
+  * shuffle: estimated input bytes / target partition bytes, floored at
+  * the session's core count (never fewer tasks than cores), capped
+  * against runaway estimates. Locally at sf0.1 every formula below
+  * lands exactly on `defaultParallelism` — same plans as before; the
+  * count only rises when the data outgrows one partition-per-core,
+  * which is the cluster regime.
+  *
+  * Two estimators, chosen by what is trustworthy at the call site:
+  *  - [[forInputBytes]] — on-disk size of the parquet the query reads
+  *    (exact, from the filesystem; use for non-iterative join queries
+  *    whose Catalyst stats above a join are products, not sizes);
+  *  - [[forRows]] — a materialized frame's row count × estimated row
+  *    width (use after an eager lineage truncation, where the count is
+  *    a cheap cached-block scan and plan stats are `defaultSizeInBytes`
+  *    garbage).
+  *
+  * [[withShufflePartitions]] scopes the session conf for operators that
+  * drive their OWN in-loop actions (connected components, BFS, SSSP):
+  * every shuffle the loop executes — whatever its key — uses the derived
+  * count, and the conf restores on exit. It is only correct when the
+  * frames the caller receives back are materialized inside the scope
+  * (checkpointed), which is exactly the iterative operators' contract.
+  */
+object Parallelism {
+
+  /** Hard ceiling on any derived count: 2^14 tasks per stage is already
+    * cluster-sized; anything above it here means a corrupt estimate. */
+  val Cap = 16384
+
+  /** Default target bytes per shuffle partition. Spark's own AQE advisory
+    * size is 64 MB post-shuffle; 32 MB of INPUT per task leaves room for
+    * the 2–4× row-width amplification pair/wedge joins add. */
+  val TargetPartitionBytes: Long = 32L << 20
+
+  def cores(spark: SparkSession): Int = spark.sparkContext.defaultParallelism
+
+  private def clamp(spark: SparkSession, byBytes: Long): Int =
+    math.min(Cap.toLong, math.max(cores(spark).toLong, byBytes)).toInt
+
+  /** Partition count from on-disk input size: `ceil(bytes / target)`,
+    * floored at cores, capped. `paths` are the parquet files/directories
+    * the query scans (a directory is summed recursively). Unreadable
+    * paths contribute 0 — the floor keeps the result sane. */
+  def forInputBytes(
+      spark: SparkSession,
+      paths: Seq[String],
+      targetBytes: Long = TargetPartitionBytes): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val total = paths.map { p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).getContentSummary(hp).getLength
+      } catch { case _: Exception => 0L }
+    }.sum
+    clamp(spark, (total + targetBytes - 1) / targetBytes)
+  }
+
+  /** Partition count from a materialized row count. `bytesPerRow` is the
+    * SHUFFLED width (columns + row overhead), not the parquet-encoded
+    * width — 64 B covers the narrow (long, long[, long]) edge/state rows
+    * the iterative operators shuffle. */
+  def forRows(
+      spark: SparkSession,
+      rows: Long,
+      bytesPerRow: Long = 64L,
+      targetBytes: Long = TargetPartitionBytes): Int =
+    clamp(spark, (rows * bytesPerRow + targetBytes - 1) / targetBytes)
+
+  /** Key-repartition `df` to `n` partitions — but ONLY when `n` exceeds
+    * the session's core count. For deferred-execution queries (the frame
+    * is returned, executed later — no conf scope can cover it) this
+    * pins the join that follows to a byte-derived width at scale while
+    * leaving the small-scale plan untouched: below the threshold the
+    * joins' own conf-sized shuffles are already correct, and an
+    * unconditional repartition would add a wasted exchange in front of
+    * a join the planner may broadcast. */
+  def repartitionAt(
+      df: org.apache.spark.sql.DataFrame, n: Int,
+      cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    if (n <= cores(df.sparkSession)) df else df.repartition(n, cols: _*)
+
+  /** Run `body` with `spark.sql.shuffle.partitions = n`, restoring the
+    * previous value on exit. Scopes EXECUTION, not construction: only
+    * actions that run inside `body` see `n`, so the caller must
+    * materialize (checkpoint) every frame that escapes the scope. */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+}

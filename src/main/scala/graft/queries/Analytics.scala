@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-join analytical queries over the star schema — the general
@@ -90,12 +90,34 @@ object Analytics {
     // the order key (pair fan-out bounded by lines-per-order, ~7 in
     // TPC-H, so amplification is a small constant — never all-pairs
     // across orders) and one pair-count shuffle. The classic
-    // frequent-itemset k=2 pass.
+    // frequent-itemset k=2 pass, WITH the apriori k=1 prune: a pair can
+    // reach support s only if BOTH parts individually appear in ≥ s
+    // distinct orders, so infrequent parts are filtered out BEFORE the
+    // pair expansion. Identical output; at 100 TB the prune is what
+    // bounds the fan-out — the 300× ladder measured the unpruned join's
+    // pair constant growing 5.3× on 3× data, and the frequent-part set
+    // shrinks relative to the fact table as the catalog long-tails.
     "an_basket_pairs" -> ((s, d) => {
-      // distinct (order, part) FIRST: each unordered pair then appears
+      val support = 2
+      val raw = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      // apriori k=1 pass over the RAW rows: per-part raw line count ≥
+      // distinct-order count, so `raw count ≥ support` keeps a SUPERSET
+      // of the truly frequent parts — sound (the prune is an
+      // optimization, over-keeping never changes output) and cheap (a
+      // map-side-combining agg, no distinct underneath). The filter is
+      // an aggregate of the fact table — small enough to broadcast-
+      // semi-join at any realistic part cardinality (swap for a
+      // shuffled semi-join or bloom gate if the catalog itself is
+      // shuffle-sized). Pruning BEFORE the distinct also shrinks the
+      // distinct's own shuffle by the pruned fraction.
+      val freq = raw.groupBy("l_partkey")
+        .agg(count(lit(1)).as("__pn"))
+        .filter(col("__pn") >= support)
+        .select("l_partkey")
+      // distinct (order, part) NEXT: each unordered pair then appears
       // exactly once per order, so support is a plain count — no
       // count-distinct expand over the pair fan-out (measured 2× cheaper)
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val li = raw.join(broadcast(freq), Seq("l_partkey"), "left_semi")
         .distinct()
       val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
@@ -103,7 +125,7 @@ object Analytics {
         .filter(col("part_a") < col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
+        .filter(col("support") >= support)
         .orderBy(col("support").desc, col("part_a"), col("part_b"))
     }),
 
@@ -208,18 +230,29 @@ object Analytics {
     // the bounded pair table, no cartesian; top-20 with deterministic
     // tie-break.
     "an_triangles" -> ((s, d) => {
+      // join width tracks the scanned bytes (Parallelism scaladoc): at
+      // 300× the fixed-conf wedge join's build state spilled (e≈1.38
+      // until a 128-partition probe restored linear — SCALE.md r12);
+      // below the byte threshold repartitionAt is the identity, so the
+      // small-scale plan is unchanged
+      val nP = graft.operators.Parallelism.forInputBytes(
+        s, Seq(s"$d/lineitem.parquet"))
+      def rp(df: DataFrame, cols: Column*) =
+        graft.operators.Parallelism.repartitionAt(df, nP, cols: _*)
       val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
         .distinct()
       val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      val edges = a.join(b, "l_orderkey")
+      val edges = rp(a, col("l_orderkey")).join(rp(b, col("l_orderkey")),
+          "l_orderkey")
         .filter(col("part_a") < col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .select(col("part_a").as("u"), col("part_b").as("v"))
-      val tri = edges.select(col("u").as("x"), col("v").as("y"))
-        .join(edges.select(col("u").as("y"), col("v").as("z")), "y")
+      val tri = rp(edges.select(col("u").as("x"), col("v").as("y")), col("y"))
+        .join(rp(edges.select(col("u").as("y"), col("v").as("z")), col("y")),
+          "y")
         .join(edges.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"),
           "left_semi")
       tri.select(col("x").as("node"))

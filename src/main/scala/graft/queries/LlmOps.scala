@@ -612,26 +612,30 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
-    // Image near-dup on the perceptual hash: the aHash signatures feed
-    // the SAME pigeonhole Hamming banding the text simhash path uses
-    // (full recall at the threshold, bounded buckets, no all-pairs) —
-    // multimodal dedup composed from the existing kernel.
-    // (the doc_id % 5 slice keeps the fixture's pair count proportionate
-    // — the formula images form large hamming-0 cliques by construction,
-    // so the unsliced output is quadratic in clique size, not a property
-    // of the banding)
+    // Image near-dup pairs on the perceptual hash — the CAPPED form.
+    // The aHash signatures feed the SAME pigeonhole Hamming banding the
+    // text simhash path uses (full recall at the threshold, bounded
+    // buckets, no all-pairs); `maxGroupSize = 8` drops identical-
+    // signature floods larger than 8 before pair emission, bounding
+    // output at Θ(distinct sigs) instead of Θ(Σ C(clique, 2)) — the
+    // uncapped pair list measured 720 M rows / 36% of an sf30 battery
+    // (the formula images form huge hamming-0 cliques by construction).
+    // A dropped flood is exact duplication, which dd_phash_canonical —
+    // the PRIMARY phash contract below — reports as (keep_id, dup_cnt)
+    // without pair emission; ship the pair form only for the
+    // cross-signature near-dups the canonical collapse can't see.
     "dd_phash" -> ((s, d) => {
       import s.implicits._
       Dedup.simhashPairsFromSigs(
-        Multimodal.aHash64(phashAssets(s, d).filter(col("doc_id") % 5 === 0))
-          .toDF(), "doc_id", maxHamming = 6)
+        Multimodal.aHash64(phashAssets(s, d)).toDF(), "doc_id",
+        maxHamming = 6, maxGroupSize = 8)
         .orderBy("a", "b")
     }),
 
-    // The SCALE-SAFE emission for perceptual-hash dedup: exact-signature
+    // The PRIMARY perceptual-hash dedup contract: exact-signature
     // canonicalization — (keep = min doc_id, dup_cnt) per distinct aHash,
     // one hash-groupBy over the full corpus, output Θ(distinct sigs).
-    // dd_phash's pair form is Θ(Σ C(clique,2)) BY DEFINITION of a pair
+    // Any pair-list form is Θ(Σ C(clique,2)) BY DEFINITION of a pair
     // list (measured: 720M pairs at the 100× ladder point, time slope
     // ≈ 2.0 at constant 16M pairs/s — output volume, not compute); this
     // is the form a 100 TB dedup pipeline actually ships, the phash
@@ -1478,14 +1482,17 @@ object LlmOps {
     // independent of the PNG bytes the engine decodes
     "mm_phash" -> (phashSigCte +
       " SELECT doc_id, sig_hi, sig_lo FROM sigs ORDER BY doc_id"),
-    // exact pairwise Hamming over the replayed signatures; the engine's
-    // pigeonhole banding must reproduce it exactly (lossless at the
-    // threshold)
+    // exact pairwise Hamming over the replayed signatures, restricted to
+    // docs whose identical-signature group has ≤ 8 members (the
+    // maxGroupSize cap); the engine's pigeonhole banding must reproduce
+    // it exactly (lossless at the threshold, cap replayed group-wise)
     "dd_phash" -> (phashSigCte +
-      " SELECT a.doc_id AS a, b.doc_id AS b, " +
+      ", gsz AS (SELECT hi64, lo64, count(*) AS gn FROM sigs GROUP BY 1, 2), " +
+      "kept AS (SELECT s.doc_id, s.hi64, s.lo64 FROM sigs s " +
+      "JOIN gsz g ON s.hi64 = g.hi64 AND s.lo64 = g.lo64 WHERE g.gn <= 8) " +
+      "SELECT a.doc_id AS a, b.doc_id AS b, " +
       "CAST(bit_count(xor(a.lo64, b.lo64)) + bit_count(xor(a.hi64, b.hi64)) AS INTEGER) AS hamming " +
-      "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id " +
-      "WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0 " +
+      "FROM kept a JOIN kept b ON a.doc_id < b.doc_id " +
       "AND bit_count(xor(a.lo64, b.lo64)) + bit_count(xor(a.hi64, b.hi64)) <= 6 " +
       "ORDER BY a, b"),
     // exact-signature canonicalization over the replayed aHash bits —

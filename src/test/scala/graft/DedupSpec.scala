@@ -188,6 +188,25 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("simhash maxGroupSize drops oversized exact-dup floods, " +
+    "keeps every pair outside them") {
+    val base = 0x0123456789abcdefL
+    // a 5-member hamming-0 flood, a 2-member group, and two near singles
+    val sigs = ((1L to 5L).map((_, base)) ++ Seq(
+      (10L, base ^ 1L), (11L, base ^ 1L),
+      (20L, base ^ (1L << 7)), (30L, base ^ 0xffL))).toDF("doc_id", "sig")
+    val capped = Dedup.simhashPairsFromSigs(sigs, "doc_id", 3, maxGroupSize = 4)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    // the base flood (docs 1-5, size 5 > 4) is gone entirely — both its
+    // internal pairs and its cross pairs to 10/11/20
+    assert(capped == Set((10L, 11L, 0), (10L, 20L, 2), (11L, 20L, 2)))
+    // cap 0 (default) keeps everything, including the flood's pairs
+    val uncapped = Dedup.simhashPairsFromSigs(sigs, "doc_id", 3)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(capped.subsetOf(uncapped))
+    assert(uncapped.count { case (a, b, h) => a <= 5 && b <= 5 && h == 0 } == 10)
+  }
+
   test("releaseScratch leaves a live checkpointed result usable") {
     // the targeted release drops only the operators' plain-persist
     // scratch; a caller still holding a checkpointed connectedComponents
