@@ -76,8 +76,21 @@ object Silver {
     }.toSeq: _*)
 
   /** Timestamp casts + duration columns (ref transform_alchemer_data.py:44-56).
-    * try_to_timestamp stands in for the reference's LEGACY-policy lenient
-    * parse: malformed input yields null instead of an ANSI error. */
+    *
+    * CONTRACT (the deliberate divergence from the reference, SURVEY
+    * §2.7/F14): the reference flips the session-wide
+    * `spark.sql.legacy.timeParserPolicy=LEGACY`
+    * (transform_alchemer_data.py:44), whose SimpleDateFormat parser is
+    * LENIENT — out-of-range fields coerce by rollover ("02/30/2021"
+    * parses as March 2nd). This stage uses `try_to_timestamp` instead:
+    * identical results on every well-formed `MM/dd/yyyy h:mm:ss a`
+    * value, but malformed or out-of-range input yields NULL (and a null
+    * Time Difference) rather than a silently rolled-over timestamp or an
+    * ANSI error. Null-on-malformed is the honest pipeline behavior — a
+    * rolled-over date is a data bug hidden, not handled — and keeping
+    * the conf session-default means no OTHER query's parsing semantics
+    * change underneath it. Pinned by SurveyPipelineSpec ("timestamps:
+    * lenient-parse corners"). */
   private def timestamps(df: DataFrame): DataFrame = {
     if (!df.columns.contains("Time Started") ||
       !df.columns.contains("Survey Date Submitted")) df

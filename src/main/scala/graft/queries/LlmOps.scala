@@ -206,6 +206,38 @@ object LlmOps {
         embeddings(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
         .orderBy("probe_id", "rank")),
 
+    // Recall@k of the ANN stack vs brute force, as EXACT INTEGER counts
+    // on the hash gate: each method re-runs with its standalone query's
+    // exact parameterization, its (probe, neighbor) pairs semi-join the
+    // brute-force top-k, and the report is (method, n_hits, n_possible).
+    // Putting recall ON the oracle gate (not just in SimilaritySpec)
+    // pins it at every scale the driver checks — an index regression
+    // that silently trades recall for speed now hash-mismatches.
+    "sim_recall_report" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val k = 5
+      val pf = col("vec_id") < 10
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pf, k)
+        .select("probe_id", "vec_id_n")
+      def report(method: String, approx: DataFrame): DataFrame =
+        approx.select("probe_id", "vec_id_n")
+          .join(brute, Seq("probe_id", "vec_id_n"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          // 1-row aggregates: broadcast-cross, the CensusMerge pattern
+          .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_possible"))))
+          .select(lit(method).as("method"), col("n_hits"),
+            col("n_possible"))
+      val planes = Similarity.lshPlanes(emb.count())
+      report("ivf",
+          Similarity.ivfTopK(emb, "vec_id", "embedding", pf, k))
+        .unionByName(report("ivfpq",
+          Similarity.ivfPqTopK(emb, "vec_id", "embedding", pf, k, dims = 64)))
+        .unionByName(report("lsh",
+          Similarity.lshTopK(emb, "vec_id", "embedding", pf, k,
+            planes = planes, dims = 64, tables = 4)))
+        .orderBy("method")
+    }),
+
     // k-NN GRAPH over ALL items (not a probe set), IVF-cell-blocked —
     // the SemDeDup / graph-curation precursor. Never all-pairs: items
     // pair only within their cell. Cell count scales with the corpus
@@ -1110,6 +1142,53 @@ object LlmOps {
       "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
       "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"
 
+  private val bruteOracleSql: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(range(1, 65), i -> v[i]*v[i]), (p,q) -> p+q)) AS nm FROM e), " +
+      "scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id_n, " +
+      "round(list_reduce(list_transform(range(1, 65), i -> p.v[i]*c.v[i]), (p2,q2) -> p2+q2) / (p.nm * c.nm), 6) AS score_r " +
+      "FROM n p JOIN n c ON p.vec_id < 10 AND c.vec_id <> p.vec_id) " +
+      "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
+      "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"
+
+  private val lshOracleSql: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm, " +
+      (0 until 4).map(t => duckLshSig(8, 64, t) + s" AS sig$t").mkString(", ") +
+      " FROM e), " +
+      "scored AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS vec_id_n, " +
+      "round(" + duckDot("p.v", "c.v") + " / (p.nm * c.nm), 6) AS score_r " +
+      "FROM n p JOIN n c ON p.vec_id < 10 AND c.vec_id <> p.vec_id AND (" +
+      (0 until 4).map(t => s"p.sig$t = c.sig$t").mkString(" OR ") + ")) " +
+      "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
+      "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"
+
+  private val ivfPqOracleSql: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
+      "cc AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
+      ivfPqGateSql("cc") + ", " + ivfPqTailSql
+
+  /** The recall accounting replay: each method's standalone oracle SQL
+    * (verbatim — the exact text its own query is hash-checked against)
+    * becomes a derived table, intersected with brute force on
+    * (probe_id, vec_id_n). Counts are exact integers, so the report sits
+    * on the hash gate at every scale — ANN recall is a CHECKED contract,
+    * not a spec-only property. */
+  private def recallReportOracleSql: String = {
+    def pairs(sql: String) = s"(SELECT probe_id, vec_id_n FROM ($sql))"
+    def row(m: String, sql: String) =
+      s"SELECT '$m' AS method, " +
+        s"CAST((SELECT count(*) FROM ${pairs(sql)} a " +
+        s"JOIN ${pairs(bruteOracleSql)} b " +
+        "ON a.probe_id = b.probe_id AND a.vec_id_n = b.vec_id_n) AS BIGINT) AS n_hits, " +
+        s"CAST((SELECT count(*) FROM ${pairs(bruteOracleSql)}) AS BIGINT) AS n_possible"
+    Seq("ivf" -> ivfOracleSql, "ivfpq" -> ivfPqOracleSql,
+      "lsh" -> lshOracleSql)
+      .map { case (m, sql) => row(m, sql) }
+      .mkString("", " UNION ALL ", " ORDER BY method")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dd_exact_rownum" ->
       "SELECT doc_id, lang, source FROM documents QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1 ORDER BY doc_id",
@@ -1213,26 +1292,13 @@ object LlmOps {
         "min(emb.vec_id) AS min_id, max(emb.vec_id) AS max_id " +
         "FROM embeddings emb WHERE emb.vec_id NOT IN (SELECT b FROM spairs) " +
         "GROUP BY emb.label ORDER BY emb.label"),
-    "sim_topk_brute" ->
-      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(range(1, 65), i -> v[i]*v[i]), (p,q) -> p+q)) AS nm FROM e), " +
-        "scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id_n, " +
-        "round(list_reduce(list_transform(range(1, 65), i -> p.v[i]*c.v[i]), (p2,q2) -> p2+q2) / (p.nm * c.nm), 6) AS score_r " +
-        "FROM n p JOIN n c ON p.vec_id < 10 AND c.vec_id <> p.vec_id) " +
-        "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
-        "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
-    "sim_topk_lsh" ->
-      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm, " +
-        (0 until 4).map(t => duckLshSig(8, 64, t) + s" AS sig$t").mkString(", ") +
-        " FROM e), " +
-        "scored AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS vec_id_n, " +
-        "round(" + duckDot("p.v", "c.v") + " / (p.nm * c.nm), 6) AS score_r " +
-        "FROM n p JOIN n c ON p.vec_id < 10 AND c.vec_id <> p.vec_id AND (" +
-        (0 until 4).map(t => s"p.sig$t = c.sig$t").mkString(" OR ") + ")) " +
-        "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
-        "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
+    "sim_topk_brute" -> bruteOracleSql,
+    "sim_topk_lsh" -> lshOracleSql,
     "sim_topk_ivf" -> ivfOracleSql,
+    // exact integer recall accounting of the ANN stack vs brute force —
+    // each method's replay is the SAME SQL its standalone query is
+    // hash-checked against, composed as derived tables and intersected
+    "sim_recall_report" -> recallReportOracleSql,
     // the cell-blocked kNN graph: same assignment CTE (cr <= 1), then
     // within-cell pairs ranked per ITEM (every vec is its own probe)
     "sim_knn_graph" ->
@@ -1257,11 +1323,7 @@ object LlmOps {
     "sim_topk_ivf_append" -> ivfOracleSql,
     // IVF×PQ composition: cell CTEs from sim_topk_ivf gate the candidate
     // pairs; code/LUT CTEs from sim_topk_pq score them asymmetrically
-    "sim_topk_ivfpq" ->
-      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
-        "cc AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
-        ivfPqGateSql("cc") + ", " + ivfPqTailSql),
+    "sim_topk_ivfpq" -> ivfPqOracleSql,
     // ADC oversample (refine·k = 15, ties vec_id asc) then exact cosine
     // re-rank — both cuts replayed
     "sim_topk_ivfpq_refined" ->

@@ -92,6 +92,24 @@ object TableSink {
     * readers / time travel until `keepVersions` prunes them (only
     * versions older than the previous one are ever deleted — the
     * previous version may still be mid-scan).
+    *
+    * WRITER-WRITER concurrency (the one Delta behavior the plain form
+    * lacked — optimistic concurrency control):
+    *  - version numbers are CLAIMED by an atomic create-if-absent
+    *    (`mkdir` of the version directory, [[claimVersion]]): two
+    *    concurrent writers can NEVER both own `vN`, so neither clobbers
+    *    the other's files — each conflicting writer transparently
+    *    retries at N+1, Delta's "blind append wins, no lost table
+    *    state" outcome for overwrite-mode conflicts;
+    *  - a version is COMMITTED only when its `_SUCCESS` marker lands
+    *    (the Hadoop committer writes it last), so a claimed-but-crashed
+    *    writer leaves an ignorable husk, never a readable half-table;
+    *  - the view swap is monotonic: after swapping to its own version,
+    *    a writer re-checks the highest COMMITTED version and re-swaps
+    *    forward if a concurrent writer overtook it — the "helping"
+    *    pattern; whoever finishes last leaves the view on the highest
+    *    committed version, and the view never points at an uncommitted
+    *    directory.
     * Returns the version number written. */
   def overwriteViaSwap(
       df: DataFrame, table: String, baseDir: String,
@@ -99,26 +117,63 @@ object TableSink {
     val spark = df.sparkSession
     val dir = new java.io.File(baseDir, table)
     dir.mkdirs()
-    def versions: Seq[Long] = Option(dir.listFiles).iterator.flatten
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toLong).toSeq.sorted
-    val next = versions.lastOption.getOrElse(0L) + 1
+    val next = claimVersion(dir)
     val path = new java.io.File(dir, s"v$next").toString
     df.write.mode("overwrite").parquet(path)
-    // the swap: one catalog statement; old version files are untouched
-    spark.sql(
-      s"CREATE OR REPLACE VIEW `$table` AS SELECT * FROM parquet.`$path`")
-    // `versions` re-lists AFTER the write, so it already includes v`next`:
-    // dropping keepVersions from the right keeps the new version plus the
-    // keepVersions-1 most recent old ones (the documented contract — the
-    // immediately-previous version may still be mid-scan and must survive)
-    versions.dropRight(keepVersions).filter(_ < next).foreach { v =>
-      def rec(f: java.io.File): Unit = {
-        Option(f.listFiles).iterator.flatten.foreach(rec)
-        f.delete(); ()
-      }
-      rec(new java.io.File(dir, s"v$v"))
+    def swapTo(v: Long): Unit = {
+      val p = new java.io.File(dir, s"v$v").toString
+      // the swap: one catalog statement; old version files are untouched
+      spark.sql(
+        s"CREATE OR REPLACE VIEW `$table` AS SELECT * FROM parquet.`$p`")
+      ()
     }
+    swapTo(next)
+    // helping pass: if a concurrent writer committed a HIGHER version
+    // between our commit and our swap, move the view forward to it (it
+    // may have swapped before us, leaving the view stale-but-older).
+    // Loop until stable — each pass only ever moves the view forward.
+    var target = next
+    var latest = committedVersions(dir).lastOption.getOrElse(next)
+    while (latest > target) {
+      swapTo(latest)
+      target = latest
+      latest = committedVersions(dir).lastOption.getOrElse(target)
+    }
+    // prune: keep the newest keepVersions COMMITTED versions (the
+    // immediately-previous one may still be mid-scan and must survive);
+    // never touch versions newer than ours (a concurrent writer's
+    // in-flight claim) — only strictly-older committed ones fall out
+    committedVersions(dir).dropRight(keepVersions).filter(_ < next)
+      .foreach { v =>
+        def rec(f: java.io.File): Unit = {
+          Option(f.listFiles).iterator.flatten.foreach(rec)
+          f.delete(); ()
+        }
+        rec(new java.io.File(dir, s"v$v"))
+      }
     next
+  }
+
+  /** All version numbers under `dir` whose `_SUCCESS` commit marker
+    * exists, ascending. Claimed-but-unfinished (or crashed) writers'
+    * directories are excluded — they are invisible to readers and to
+    * the swap. */
+  def committedVersions(dir: java.io.File): Seq[Long] =
+    Option(dir.listFiles).iterator.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getName.drop(1).toLong).toSeq.sorted
+
+  /** Atomically claim the next free version number: `mkdir` is
+    * create-if-absent on every POSIX filesystem, so exactly one of any
+    * set of racing writers wins each number; losers retry upward. The
+    * scan starts past every existing directory (committed or claimed). */
+  private def claimVersion(dir: java.io.File): Long = {
+    def existingMax: Long = Option(dir.listFiles).iterator.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).maxOption.getOrElse(0L)
+    var v = existingMax + 1
+    while (!new java.io.File(dir, s"v$v").mkdir()) v += 1
+    v
   }
 }

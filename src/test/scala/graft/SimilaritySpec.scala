@@ -253,6 +253,34 @@ class SimilaritySpec extends SparkSpec {
     assert(four.size > one.size)
   }
 
+  test("recall floors: the sim_recall_report composition holds minimum " +
+    "recall@5 per method on the planted fixture") {
+    val pf = col("vec_id") < 5
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id_n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(
+      Similarity.bruteForceTopK(fixture, "vec_id", "embedding", pf, 5))
+    assert(brute.size == 25)
+    def recall(approx: Set[(Long, Long)]) =
+      approx.intersect(brute).size.toDouble / brute.size
+    val ivf = recall(pairSet(
+      Similarity.ivfTopK(fixture, "vec_id", "embedding", pf, 5)))
+    val ivfpq = recall(pairSet(
+      Similarity.ivfPqTopK(fixture, "vec_id", "embedding", pf, 5, dims = 64)))
+    val lsh = recall(pairSet(
+      Similarity.lshTopK(fixture, "vec_id", "embedding", pf, 5, tables = 4)))
+    // floors, not equalities: the gate (sim_recall_report) pins the exact
+    // integers per scale; the spec pins the QUALITY contract — an index
+    // change that tanks recall fails here even if it re-pins the oracle
+    assert(ivf >= 0.8, s"ivf recall@5 sank to $ivf")
+    assert(ivfpq >= 0.3, s"ivfpq recall@5 sank to $ivfpq")
+    assert(lsh >= 0.3, s"lsh recall@5 sank to $lsh")
+    // every method must still surface the planted rank-1 twins
+    assert((0L until 5L).forall(p =>
+      brute.contains((p, p + 100L))), "fixture twins missing from brute")
+  }
+
   test("lshTopK candidate set is bucket-bounded (subset of brute scores)") {
     val brute = Similarity.bruteForceTopK(
       fixture, "vec_id", "embedding", col("vec_id") < 5, 40)

@@ -141,6 +141,34 @@ class SurveyPipelineSpec extends SparkSpec {
     assert(!df.contains("Scratch") && !df.contains("Time Difference"))
   }
 
+  test("timestamps: lenient-parse corners — the documented try_to_timestamp " +
+    "contract (malformed/out-of-range -> null, never LEGACY rollover)") {
+    val ts = Seq(
+      // well-formed 12-hour AM/PM: parses, 30.5 min difference
+      ("1", "01/15/2021 1:05:00 PM", "01/15/2021 1:35:30 PM"),
+      // out-of-range day: LEGACY's SimpleDateFormat would roll 02/30 to
+      // Mar 2 and produce a difference of 0; the contract yields NULL
+      ("2", "02/30/2021 1:05:00 PM", "03/02/2021 1:05:00 PM"),
+      // outright garbage: NULL, not an ANSI error
+      ("3", "not a timestamp", "01/15/2021 2:00:00 PM"),
+      ("4", null, null)
+    ).toDF("Response ID", "Time Started", "Survey Date Submitted")
+    val out = Silver.transform(
+      toDf(Seq(surveyRow("1"), surveyRow("2"), surveyRow("3"), surveyRow("4")))
+        .join(ts, "Response ID"), cfg)
+    assert(out.schema("Time Started").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val rows = out.select(col("Response ID"),
+        date_format(col("Time Started"), "yyyy-MM-dd HH:mm:ss").as("st"),
+        col("Time Difference (Minutes)").cast("string").as("mins"))
+      .as[(String, String, String)].collect().sortBy(_._1)
+    assert(rows(0) == ("1", "2021-01-15 13:05:00", "31.0")) // round(30.5)
+    assert(rows(1)._2 == null && rows(1)._3 == null,
+      "out-of-range date must be null, not rolled over")
+    assert(rows(2)._2 == null && rows(2)._3 == null)
+    assert(rows(3)._2 == null && rows(3)._3 == null)
+  }
+
   test("bronze ingest: offline ids prefixed, union-by-common-columns") {
     val online = Seq(("1", "Male", "x")).toDF("Response ID", "Gender", "OnlineOnly")
     val offline = Seq(("7", "Female")).toDF("Response ID", "Gender")

@@ -93,4 +93,56 @@ class TableSinkSpec extends SparkSpec {
     assert(dirs == Seq("v2", "v3"), s"retention broke: $dirs")
     assert(spark.table("tsink_swap_t").collect().map(_.getInt(0)).toSeq == Seq(3))
   }
+
+  test("two interleaved writers never share a version; view lands on the " +
+    "highest committed one (optimistic concurrency)") {
+    val base = java.nio.file.Files.createTempDirectory("tsink_occ").toString
+    val rounds = 3
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { w =>
+      new Thread(() =>
+        try (1 to rounds).foreach { r =>
+          got.add(TableSink.overwriteViaSwap(
+            Seq((w, r)).toDF("writer", "round"), "tsink_occ_t", base,
+            keepVersions = 100))
+        } catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    val versions = {
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+    // the CAS claim: 6 writes, 6 DISTINCT versions — no lost write
+    assert(versions.size == 2 * rounds && versions.distinct.size == versions.size,
+      s"version collision: $versions")
+    // every committed version directory is a complete, readable table
+    val dir = new java.io.File(base, "tsink_occ_t")
+    val committed = TableSink.committedVersions(dir)
+    assert(committed.toSet == versions.toSet, s"commit markers: $committed")
+    // the helping swap: the view reads the HIGHEST committed version
+    val expect = spark.read
+      .parquet(new java.io.File(dir, s"v${committed.max}").toString)
+      .collect().toSeq
+    assert(spark.table("tsink_occ_t").collect().toSeq == expect)
+  }
+
+  test("a claimed-but-crashed writer's husk is skipped by claim, commit " +
+    "list, and swap") {
+    val base = java.nio.file.Files.createTempDirectory("tsink_husk").toString
+    def write(n: Int) = TableSink.overwriteViaSwap(
+      Seq((n, s"v$n")).toDF("id", "v"), "tsink_husk_t", base)
+    assert(write(1) == 1L)
+    // a writer that claimed v2 and died: directory exists, no _SUCCESS
+    val dir = new java.io.File(base, "tsink_husk_t")
+    assert(new java.io.File(dir, "v2").mkdir())
+    assert(TableSink.committedVersions(dir) == Seq(1L))
+    // the next writer must claim PAST the husk, not into it…
+    assert(write(3) == 3L)
+    // …and the view must point at the new commit, never the husk
+    assert(spark.table("tsink_husk_t").collect().map(_.getInt(0)).toSeq
+      == Seq(3))
+    assert(TableSink.committedVersions(dir) == Seq(1L, 3L))
+  }
 }
