@@ -74,14 +74,29 @@ object Bench {
     // the stdout header, and the header carries "valid":false so the
     // driver/judge can never mistake a smaller total for a speedup.
     val failed = scala.collection.mutable.SortedSet.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional name-regex filter (same contract as Verify's): a ladder
+    // point too expensive for the full battery (sf100 at 4 executions ×
+    // 210 queries is a working day) runs a documented subset instead —
+    // the JSON's n_queries says how many, and the regression gate
+    // already ignores runs whose sf differs from the baseline's.
+    // SPARK_GRAFT_BENCH_SAMPLES (default 3) trades sample count for
+    // wall-clock the same way; "samples" in the JSON reports it.
+    val nameFilter = args.headOption.map(_.r)
+    val nSamples = sys.env.get("SPARK_GRAFT_BENCH_SAMPLES")
+      .map(_.toInt).getOrElse(3)
+    require(nSamples >= 1, s"SPARK_GRAFT_BENCH_SAMPLES must be >= 1")
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      nameFilter.forall(_.findFirstIn(n).isDefined)
+    }
+    require(selected.nonEmpty, s"query filter matched nothing: ${args.headOption}")
+    val results = selected.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           failed += name
           System.err.println(s"[bench] warm-up of $name failed: ${e.getMessage}")
       }
       graft.operators.Dedup.releaseAllCaches(spark)
-      val times = Seq.fill(3) {
+      val times = Seq.fill(nSamples) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -109,8 +124,8 @@ object Bench {
       // learned this). stderr, like the failure lines.
       System.err.println(String.format(java.util.Locale.ROOT,
         "[bench] %s median=%.3fs min=%.3fs",
-        name, Double.box(times(1)), Double.box(times.head)))
-      name -> (times(1), times.head)
+        name, Double.box(times(nSamples / 2)), Double.box(times.head)))
+      name -> (times(nSamples / 2), times.head)
     }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -209,7 +224,7 @@ object Bench {
 
     def header(extra: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm":true,""" +
-        s""""samples":3,"agg":"median","n_queries":${medians.size},""" +
+        s""""samples":$nSamples,"agg":"median","n_queries":${medians.size},""" +
         s""""compute_sec":${fmt(total - sinkSec)},""" +
         s""""sink_sec":${fmt(sinkSec)},""" +
         s""""valid":${failed.isEmpty},"failed":${slist(failed)},""" +

@@ -86,18 +86,18 @@ object Parallelism {
       targetBytes: Long = TargetPartitionBytes): Int =
     clamp(spark, (rows * bytesPerRow + targetBytes - 1) / targetBytes)
 
-  /** Key-repartition `df` to `n` partitions — but ONLY when `n` exceeds
-    * the session's core count. For deferred-execution queries (the frame
-    * is returned, executed later — no conf scope can cover it) this
-    * pins the join that follows to a byte-derived width at scale while
-    * leaving the small-scale plan untouched: below the threshold the
-    * joins' own conf-sized shuffles are already correct, and an
-    * unconditional repartition would add a wasted exchange in front of
-    * a join the planner may broadcast. */
-  def repartitionAt(
-      df: org.apache.spark.sql.DataFrame, n: Int,
-      cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
-    if (n <= cores(df.sparkSession)) df else df.repartition(n, cols: _*)
+  // NOTE (measured, round 13): widening a deferred query by
+  // key-repartitioning the JOIN INPUTS to a derived count does not
+  // work — the repartition only replaces the join's own exchanges,
+  // while every ENSURE_REQUIREMENTS exchange downstream (a distinct, a
+  // post-join aggregate — exactly the spill sites the derivation is
+  // for) stays at the session width, and a multiply-referenced subplan
+  // is still inlined once per reference. The an_triangles 300× probe
+  // measured that variant at 184 s isolated vs 102 s for plain
+  // fixed-width conf. The pattern that works is the iterative
+  // operators' contract applied to the query layer: materialize the
+  // heavy phase ONCE inside [[withShufflePartitions]] (persist +
+  // count), return the small deferred tail.
 
   /** Run `body` with `spark.sql.shuffle.partitions = n`, restoring the
     * previous value on exit. Scopes EXECUTION, not construction: only

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-join analytical queries over the star schema — the general
@@ -230,31 +230,45 @@ object Analytics {
     // the bounded pair table, no cartesian; top-20 with deterministic
     // tie-break.
     "an_triangles" -> ((s, d) => {
-      // join width tracks the scanned bytes (Parallelism scaladoc): at
-      // 300× the fixed-conf wedge join's build state spilled (e≈1.38
-      // until a 128-partition probe restored linear — SCALE.md r12);
-      // below the byte threshold repartitionAt is the identity, so the
-      // small-scale plan is unchanged
+      // The edge list is referenced 3× by the wedge join and the wedge
+      // join 3× by the node union — left lazy, Catalyst inlines the
+      // whole pipeline NINE times (18 lineitem scans in the sf30 plan,
+      // with only runtime stage-reuse to deduplicate them), and every
+      // ENSURE_REQUIREMENTS shuffle (the distinct and the wedge
+      // aggregate — the spill sites at 300×, SCALE.md r12) stays at the
+      // session width no matter what the join inputs are repartitioned
+      // to. So the heavy phase materializes ONCE, inside a conf scope
+      // whose shuffle width tracks the scanned bytes (identical to the
+      // iterative operators' contract): persist + count executes the
+      // distinct, the self-join, the support aggregate, and the wedge
+      // join at the derived width; the deferred tail (node union +
+      // count + top-20) reads the cached triangle table, which is
+      // triangle-sized, not fact-table-sized. Bench's per-sample
+      // releaseAllCaches barrier drops the scratch, so every sample
+      // still re-executes the full pipeline.
       val nP = graft.operators.Parallelism.forInputBytes(
         s, Seq(s"$d/lineitem.parquet"))
-      def rp(df: DataFrame, cols: Column*) =
-        graft.operators.Parallelism.repartitionAt(df, nP, cols: _*)
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        .distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      val edges = rp(a, col("l_orderkey")).join(rp(b, col("l_orderkey")),
-          "l_orderkey")
-        .filter(col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select(col("part_a").as("u"), col("part_b").as("v"))
-      val tri = rp(edges.select(col("u").as("x"), col("v").as("y")), col("y"))
-        .join(rp(edges.select(col("u").as("y"), col("v").as("z")), col("y")),
-          "y")
-        .join(edges.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"),
-          "left_semi")
+      val tri = graft.operators.Parallelism.withShufflePartitions(s, nP) {
+        val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+          .distinct()
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+        val edges = a.join(b, "l_orderkey")
+          .filter(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b")
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select(col("part_a").as("u"), col("part_b").as("v"))
+          .persist()
+        val t = edges.select(col("u").as("x"), col("v").as("y"))
+          .join(edges.select(col("u").as("y"), col("v").as("z")), "y")
+          .join(edges.select(col("u").as("x"), col("v").as("z")),
+            Seq("x", "z"), "left_semi")
+          .persist()
+        t.count()
+        edges.unpersist(blocking = false)
+        t
+      }
       tri.select(col("x").as("node"))
         .unionByName(tri.select(col("y").as("node")))
         .unionByName(tri.select(col("z").as("node")))
