@@ -11,14 +11,25 @@ import org.apache.spark.sql.functions._
   * 10 TB one.
   *
   * Content perturbation keeps the SIMILARITY structure linear:
-  *  - `documents.text` is Caesar-shifted by the copy index (letters only,
-  *    case-preserving, via one codegen'd `translate`) — every copy keeps
-  *    identical lengths, token-frequency shape, and in-copy duplicate
-  *    clusters, while cross-copy shingle overlap drops to ~zero. Naive
-  *    tiling would instead make each document near-identical to its 9
-  *    clones: 45 extra near-dup pairs per document, a QUADRATIC blowup
-  *    in candidate pairs that would masquerade as super-linear operator
+  *  - `documents.text` is letter-permuted by the copy index: a full
+  *    26-letter substitution (Fisher-Yates seeded by splitmix64(copy),
+  *    case-preserving, applied via one codegen'd `translate`; copy 0 is
+  *    the identity) — every copy keeps identical lengths,
+  *    token-equality structure, and in-copy duplicate clusters, while
+  *    cross-copy shingle overlap drops to ~zero. Naive tiling would
+  *    instead make each document near-identical to its 9 clones: 45
+  *    extra near-dup pairs per document, a QUADRATIC blowup in
+  *    candidate pairs that would masquerade as super-linear operator
   *    cost. sf1 must mean "10x the clusters", not "every cluster x10".
+  *    The first implementation was a Caesar SHIFT of the copy index —
+  *    mod 26, so at factor > 26 copies i ≡ i' (mod 26) carried
+  *    IDENTICAL text: at factor 1000 every base document would acquire
+  *    ~38 exact cross-copy clones, pairs ∝ n_base·factor²/52 — the
+  *    exact quadratic artifact this perturbation exists to prevent,
+  *    reintroduced by the generator itself. A seeded permutation has
+  *    26!−1 non-identity states; collisions across 1000 copies are
+  *    ruled out by construction (distinct seeds → checked distinct
+  *    mappings at build time).
   *  - `embeddings.embedding` is sign-flipped per copy: every vector in
   *    copy i multiplies elementwise by the same deterministic ±1
   *    pattern (a diagonal orthogonal matrix), so norms and all IN-copy
@@ -32,19 +43,48 @@ import org.apache.spark.sql.functions._
   *    to `vec_id < 10` stay bounded (copy 0 is verbatim) while the
   *    corpus under them grows `factor`x.
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <destDir> [factor]
+  * Usage: runMain graft.ScaleUp <srcDir> <destDir> [factor] [tables]
+  * (`tables` = comma-separated subset to regenerate, e.g. `documents`
+  * after a perturbation fix — keys/strides are derived from the source
+  * alone, so a partial rebuild is bit-identical to the full one.)
   */
 object ScaleUp {
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase(java.util.Locale.ROOT)
 
-  private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
-    val k = ((shift % 26) + 26) % 26
-    if (k == 0) c
-    else translate(c, Lower + Upper,
-      Lower.drop(k) + Lower.take(k) + Upper.drop(k) + Upper.take(k))
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
   }
+
+  /** Full 26-letter substitution for copy `i` (identity at 0):
+    * Fisher-Yates driven by splitmix64, one codegen'd `translate`.
+    * A copy-index Caesar SHIFT — the first implementation — is mod 26,
+    * so at factor > 26 same-shift copies carry identical text and the
+    * near-dup pair count turns quadratic in the factor (see scaladoc). */
+  private[graft] def permuted(i: Int): String = {
+    val p = Lower.toCharArray
+    var state = splitmix64(i.toLong)
+    var j = p.length - 1
+    while (j > 0) {
+      state = splitmix64(state)
+      val k = (((state >>> 33) % (j + 1)).toInt + (j + 1)) % (j + 1)
+      val t = p(j); p(j) = p(k); p(k) = t
+      j -= 1
+    }
+    new String(p)
+  }
+
+  private[graft] def permuteLetters(c: org.apache.spark.sql.Column, i: Int) =
+    if (i == 0) c
+    else {
+      val lo = permuted(i)
+      translate(c, Lower + Upper,
+        lo + lo.toUpperCase(java.util.Locale.ROOT))
+    }
 
   /** Deterministic ±1 pattern for copy `i` (splitmix64 over the element
     * index) applied elementwise — one diagonal orthogonal transform per
@@ -62,9 +102,18 @@ object ScaleUp {
     }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleUp <srcDir> <destDir> [factor]")
+    require(args.length >= 2,
+      "usage: ScaleUp <srcDir> <destDir> [factor] [tables]")
     val (srcDir, destDir) = (args(0), args(1))
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] =
+      args.lift(3).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // 26! permutation states make seed collisions implausible, but the
+    // linearity claim rests on distinctness, so prove it per run
+    // (copy 0 is the identity, not permuted(0))
+    val perms = Lower +: (1 until factor).map(permuted)
+    require(perms.distinct.size == factor,
+      s"letter-permutation collision within factor=$factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,8 +123,9 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def sel(t: String): Boolean = only.forall(_.contains(t))
     def read(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
-    def write(df: DataFrame, t: String): Unit =
+    def write(df: => DataFrame, t: String): Unit = if (sel(t))
       df.write.mode("overwrite").parquet(s"$destDir/$t.parquet")
     // key stride = next power of ten above the max key, so scaled keys
     // stay human-readable (copy i of key k is i*stride + k)
@@ -90,7 +140,7 @@ object ScaleUp {
       (0 until factor).map(i => copy(df, i)).reduce(_ unionByName _)
 
     // fixed dimensions ride along unchanged
-    Seq("region", "nation").foreach(t => write(read(t), t))
+    Seq("region", "nation").filter(sel).foreach(t => write(read(t), t))
 
     val customer = read("customer")
     val orders = read("orders")
@@ -126,13 +176,14 @@ object ScaleUp {
         .withColumn("user_id", col("user_id") + lit(i * sC)) }, "events")
     write(tile(docs) { (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * sD))
-        .withColumn("text", caesar(col("text"), i)) }, "documents")
+        .withColumn("text", permuteLetters(col("text"), i)) }, "documents")
     write(tile(emb) { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * sV))
         .withColumn("embedding", signFlip(col("embedding"), i, embDim)) }, "embeddings")
 
     val counts = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+      .filter(sel)
       .map(t => s"$t=${spark.read.parquet(s"$destDir/$t.parquet").count()}")
     println(s"[scaleup] factor=$factor ${counts.mkString(" ")}")
     spark.stop()
