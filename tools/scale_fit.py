@@ -57,22 +57,36 @@ def main() -> int:
         print("need at least two file:factor points", file=sys.stderr)
         return 2
     factors = [f for f, _ in runs]
+    # A ladder point may be a SUBSET battery (Bench's name-filter arg —
+    # the sf100 point runs ~2h of representative queries, not 210×2
+    # executions). Per-query fits therefore use every point where the
+    # query was measured; family/TOTAL rows stay on the all-points
+    # intersection so their sums compare like with like, and the header
+    # says how many queries each run measured.
     common = set(runs[0][1]["queries"])
+    union = set()
     failed = set()
     for _, d in runs:
         common &= set(d["queries"])
+        union |= set(d["queries"])
         failed |= set(d.get("failed", []))
     common -= failed
+    union -= failed
     fam_pts = defaultdict(lambda: defaultdict(float))
     q_pts = defaultdict(list)
     for f, d in runs:
-        for name in common:
-            t = d["queries"][name]
-            fam_pts[family(name)][f] += t
+        for name, t in d["queries"].items():
+            if name in failed:
+                continue
             q_pts[name].append((f, t))
-    print(f"points={factors} common={len(common)} failed={sorted(failed)}\n")
+            if name in common:
+                fam_pts[family(name)][f] += t
+    sizes = " ".join(f"{len(d['queries'])}@{f:.0f}x" for f, d in runs)
+    print(f"points={factors} common={len(common)} union={len(union)} "
+          f"({sizes}) failed={sorted(failed)}\n")
     print(f"{'family':10s} " +
-          " ".join(f"{f:>8.0f}x" for f in factors) + "   exponent")
+          " ".join(f"{f:>8.0f}x" for f in factors) + "   exponent"
+          f"   (family sums over the {len(common)}-query intersection)")
     total = defaultdict(float)
     for fam in sorted(fam_pts, key=lambda g: -fam_pts[g][factors[-1]]):
         pts = sorted(fam_pts[fam].items())
@@ -86,12 +100,14 @@ def main() -> int:
     print(f"{'TOTAL':10s} " +
           " ".join(f"{t:9.1f}" for _, t in tpts) +
           f"   {ols_exponent(tpts):8.2f}")
-    big_enough = [n for n in common if q_pts[n][-1][1] >= 0.5]
+    fmax = {n: sorted(q_pts[n])[-1] for n in union if len(q_pts[n]) >= 2}
+    big_enough = [n for n in fmax if fmax[n][1] >= 0.5]
     fitted = sorted(((ols_exponent(sorted(q_pts[n])), n) for n in big_enough),
                     reverse=True)
-    print(f"\ntop-15 per-query exponents (>=0.5s at {factors[-1]:.0f}x):")
+    print(f"\ntop-15 per-query exponents (>=0.5s at the query's own "
+          f"largest point; fit over each query's measured points):")
     for e, n in fitted[:15]:
-        ts = " ".join(f"{t:8.2f}" for _, t in sorted(q_pts[n]))
+        ts = " ".join(f"{t:8.2f}@{f:.0f}" for f, t in sorted(q_pts[n]))
         print(f"  {n:28s} {ts}   e={e:5.2f}")
     return 0
 
