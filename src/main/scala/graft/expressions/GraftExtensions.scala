@@ -3,6 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** Registration for graft's native expressions.
   *
@@ -105,6 +106,25 @@ object GraftFunctions {
         require(children.size == 2,
           "graft_bloom_contains takes (serialized_filter, value)")
         BloomMightContain(children.head, children(1))
+      }),
+    (
+      FunctionIdentifier("graft_cell_pairs"),
+      new ExpressionInfo(classOf[CellPairs].getName, "graft_cell_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_cell_pairs takes (members, minScore, topK)")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val minScore = children(1) match {
+          case Literal(v: Double, DoubleType) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_cell_pairs: minScore must be a double literal")
+        }
+        val k = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_cell_pairs: topK must be an integer literal")
+        }
+        CellPairs(children.head, minScore, k)
       }))
 
   /** Idempotent per-session registration. */

@@ -101,7 +101,8 @@ final class IvfPrunedIndex(
     val cellNrm: Array[Double],    // k
     val groupStart: Array[Int],    // g+1 offsets into the cell arrays
     val groupMean: Array[Double],  // g × dims, row-major (mean of ĉ members)
-    val groupR: Array[Double])     // g: max ‖ĉ − mean‖ over members
+    val groupR: Array[Double],     // g: max ‖ĉ − mean‖ over members
+    val probeGroups: Int = 0)      // 0 = exact; >0 = probe top-p groups only
     extends Serializable {
 
   import IvfPrunedIndex.{Eps, cmpDouble}
@@ -157,23 +158,50 @@ final class IvfPrunedIndex(
         bounds(gi) = acc / norm + groupR(gi)
         gi += 1
       }
-      // seed with the best-bound group (NaN sorts first = evaluated)
-      var gmax = 0
-      gi = 1
-      while (gi < g) {
-        if (cmpDouble(bounds(gi), bounds(gmax)) > 0) gmax = gi
-        gi += 1
-      }
-      scan(groupStart(gmax), groupStart(gmax + 1))
-      gi = 0
-      while (gi < g) {
-        // fail-open form: NaN bound or NaN best never prunes; `init` guards
-        // the degenerate no-best-yet state (an empty seed group would leave
-        // bestNeg at its 0.0 sentinel and wrongly prune anti-correlated
-        // groups) — build() compacts empty groups away, this is the belt
-        if (gi != gmax && !(init && bounds(gi) + Eps < -bestNeg))
-          scan(groupStart(gi), groupStart(gi + 1))
-        gi += 1
+      if (probeGroups > 0 && probeGroups < g) {
+        // APPROXIMATE mode (the corpus-scaled-k contract, see
+        // Similarity.semanticNearDupPairs): evaluate only the probeGroups
+        // best-bound groups. Deterministic — selection by (bound desc,
+        // group idx asc) with nan-safe compare (a NaN bound sorts first =
+        // probed, the fail-open direction). The exact-prune fallback below
+        // is vacuous exactly when approximation matters: a query whose
+        // best similarity is small (decorrelated vector) has every group
+        // bound above it, so the exact path degenerates to the flat scan
+        // — measured as the n·k assignment term at the 1000x ladder point.
+        val chosen = new Array[Boolean](g)
+        var pi = 0
+        while (pi < probeGroups) {
+          var best = -1
+          gi = 0
+          while (gi < g) {
+            if (!chosen(gi) &&
+              (best < 0 || cmpDouble(bounds(gi), bounds(best)) > 0)) best = gi
+            gi += 1
+          }
+          chosen(best) = true
+          scan(groupStart(best), groupStart(best + 1))
+          pi += 1
+        }
+      } else {
+        // EXACT mode: seed with the best-bound group (NaN sorts first =
+        // evaluated), then prune only groups that provably cannot win
+        var gmax = 0
+        gi = 1
+        while (gi < g) {
+          if (cmpDouble(bounds(gi), bounds(gmax)) > 0) gmax = gi
+          gi += 1
+        }
+        scan(groupStart(gmax), groupStart(gmax + 1))
+        gi = 0
+        while (gi < g) {
+          // fail-open form: NaN bound or NaN best never prunes; `init` guards
+          // the degenerate no-best-yet state (an empty seed group would leave
+          // bestNeg at its 0.0 sentinel and wrongly prune anti-correlated
+          // groups) — build() compacts empty groups away, this is the belt
+          if (gi != gmax && !(init && bounds(gi) + Eps < -bestNeg))
+            scan(groupStart(gi), groupStart(gi + 1))
+          gi += 1
+        }
       }
     }
     val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
@@ -208,7 +236,8 @@ object IvfPrunedIndex {
     * grouping only affects SPEED — exactness never depends on it. Small
     * codebooks (k < 32) get one flat group: the bound pass would cost
     * more than it saves. */
-  def build(codebook: Array[(Long, Seq[Double], Double)]): IvfPrunedIndex = {
+  def build(codebook: Array[(Long, Seq[Double], Double)],
+      probeGroups: Int = 0): IvfPrunedIndex = {
     require(codebook.nonEmpty, "IvfPrunedIndex: empty codebook")
     val k = codebook.length
     val dims = codebook.head._2.length
@@ -317,7 +346,7 @@ object IvfPrunedIndex {
       gi += 1
     }
     new IvfPrunedIndex(dims, cellCid, cellVec, cellNrm,
-      groupStart, groupMean, groupR)
+      groupStart, groupMean, groupR, probeGroups)
   }
 
   def serialize(idx: IvfPrunedIndex): Array[Byte] = {

