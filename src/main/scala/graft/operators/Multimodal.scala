@@ -74,27 +74,95 @@ object Multimodal {
       }
   }
 
-  /** Probe bytes with the ImageIO reader registry; on a match, REALLY
+  // ---- Cached ImageIO SPIs ------------------------------------------------
+  // ImageIO.read / ImageIO.write / getImageReaders walk the SPI REGISTRY on
+  // every call, and those traversals synchronize on shared registry state.
+  // Under 32 decode threads the lock convoys: measured at the 1000× ladder
+  // point, dd_phash_canonical burned 2.8× MORE core-time at 32 threads
+  // (38.3 s × 32) than at 8 (54.8 s × 8) on identical work — a super-linear
+  // wall-clock term that is pure contention, not codec cost (SCALE.md r13).
+  // The SPIs are stateless factories, so resolve them ONCE per JVM in
+  // registry order and create a fresh (thread-confined) reader/writer per
+  // call — the same provider-selection semantics ImageIO's own lookup has,
+  // minus the per-call registry walk.
+  private lazy val readerSpis: Array[javax.imageio.spi.ImageReaderSpi] = {
+    val it = javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.imageio.spi.ImageReaderSpi]
+    while (it.hasNext) buf += it.next()
+    buf.toArray
+  }
+  private val writerSpiCache =
+    new java.util.concurrent.ConcurrentHashMap[String, javax.imageio.spi.ImageWriterSpi]
+  private def writerSpiFor(format: String): javax.imageio.spi.ImageWriterSpi =
+    writerSpiCache.computeIfAbsent(format.toLowerCase(java.util.Locale.ROOT), f => {
+      val it = javax.imageio.spi.IIORegistry.getDefaultInstance
+        .getServiceProviders(classOf[javax.imageio.spi.ImageWriterSpi], true)
+      var found: javax.imageio.spi.ImageWriterSpi = null
+      while (found == null && it.hasNext) {
+        val spi = it.next()
+        if (spi.getFormatNames.exists(
+          _.toLowerCase(java.util.Locale.ROOT) == f)) found = spi
+      }
+      require(found != null, s"no ImageIO writer for format '$format'")
+      found
+    })
+
+  /** A fresh reader over `bytes`, chosen by each cached SPI's own
+    * canDecodeInput probe (registry order — the selection ImageIO's
+    * getImageReaders makes). Caller must dispose the reader and close the
+    * stream; None if no installed codec recognizes the payload. */
+  private def newReaderFor(bytes: Array[Byte])
+      : Option[(javax.imageio.ImageReader, javax.imageio.stream.ImageInputStream)] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    var i = 0
+    while (i < readerSpis.length) {
+      val spi = readerSpis(i)
+      // the registry's own filter swallows IOException (a too-short
+      // payload EOFs inside canDecodeInput); it also leaves the stream
+      // position undefined on that path, so restore it before probing
+      // the next SPI
+      val pos = iis.getStreamPosition
+      val can =
+        try spi.canDecodeInput(iis)
+        catch { case _: java.io.IOException => iis.seek(pos); false }
+      if (can) {
+        val reader = spi.createReaderInstance()
+        reader.setInput(iis)
+        return Some((reader, iis))
+      }
+      i += 1
+    }
+    iis.close()
+    None
+  }
+
+  /** Decode `bytes` with the cached-SPI path — ImageIO.read minus the
+    * per-call registry walk. Null when no codec recognizes the payload. */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    newReaderFor(bytes) match {
+      case None => null
+      case Some((reader, iis)) =>
+        try reader.read(0)
+        finally { reader.dispose(); iis.close() }
+    }
+
+  /** Probe bytes against the cached reader SPIs; on a match, REALLY
     * decode (returns the format name and the decoded image). Returns None
     * for payloads no installed codec recognizes. */
   private def sniffImage(bytes: Array[Byte])
-      : Option[(String, java.awt.image.BufferedImage)] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val reader = readers.next()
+      : Option[(String, java.awt.image.BufferedImage)] =
+    newReaderFor(bytes) match {
+      case None => None
+      case Some((reader, iis)) =>
         try {
-          reader.setInput(iis)
           Some((reader.getFormatName.toLowerCase, reader.read(0)))
         } catch {
           case _: java.io.IOException => None
-        } finally reader.dispose()
-      }
-    } finally iis.close()
-  }
+        } finally { reader.dispose(); iis.close() }
+    }
 
   // ---- Real codec path #1: binary PPM (P6), pure Scala -------------------
   // This decode path is REAL: bytes are parsed, pixel features computed,
@@ -261,8 +329,15 @@ object Multimodal {
       y += 1
     }
     val baos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, format, baos),
-      s"no ImageIO writer for format '$format'")
+    // cached-SPI writer (see readerSpis): same codec class ImageIO.write
+    // would select, created per call, no registry walk
+    val writer = writerSpiFor(format).createWriterInstance()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+    } finally { writer.dispose(); ios.close() }
     baos.toByteArray
   }
 
@@ -302,7 +377,7 @@ object Multimodal {
     * remap → re-encode in `format`. */
   def resizeImage(bytes: Array[Byte], newW: Int, newH: Int,
       format: String): Array[Byte] = {
-    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val src = readImage(bytes)
     require(src != null, "no installed ImageIO codec recognizes the payload")
     encodeImage(newW, newH, format, (x, y) => {
       val rgb = src.getRGB(x * src.getWidth / newW, y * src.getHeight / newH)
@@ -327,8 +402,7 @@ object Multimodal {
     import spark.implicits._
     assets.select("doc_id", "content").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
+        val img = readImage(bytes)
         require(img != null, s"asset $id: not a decodable image payload")
         val w = img.getWidth
         val h = img.getHeight
@@ -371,9 +445,9 @@ object Multimodal {
     * JDK's ImageIO sequence writer. `gray(frame, x, y)` ∈ [0, 256). */
   def encodeGifFrames(width: Int, height: Int, nFrames: Int,
       gray: (Int, Int, Int) => Int): Array[Byte] = {
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val writer = writerSpiFor("gif").createWriterInstance()
     val baos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
@@ -421,14 +495,11 @@ object Multimodal {
     import spark.implicits._
     assets.select("doc_id", "content").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val opened = newReaderFor(bytes)
+        require(opened.nonEmpty, s"asset $id: not a decodable image payload")
+        val (reader, iis) = opened.get
         try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          require(readers.hasNext, s"asset $id: not a decodable image payload")
-          val reader = readers.next()
           try {
-            reader.setInput(iis)
             val n = reader.getNumImages(true)
             (0 until n).map { i =>
               val img = reader.read(i)
@@ -590,8 +661,7 @@ object Multimodal {
     import spark.implicits._
     assets.select("doc_id", "content").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
+        val img = readImage(bytes)
         require(img != null, s"asset $id: not a decodable image payload")
         val (w, h) = (img.getWidth, img.getHeight)
         for {
