@@ -114,14 +114,22 @@ object Analytics {
         .agg(count(lit(1)).as("__pn"))
         .filter(col("__pn") >= support)
         .select("l_partkey")
-      // distinct (order, part) NEXT: each unordered pair then appears
-      // exactly once per order, so support is a plain count — no
-      // count-distinct expand over the pair fan-out (measured 2× cheaper)
+      // Basket shape, not join shape (the 1000× lesson — this was the
+      // battery's biggest line at 481.7 s): the self-join form pays FOUR
+      // wide shuffles (the distinct, two ENSURE_REQUIREMENTS exchanges
+      // re-keying it to l_orderkey for the join, the pair aggregate) and
+      // materializes every candidate pair as a joined row. collect_set
+      // per order IS the distinct (one corpus-wide shuffle), the double
+      // explode emits each order's m² pairs map-side where the partial
+      // pair-count aggregate absorbs them, and the only other exchange
+      // carries distinct pairs. Baskets bound m (TPC-H ≤ 7 lines/order;
+      // the caller owns that bound like CellPairs' callers own block
+      // size), so the fan-out is linear in orders at any scale.
       val li = raw.join(broadcast(freq), Seq("l_partkey"), "left_semi")
-        .distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      a.join(b, "l_orderkey")
+      li.groupBy("l_orderkey")
+        .agg(collect_set(col("l_partkey")).as("__parts"))
+        .select(explode(col("__parts")).as("part_a"), col("__parts"))
+        .select(col("part_a"), explode(col("__parts")).as("part_b"))
         .filter(col("part_a") < col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(count(lit(1)).as("support"))
