@@ -127,27 +127,39 @@ case class CellPairs(child: Expression, minScore: Double, topK: Int)
     }
 
     if (topK <= 0) {
-      val out = Vector.newBuilder[InternalRow]
-      var oi = 0
-      while (oi < m) {
-        val ai = order(oi)
-        var oj = oi + 1
-        while (oj < m) {
-          val bi = order(oj)
-          if (ids(ai) < ids(bi)) {
-            val s = score(ai, bi)
-            // nan-safe >=: NaN passes, like Spark's comparison operators
-            if (java.lang.Double.compare(s, minScore) >= 0) {
-              val r = new GenericInternalRow(3)
-              r.update(0, ids(ai)); r.update(1, ids(bi)); r.update(2, s)
-              out += r
+      // LAZY emission: a permissive minScore admits up to m²/2 pairs per
+      // block, and the join form this replaced streamed them — so must
+      // this generator. Per-block memory stays O(m·dims) (the member
+      // arrays above), never O(pairs); the loop state is two indices.
+      new Iterator[InternalRow] {
+        private var oi = 0
+        private var oj = 1
+        private var pending: InternalRow = null
+        private def advance(): Unit = {
+          while (pending == null && oi < m - 1) {
+            val ai = order(oi)
+            while (pending == null && oj < m) {
+              val bi = order(oj)
+              oj += 1
+              if (ids(ai) < ids(bi)) {
+                val s = score(ai, bi)
+                // nan-safe >=: NaN passes, like Spark's comparisons
+                if (java.lang.Double.compare(s, minScore) >= 0) {
+                  val r = new GenericInternalRow(3)
+                  r.update(0, ids(ai)); r.update(1, ids(bi)); r.update(2, s)
+                  pending = r
+                }
+              }
             }
+            if (pending == null) { oi += 1; oj = oi + 1 }
           }
-          oj += 1
         }
-        oi += 1
+        override def hasNext: Boolean = { advance(); pending != null }
+        override def next(): InternalRow = {
+          advance()
+          val r = pending; pending = null; r
+        }
       }
-      out.result().iterator
     } else {
       val k = topK
       val out = Vector.newBuilder[InternalRow]

@@ -94,19 +94,26 @@ object Multimodal {
     buf.toArray
   }
   private val writerSpiCache =
-    new java.util.concurrent.ConcurrentHashMap[String, javax.imageio.spi.ImageWriterSpi]
-  private def writerSpiFor(format: String): javax.imageio.spi.ImageWriterSpi =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[javax.imageio.spi.ImageWriterSpi]]
+  /** ALL registry-order writer SPIs naming `format` — cached per JVM.
+    * Callers must still apply ImageIO.write's per-image filter
+    * (`canEncodeImage(ImageTypeSpecifier)`) before writing: the
+    * first-named SPI may not encode a given image type, and write()'s
+    * own selection would have skipped it rather than fail inside the
+    * writer or emit invalid bytes. */
+  private def writerSpisFor(format: String): Array[javax.imageio.spi.ImageWriterSpi] =
     writerSpiCache.computeIfAbsent(format.toLowerCase(java.util.Locale.ROOT), f => {
       val it = javax.imageio.spi.IIORegistry.getDefaultInstance
         .getServiceProviders(classOf[javax.imageio.spi.ImageWriterSpi], true)
-      var found: javax.imageio.spi.ImageWriterSpi = null
-      while (found == null && it.hasNext) {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[javax.imageio.spi.ImageWriterSpi]
+      while (it.hasNext) {
         val spi = it.next()
         if (spi.getFormatNames.exists(
-          _.toLowerCase(java.util.Locale.ROOT) == f)) found = spi
+          _.toLowerCase(java.util.Locale.ROOT) == f)) buf += spi
       }
-      require(found != null, s"no ImageIO writer for format '$format'")
-      found
+      require(buf.nonEmpty, s"no ImageIO writer for format '$format'")
+      buf.toArray
     })
 
   /** A fresh reader over `bytes`, chosen by each cached SPI's own
@@ -329,9 +336,17 @@ object Multimodal {
       y += 1
     }
     val baos = new java.io.ByteArrayOutputStream()
-    // cached-SPI writer (see readerSpis): same codec class ImageIO.write
-    // would select, created per call, no registry walk
-    val writer = writerSpiFor(format).createWriterInstance()
+    // cached-SPI writer (see readerSpis): replay ImageIO.write's FULL
+    // selection — first registry-order SPI naming the format that also
+    // canEncodeImage this image's type — created per call, no registry
+    // walk. Name-only selection could hand TYPE_INT_RGB to a writer that
+    // cannot encode it and fail inside write() (or emit invalid bytes).
+    val ts = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+    val spi = writerSpisFor(format).find(_.canEncodeImage(ts)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ImageIO writer for format '$format' can encode a " +
+          s"${img.getType}-type image"))
+    val writer = spi.createWriterInstance()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
     try {
       writer.setOutput(ios)
@@ -445,7 +460,14 @@ object Multimodal {
     * JDK's ImageIO sequence writer. `gray(frame, x, y)` ∈ [0, 256). */
   def encodeGifFrames(width: Int, height: Int, nFrames: Int,
       gray: (Int, Int, Int) => Int): Array[Byte] = {
-    val writer = writerSpiFor("gif").createWriterInstance()
+    // frames here are always TYPE_BYTE_INDEXED over the grayscale palette
+    // — every JDK GIF writer encodes indexed images, but run write()'s
+    // canEncodeImage filter anyway for parity with encodeImage
+    val gifTs = javax.imageio.ImageTypeSpecifier.createFromBufferedImageType(
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    val writer = writerSpisFor("gif").find(_.canEncodeImage(gifTs)).getOrElse(
+      throw new IllegalArgumentException(
+        "no ImageIO GIF writer can encode indexed frames")).createWriterInstance()
     val baos = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
     try {

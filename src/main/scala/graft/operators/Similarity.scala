@@ -378,9 +378,13 @@ object Similarity {
     * id asc. Items alone in their cell emit no edges (by design — raise
     * `centroids` resolution or multi-probe to densify). Callers should
     * scale `centroids` with the corpus (~n/128, as `sim_knn_graph` does):
-    * a fixed count makes cell size ∝ n and the self-join quadratic. */
+    * a fixed count makes cell size ∝ n and the self-join quadratic.
+    * `idCol` must be integral (ids travel as primitive bigint through the
+    * pair generator — see [[requireLongCastableId]]); map string/UUID ids
+    * to a surrogate bigint first. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, centroids: Int = 16, probeGroups: Int = 0): DataFrame = {
+    requireLongCastableId(emb, idCol, "knnGraph")
     val base = withNorm(emb, vecCol)
     val codebook = coarseCodebook(base, idCol, centroids)
     require(codebook.nonEmpty, "knnGraph: empty codebook")
@@ -806,9 +810,37 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("__cell"))
   }
 
+  /** Fail fast when an id column cannot round-trip through the generator
+    * path's `cast("long")`: the join formulation preserved any orderable
+    * id type, but [[graft.expressions.CellPairs]] carries ids as
+    * primitive longs, so a string/UUID id would ANSI-fail the cast (or
+    * silently null under non-ANSI and then read garbage). Making the
+    * contract explicit here turns that into a clear analysis-time error
+    * instead of a mid-job cast exception. */
+  private def requireLongCastableId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok,
+      s"$op: id column '$idCol' must be an integral type (tinyint/smallint/" +
+        s"int/bigint) — ids travel as primitive bigint through the in-cell " +
+        s"pair generator; got ${dt.simpleString}. Map non-numeric ids to a " +
+        "surrogate bigint (e.g. monotonically_increasing_id or xxhash64) first.")
+  }
+
   /** Embedding-cosine near-dup pairs with key blocking: only same-block
     * pairs are compared (block col = e.g. a cluster/label/LSH signature),
     * never all-pairs. Returns (a, b, score_r) with a < b, score ≥ minScore.
+    *
+    * Contract notes (both inherited from the join formulation this
+    * replaced): `idCol` must be integral — see [[requireLongCastableId]];
+    * and rows whose `blockCol` is NULL are dropped before grouping — a
+    * null key never equi-joins, so the join form never paired null-keyed
+    * rows, and the groupBy form must not either (groupBy would otherwise
+    * collect all nulls into ONE block and pair them with each other).
     *
     * Shape (the 1000× ladder lesson, see [[graft.expressions.CellPairs]]):
     * ONE exchange groups each block's members into an array, then a
@@ -823,7 +855,9 @@ object Similarity {
   def cosineNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String,
       blockCol: String, minScore: Double): DataFrame = {
+    requireLongCastableId(emb, idCol, "cosineNearDupPairs")
     withNorm(emb, vecCol)
+      .filter(col(blockCol).isNotNull)
       .groupBy(col(blockCol).as("blk"))
       .agg(collect_list(struct(col(idCol).cast("long").as("id"),
         col("__vd").as("vd"), col("__norm").as("nrm"))).as("members"))

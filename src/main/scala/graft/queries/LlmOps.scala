@@ -47,7 +47,11 @@ object LlmOps {
     // on Similarity.semanticNearDupPairs. Inert at every oracle scale
     // (k = 16 there, one flat group), so the memoized codebook stays
     // bit-identical to the oracle's replayed training.
-    emb -> memo(s"cb${k}x2:$d") {
+    // memo key carries EVERY training hyperparameter, probeGroups
+    // included: probing changes the trained artifact whenever k >= 32,
+    // so a probed codebook must never alias an exact-path one trained
+    // at the same k (inert at k = 16, but the key must not rely on that)
+    emb -> memo(s"cb${k}x2p8:$d") {
       Similarity.trainCodebook(emb, "vec_id", "embedding", k, 2,
         probeGroups = 8) }
   }
@@ -150,9 +154,11 @@ object LlmOps {
     // verifies within each cluster. Oracle-checked end to end: DuckDB
     // replays BOTH training iterations, the argmax assignment, and the
     // pair scores.
-    // codebook shared with the sim_topk_*_trained queries through the
-    // same memo key — it is the IDENTICAL trainCodebook(16, 2) call, and
-    // retraining it per invocation was the query's dominant cost
+    // codebook memoized per (k, iters, probeGroups, fixture) — see
+    // semanticCodebook; retraining it per invocation was the query's
+    // dominant cost. (No longer key-shared with the sim_topk_*_trained
+    // cb16x2 entry: the probed artifact gets its own key even where the
+    // two coincide bit-for-bit at k = 16.)
     "dd_semantic" -> ((s, d) => {
       val (emb, cb) = semanticCodebook(s, d)
       Similarity.semanticNearDupPairs(emb, "vec_id", "embedding", 0.35,

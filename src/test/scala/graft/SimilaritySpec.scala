@@ -315,6 +315,41 @@ class SimilaritySpec extends SparkSpec {
     assert(sem.except(all).count() == 0)
   }
 
+  test("cosineNearDupPairs drops null block keys (the join-form contract)") {
+    // the self-join formulation never paired null-keyed rows (null does
+    // not equi-join); the generator form must not either — groupBy would
+    // otherwise collect every null into ONE block and pair its members
+    val withNulls = fixture.withColumn("blk",
+      when(col("vec_id") < 200, lit(null).cast("string")).otherwise(lit("x")))
+    assert(Similarity.cosineNearDupPairs(
+      withNulls, "vec_id", "embedding", "blk", -1.0).count() == 0,
+      "null-block rows paired with each other")
+    // sanity: the same frame with the nulls made real DOES pair
+    val keyed = fixture.withColumn("blk", lit("x"))
+    assert(Similarity.cosineNearDupPairs(
+      keyed, "vec_id", "embedding", "blk", 0.99).count() >= 5)
+  }
+
+  test("non-integral id columns fail fast with a clear message") {
+    val stringIds = fixture.withColumn("vec_id", concat(lit("doc-"),
+      col("vec_id").cast("string")))
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(
+        stringIds.withColumn("blk", lit("x")),
+        "vec_id", "embedding", "blk", 0.9)
+    }
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.knnGraph(stringIds, "vec_id", "embedding", 3)
+    }
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+    // int (not just long) ids remain accepted — the cast widens losslessly
+    val intIds = fixture.withColumn("vec_id", col("vec_id").cast("int"))
+    assert(Similarity.cosineNearDupPairs(
+      intIds.withColumn("blk", lit("x")),
+      "vec_id", "embedding", "blk", 0.99).count() >= 5)
+  }
+
   test("IVF index append adds part-files without rewriting the base index") {
     val idx = java.nio.file.Files.createTempDirectory("sim-ivf-incr").toString
     val isBatch = col("vec_id") % 3 === 0 && col("vec_id") >= 8
