@@ -217,6 +217,12 @@ object IvfPrunedIndex {
     * at unit scale) — four orders of margin, far below any real gap. */
   private[expressions] final val Eps = 1e-9
 
+  /** Fixed-point scale for group-Lloyd means — the same 2^20 trick (and
+    * value) as `Similarity.trainCodebook`'s MeanScale, for the same
+    * reason: long sums are order-independent, so the oracle replays the
+    * grouping exactly. */
+  private[expressions] final val MeanScale = 1048576L // 2^20
+
   /** Spark's nan-safe double ordering (NaN greatest, NaN == NaN,
     * -0.0 == 0.0) — what struct comparison / array_min use. */
   private[expressions] def cmpDouble(x: Double, y: Double): Int =
@@ -232,8 +238,14 @@ object IvfPrunedIndex {
     * driver-side model artifact the literal-tree formulation inlines.
     * Cells are clustered into ⌈√k⌉ pruning groups by a deterministic
     * Lloyd's run over the NORMALIZED cells (init = first g cells in cid
-    * order, 5 iterations, min-L2 assignment with lowest-group ties); the
-    * grouping only affects SPEED — exactness never depends on it. Small
+    * order, 5 iterations, min-L2 assignment with lowest-group ties,
+    * means in FIXED POINT — sum(floor(ĉ·2^20)) as long, one double
+    * division — so the grouping is order-independent and an external
+    * SQL oracle can replay it term-for-term, the same contract as
+    * `Similarity.trainCodebook`). In EXACT mode the grouping only
+    * affects SPEED; in PROBED mode (`probeGroups` > 0) it selects which
+    * cells are scanned, so replayability is what lets the probed
+    * assignment sit on the hash gate (`sim_probed_assign`). Small
     * codebooks (k < 32) get one flat group: the bound pass would cost
     * more than it saves. */
   def build(codebook: Array[(Long, Seq[Double], Double)],
@@ -284,12 +296,18 @@ object IvfPrunedIndex {
           val members = (0 until k).filter(assign(_) == gi)
           if (members.isEmpty) mu(gi)
           else {
-            val m = new Array[Double](dims)
+            // fixed-point mean (2^20 scale): integer sums are associative,
+            // so the mean — and with it the probed group selection — is
+            // identical no matter who computes it in what order
+            val m = new Array[Long](dims)
             members.foreach { ci =>
-              var j = 0; while (j < dims) { m(j) += hat(ci)(j); j += 1 } }
-            var j = 0
-            while (j < dims) { m(j) /= members.length; j += 1 }
-            m
+              var j = 0
+              while (j < dims) {
+                m(j) += math.floor(hat(ci)(j) * MeanScale).toLong; j += 1
+              }
+            }
+            Array.tabulate(dims)(j =>
+              m(j).toDouble / members.length / MeanScale.toDouble)
           }
         }
       }

@@ -271,6 +271,31 @@ object LlmOps {
         .orderBy("vec_id", "rank")
     }),
 
+    // The PROBED approximate cell assignment ON the hash gate — the
+    // branch every at-scale assignment takes (corpus-scaled codebooks,
+    // see semanticCodebook) and the one the k = 16 gate queries never
+    // execute (one flat group there). k = max(72, ceil(n/64)) forces
+    // ceil(sqrt(k)) = 9 pruning groups > probeGroups = 8 at EVERY gate
+    // scale (n = 500/500/2000 -> k = 72), so IvfTop1 runs the
+    // best-8-bound group selection, not the exact prune — asserted by
+    // IvfTop1Spec's "gate parameterization probes" test. The oracle
+    // replays the WHOLE approximate chain term-for-term: normalized
+    // cells, 5 fixed-point group-Lloyd iterations (stale means carried
+    // for stranded groups), radii, per-row Cauchy-Schwarz bounds, the
+    // (bound desc, group asc) top-8 selection, and the in-probed-cells
+    // argmax — a regression anywhere in the approximate path (bound
+    // arithmetic, selection order, scan tie-break) hash-mismatches.
+    "sim_probed_assign" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val k = math.max(72, math.ceil(emb.count() / 64.0).toInt)
+      val cb = memo(s"cbc${k}:$d") {
+        Similarity.coarseCodebookOf(emb, "vec_id", "embedding", k) }
+      Similarity.semanticClustered(emb, "vec_id", "embedding", cb,
+          probeGroups = 8)
+        .select(col("vec_id"), col("__cell").as("cent_id"))
+        .orderBy("vec_id")
+    }),
+
     // IVF with a TRAINED codebook: 2 Lloyd iterations in DataFrame ops
     // (deterministic first-16 init, fixed-point centroid means — exact
     // integer sums, so the distributed mean is partition-order-proof).
@@ -1187,6 +1212,64 @@ object LlmOps {
       "cc AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
       ivfPqGateSql("cc") + ", " + ivfPqTailSql
 
+  /** The probed-assignment replay (`sim_probed_assign`): IvfPrunedIndex's
+    * APPROXIMATE mode, term-for-term. The codebook is the first 72
+    * vectors (the gate instantiation of k = max(72, ⌈n/64⌉); fixed like
+    * the embedded 8-plane LSH matrices); cells normalize to ĉ = c/‖c‖ and
+    * cluster into 9 pruning groups by 5 Lloyd iterations (init = first 9
+    * cells, min-L2 ties lowest-group, FIXED-POINT means with stale-mean
+    * carry for stranded groups — IvfPrunedIndex.build's exact
+    * arithmetic); each row then bounds every live group by
+    * ⟨x, μ_g⟩/‖x‖ + r_g, probes the 8 best (bound desc, group asc), and
+    * takes the (cosine desc, cid asc) argmax over the probed cells only.
+    * Every fold replays graft_dot's left-to-right order, so doubles
+    * match bit-for-bit. */
+  private def probedAssignOracleSql: String = {
+    val k = 72
+    val g = 9
+    def dist2(h: String, mv: String): String =
+      s"list_reduce(list_transform(range(1, 65), i -> ($h[i]-$mv[i])*($h[i]-$mv[i])), (p6,q6) -> p6+q6)"
+    // one group-Lloyd iteration: assign every cell to its nearest group
+    // mean (ties lowest gidx), then fixed-point per-dimension means;
+    // groups that lose all members carry their previous mean forward
+    def gIter(i: Int): String =
+      s"ga$i AS (SELECT cid, gidx FROM (" +
+        s"SELECT hat.cid, g${i - 1}.gidx, row_number() OVER (PARTITION BY hat.cid " +
+        s"ORDER BY ${dist2("hat.h", s"g${i - 1}.mv")} ASC, g${i - 1}.gidx ASC) AS rr " +
+        s"FROM hat, g${i - 1}) WHERE rr = 1), " +
+        s"gm$i AS (SELECT gidx, i AS dim, " +
+        "CAST(sum(CAST(floor(h[i]*1048576) AS BIGINT)) AS DOUBLE)/count(*)/1048576.0 AS m " +
+        s"FROM ga$i JOIN hat USING (cid), range(1,65) t(i) GROUP BY gidx, dim), " +
+        s"gl$i AS (SELECT gidx, list(m ORDER BY dim) AS mv FROM gm$i GROUP BY gidx), " +
+        s"g$i AS (SELECT p.gidx, COALESCE(x.mv, p.mv) AS mv " +
+        s"FROM g${i - 1} p LEFT JOIN gl$i x ON p.gidx = x.gidx)"
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
+      s"cb AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n WHERE vec_id < $k), " +
+      "hat AS (SELECT cid, list_transform(cv, x -> x / cn) AS h FROM cb), " +
+      s"g0 AS (SELECT row_number() OVER (ORDER BY cid) - 1 AS gidx, h AS mv " +
+      s"FROM hat QUALIFY row_number() OVER (ORDER BY cid) <= $g), " +
+      (1 to 5).map(gIter).mkString(", ") + ", " +
+      // final groups = iteration-5 assignment; radius over members vs the
+      // POST-iteration-5 means (exactly build()'s order of operations);
+      // stranded groups vanish here, which replays the compaction
+      "gr AS (SELECT ga5.gidx, g5.mv, max(sqrt(" + dist2("hat.h", "g5.mv") + ")) AS r " +
+      "FROM ga5 JOIN hat USING (cid) JOIN g5 ON g5.gidx = ga5.gidx GROUP BY ga5.gidx, g5.mv), " +
+      // per-row bound on every live group, probe the 8 best; the remap of
+      // compacted group indices is monotone, so original-gidx ASC ties
+      // replay the compacted-index ASC tie-break
+      "sel AS (SELECT vec_id, gidx FROM (SELECT n.vec_id, gr.gidx, " +
+      duckDot("n.v", "gr.mv") + " / n.nm + gr.r AS b FROM n, gr) " +
+      "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY b DESC, gidx ASC) <= 8) " +
+      // argmax over the probed groups' cells only (cosine desc, cid asc —
+      // the scan's cmpDouble + explicit cid tie-break, order-independent)
+      "SELECT vec_id, cent_id FROM (SELECT s.vec_id, cb.cid AS cent_id, " +
+      "row_number() OVER (PARTITION BY s.vec_id ORDER BY " +
+      duckDot("n.v", "cb.cv") + " / (n.nm * cb.cn) DESC, cb.cid ASC) AS rr " +
+      "FROM sel s JOIN ga5 ON ga5.gidx = s.gidx JOIN cb ON cb.cid = ga5.cid " +
+      "JOIN n ON n.vec_id = s.vec_id) WHERE rr = 1 ORDER BY vec_id"
+  }
+
   /** The recall accounting replay: each method's standalone oracle SQL
     * (verbatim — the exact text its own query is hash-checked against)
     * becomes a derived table, intersected with brute force on
@@ -1317,6 +1400,7 @@ object LlmOps {
     // each method's replay is the SAME SQL its standalone query is
     // hash-checked against, composed as derived tables and intersected
     "sim_recall_report" -> recallReportOracleSql,
+    "sim_probed_assign" -> probedAssignOracleSql,
     // the cell-blocked kNN graph: same assignment CTE (cr <= 1), then
     // within-cell pairs ranked per ITEM (every vec is its own probe)
     "sim_knn_graph" ->

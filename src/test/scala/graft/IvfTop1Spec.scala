@@ -217,6 +217,45 @@ class IvfTop1Spec extends SparkSpec {
       s"probed assignment agreed on only $agree/${vecs.length}")
   }
 
+  test("sim_probed_assign's gate parameterization takes the probed branch " +
+    "at every gate scale, with an agreement floor vs exact") {
+    // The branch condition in assignTop1 is probeGroups < live-group
+    // count: k = max(72, ceil(n/64)) must keep MORE than 8 live groups
+    // after Lloyd's compaction on the REAL gate fixtures, else the gate
+    // query silently degrades to the exact path and pins nothing.
+    Seq("0.001", "0.01", "0.1").foreach { sf =>
+      val dir = s"/root/testdata/sf$sf"
+      if (new java.io.File(dir).exists()) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val k = math.max(72, math.ceil(emb.count() / 64.0).toInt)
+        val cb = Similarity.coarseCodebookOf(emb, "vec_id", "embedding", k)
+        val probed = IvfPrunedIndex.build(cb, probeGroups = 8)
+        assert(probed.groupR.length > 8,
+          s"sf$sf: only ${probed.groupR.length} live groups — the gate " +
+            "query would take the EXACT branch, not the probed one")
+        // recall floor: probed-vs-exact cell agreement on the real
+        // fixture (deterministic, so the rate is a constant per fixture;
+        // measured ≥ 97% — pin 90% so only a genuine selection/bound
+        // regression trips it, not fp dust)
+        val exact = IvfPrunedIndex.build(cb)
+        val vecs = everyVec(emb)
+        val agree = vecs.count { case (_, vec, nrm) =>
+          exact.assignTop1(vec, nrm).getLong(1) ==
+            probed.assignTop1(vec, nrm).getLong(1)
+        }
+        assert(agree >= (vecs.length * 0.90).toInt,
+          s"sf$sf: probed agreed on only $agree/${vecs.length}")
+        // and the approximation must be REAL on at least one fixture —
+        // if probed == exact everywhere at every scale the gate query
+        // could not distinguish the two branches (checked at sf0.1,
+        // where 2000 rows give decorrelated vectors room to diverge)
+        if (sf == "0.1")
+          assert(agree < vecs.length,
+            "probed assignment never diverged from exact — branch inert")
+      }
+    }
+  }
+
   test("probed assignment is deterministic and returns a genuine cell") {
     // decorrelated probes (where approximation actually bites): same
     // result on every evaluation, and the returned negsim is the true
