@@ -383,8 +383,27 @@ object Similarity {
     * pair generator — see [[requireLongCastableId]]); map string/UUID ids
     * to a surrogate bigint first. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, centroids: Int = 16, probeGroups: Int = 0): DataFrame = {
+      k: Int, centroids: Int = 16, probeGroups: Int = 0,
+      maxDriverCells: Int = MaxDriverCells): DataFrame = {
     requireLongCastableId(emb, idCol, "knnGraph")
+    // corpus-scaled cell counts outgrow the driver (see MaxDriverCells):
+    // block by the two-level composite cell instead — same ~128-member
+    // cells, O(√k) driver state, identical generator epilogue
+    if (centroids > maxDriverCells) {
+      val k1 = math.ceil(math.sqrt(centroids.toDouble)).toInt
+      val m2 = math.ceil(centroids.toDouble / k1).toInt
+      val l1 = coarseCodebook(withNorm(emb, vecCol), idCol, k1)
+      require(l1.nonEmpty, "knnGraph: empty L1 codebook")
+      return withNorm(
+          twoLevelClustered(emb, idCol, vecCol, l1, m2,
+            probeGroups = probeGroups), vecCol)
+        .groupBy("__cell")
+        .agg(collect_list(struct(col(idCol).cast("long").as("id"),
+          col("__vd").as("vd"), col("__norm").as("nrm"))).as("members"))
+        .select(call_function("graft_cell_pairs",
+          col("members"), lit(0.0), lit(k))
+          .as(Seq(idCol, "vec_id_n", "rank", "score_r")))
+    }
     val base = withNorm(emb, vecCol)
     val codebook = coarseCodebook(base, idCol, centroids)
     require(codebook.nonEmpty, "knnGraph: empty codebook")
@@ -774,7 +793,24 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String, minScore: Double,
       centroids: Int = 16, iters: Int = 2,
       codebookOpt: Option[Array[(Long, Seq[Double], Double)]] = None,
-      probeGroups: Int = 0): DataFrame = {
+      probeGroups: Int = 0,
+      maxDriverCells: Int = MaxDriverCells): DataFrame = {
+    // Above maxDriverCells the single-level codebook is no longer a
+    // model artifact (k = n/128 grows with the corpus): switch to the
+    // two-level form — L1 trains at ⌈√k⌉ on the driver, L2 refines
+    // distributively, blocking key = the composite (l1, l2) cell. Same
+    // ~k blocks / ~128-member-cells law, O(√k) driver state. The bound
+    // is parameterized only so specs can exercise the branch with sane
+    // cell geometry on small frames; production callers keep the default.
+    if (codebookOpt.isEmpty && centroids > maxDriverCells) {
+      val k1 = math.ceil(math.sqrt(centroids.toDouble)).toInt
+      val m2 = math.ceil(centroids.toDouble / k1).toInt
+      val l1 = trainCodebook(emb, idCol, vecCol, k1, iters,
+        probeGroups = probeGroups)
+      return cosineNearDupPairs(
+        twoLevelClustered(emb, idCol, vecCol, l1, m2, iters, probeGroups),
+        idCol, vecCol, "__cell", minScore)
+    }
     val codebook = codebookOpt.getOrElse(
       trainCodebook(emb, idCol, vecCol, centroids, iters))
     // cosineNearDupPairs' groupBy on the cluster key is the ONE exchange
@@ -829,6 +865,93 @@ object Similarity {
         s"int/bigint) — ids travel as primitive bigint through the in-cell " +
         s"pair generator; got ${dt.simpleString}. Map non-numeric ids to a " +
         "surrogate bigint (e.g. monotonically_increasing_id or xxhash64) first.")
+  }
+
+  /** Cells a single-level codebook may hold as a DRIVER artifact before
+    * the corpus-scaled law (k = n/128) must switch to the two-level
+    * form: 2^16 cells × 64 dims × 8 B = 32 MB of driver/plan state. At
+    * 100 TB (~2×10^11 vectors) single-level k would be ~1.5×10^9 cells —
+    * a corpus-sized "model" no driver or broadcast holds; two-level
+    * holds k1 = ⌈√k⌉ (~39k cells, 20 MB) on the driver and keeps the
+    * k2-per-cell fine level DISTRIBUTED. */
+  val MaxDriverCells: Int = 1 << 16
+
+  /** TWO-LEVEL blocking assignment — the 100 TB form of
+    * [[semanticClustered]] (see [[MaxDriverCells]] for the law). Level 1
+    * is the usual driver-artifact codebook (probed index, O(√k) driver
+    * state); level 2 lives in a DataFrame: per L1 cell, sub-centroids
+    * init to the first `m2` members by id and refine by `iters`
+    * fixed-point Lloyd rounds computed entirely with distributed
+    * DataFrame ops — the fine codebook never visits the driver.
+    *
+    * Assignment is a co-partitioned equi-join on the L1 cell (both
+    * sides shuffle once on `__l1`; sub-centroid fan-out collapses in
+    * the partial aggregate BEFORE the next exchange, so the n·√k
+    * candidate stream never shuffles) + a `min(struct(negsim, l2))`
+    * argmax — the same deterministic (cosine desc, sub-id asc) contract
+    * as every other assignment in this file, exactly replayable by an
+    * external SQL oracle (fixed-point means, left-fold dots; pinned on
+    * the hash gate by `sim_twolevel_assign`). Sub-cells that lose all
+    * members drop out, mirroring [[trainCodebook]].
+    *
+    * Returns (idCol, vecCol, __cell) with __cell = l1·m2 + l2 — the
+    * composite block key for [[cosineNearDupPairs]] / the kNN
+    * generator. Skew: a hot L1 cell is one oversized join partition —
+    * AQE's skew-join split handles it (stats exist on both exchanges). */
+  def twoLevelClustered(
+      emb: DataFrame, idCol: String, vecCol: String,
+      l1Codebook: Array[(Long, Seq[Double], Double)], m2: Int,
+      iters: Int = 2, probeGroups: Int = 0): DataFrame = {
+    require(l1Codebook.nonEmpty, "twoLevelClustered: empty L1 codebook")
+    require(m2 > 0, "twoLevelClustered: m2 must be positive")
+    val base = withNorm(emb, vecCol)
+      .withColumn("__l1", cellTop1Col(l1Codebook, probeGroups).getField("cent_id"))
+      .select(col(idCol), col(vecCol), col("__l1"), col("__vd"), col("__norm"))
+    // L2 init: the first m2 members of each L1 cell by id, sub-ids 0..m2-1
+    // in id order — deterministic for any id distribution (the same seed
+    // rule as trainCodebook under sampling)
+    val w = Window.partitionBy("__l1").orderBy(col(idCol).asc)
+    val cents0 = base
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= m2)
+      .select(col("__l1"), (col("__rn") - 1).cast("long").as("__l2"),
+        col("__vd").as("__cv"), col("__norm").as("__cn"))
+    // one member→sub-centroid argmax: join on the L1 cell, score by the
+    // shared left-fold cosine, keep min(struct(negsim, l2)) per member —
+    // partial-aggregates map-side, so only n rows reach the exchange
+    def assign(cents: DataFrame): DataFrame =
+      base.join(cents, Seq("__l1"))
+        .withColumn("__neg",
+          -(dot(col("__vd"), col("__cv")) / (col("__norm") * col("__cn"))))
+        .groupBy(col(idCol))
+        .agg(min(struct(col("__neg"), col("__l2"))).as("__best"),
+          first(col("__l1")).as("__l1"),
+          first(col("__vd")).as("__vd"),
+          first(col(vecCol)).as(vecCol))
+        .select(col(idCol), col(vecCol), col("__l1"),
+          col("__best.__l2").as("__l2"), col("__vd"))
+    var cents = cents0
+    for (_ <- 0 until iters) {
+      val assigned = assign(cents)
+      // fixed-point per-dimension means (the trainCodebook contract:
+      // integer sums → order-independent), reassembled in pos order;
+      // empty sub-cells simply emit no rows — they drop out
+      cents = assigned
+        .select(col("__l1"), col("__l2"),
+          posexplode(col("__vd")).as(Seq("pos", "x")))
+        .groupBy("__l1", "__l2", "pos")
+        .agg(sum(floor(col("x") * MeanScale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("m",
+          col("s").cast("double") / col("n") / lit(MeanScale.toDouble))
+        .groupBy("__l1", "__l2")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("__cv"))
+        .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+    }
+    assign(cents)
+      .select(col(idCol), col(vecCol),
+        (col("__l1") * m2 + col("__l2")).as("__cell"))
   }
 
   /** Embedding-cosine near-dup pairs with key blocking: only same-block

@@ -56,6 +56,32 @@ object LlmOps {
         probeGroups = 8) }
   }
 
+  /** The SemDeDup pair stream with the DRIVER-MEMORY LAW applied: below
+    * [[Similarity.MaxDriverCells]] (every current fixture, sf100's
+    * k = 15,625 included) the single-level memoized codebook; above it,
+    * the two-level form — L1 trained at ⌈√k⌉ (driver O(√k)), L2 refined
+    * distributively, blocking on the composite cell. Shared by
+    * dd_semantic and dd_semantic_keep so both switch together. */
+  private def semanticPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val emb = embeddings(s, d)
+    val k = math.max(16, math.ceil(emb.count() / 128.0).toInt)
+    if (k > Similarity.MaxDriverCells) {
+      val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+      val m2 = math.ceil(k.toDouble / k1).toInt
+      val l1 = memo(s"cb2l${k1}x2p8:$d") {
+        Similarity.trainCodebook(emb, "vec_id", "embedding", k1, 2,
+          probeGroups = 8) }
+      emb -> Similarity.cosineNearDupPairs(
+        Similarity.twoLevelClustered(emb, "vec_id", "embedding", l1, m2,
+          probeGroups = 8),
+        "vec_id", "embedding", "__cell", 0.35)
+    } else {
+      val (e, cb) = semanticCodebook(s, d)
+      e -> Similarity.semanticNearDupPairs(e, "vec_id", "embedding", 0.35,
+        codebookOpt = Some(cb), probeGroups = 8)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: deterministic keep-first-by-id per key
     "dd_exact_rownum" -> ((s, d) =>
@@ -159,23 +185,16 @@ object LlmOps {
     // dominant cost. (No longer key-shared with the sim_topk_*_trained
     // cb16x2 entry: the probed artifact gets its own key even where the
     // two coincide bit-for-bit at k = 16.)
-    "dd_semantic" -> ((s, d) => {
-      val (emb, cb) = semanticCodebook(s, d)
-      Similarity.semanticNearDupPairs(emb, "vec_id", "embedding", 0.35,
-        codebookOpt = Some(cb), probeGroups = 8)
-        .orderBy("a", "b")
-    }),
+    "dd_semantic" -> ((s, d) =>
+      semanticPairs(s, d)._2.orderBy("a", "b")),
 
     // The semantic-dedup keep decision a pipeline ships: drop any vector
     // with a same-cluster neighbour of lower id at score ≥ τ, then
     // per-label survivor stats (the label here standing in for a
     // source/domain column).
     "dd_semantic_keep" -> ((s, d) => {
-      val (emb, cb) = semanticCodebook(s, d)
-      val drops = Similarity.semanticNearDupPairs(
-        emb, "vec_id", "embedding", 0.35, codebookOpt = Some(cb),
-        probeGroups = 8)
-        .select(col("b").as("vec_id")).distinct()
+      val (emb, pairs) = semanticPairs(s, d)
+      val drops = pairs.select(col("b").as("vec_id")).distinct()
       emb.join(drops, Seq("vec_id"), "left_anti")
         .groupBy("label")
         .agg(count(lit(1)).as("n_kept"),
@@ -293,6 +312,26 @@ object LlmOps {
       Similarity.semanticClustered(emb, "vec_id", "embedding", cb,
           probeGroups = 8)
         .select(col("vec_id"), col("__cell").as("cent_id"))
+        .orderBy("vec_id")
+    }),
+
+    // The TWO-LEVEL assignment on the hash gate — the form the
+    // driver-memory law switches to above MaxDriverCells (k = n/128
+    // outgrows any driver artifact at 100 TB; see semanticPairs). L1 is
+    // a first-8 coarse codebook; L2 sub-centroids init to the first 8
+    // members per L1 cell and refine by 2 DISTRIBUTED fixed-point Lloyd
+    // rounds (the fine codebook never visits the driver); assignment is
+    // the co-partitioned join + min(struct) argmax. The oracle replays
+    // every stage — L1 argmax, L2 init ranks, both Lloyd rounds
+    // (fixed-point means, sub-cells dropping when emptied), the final
+    // composite cell l1·8 + l2 — term-for-term in SQL.
+    "sim_twolevel_assign" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cb1 = memo(s"cbc8:$d") {
+        Similarity.coarseCodebookOf(emb, "vec_id", "embedding", 8) }
+      Similarity.twoLevelClustered(emb, "vec_id", "embedding", cb1,
+          m2 = 8, iters = 2)
+        .select(col("vec_id"), col("__cell").as("cell"))
         .orderBy("vec_id")
     }),
 
@@ -1270,6 +1309,42 @@ object LlmOps {
       "JOIN n ON n.vec_id = s.vec_id) WHERE rr = 1 ORDER BY vec_id"
   }
 
+  /** The two-level assignment replay (`sim_twolevel_assign`):
+    * Similarity.twoLevelClustered at the gate parameterization — L1 =
+    * first-8 coarse cells (exact argmax, cosine desc ties cid asc); L2
+    * init = the first 8 members of each L1 cell by id (sub-ids = id
+    * rank − 1); two Lloyd rounds of (join-on-l1 argmax, fixed-point
+    * per-dimension means) with emptied sub-cells dropping out; final
+    * composite cell = l1·8 + l2. Every dot is the shared left fold. */
+  private def twoLevelOracleSql: String = {
+    def iter(i: Int, prev: String): String =
+      s"ta$i AS (SELECT vec_id, l1, l2 FROM (SELECT m.vec_id, m.l1, t.l2, " +
+        "row_number() OVER (PARTITION BY m.vec_id ORDER BY " +
+        duckDot("m.v", "t.cv") + " / (m.nm * t.cn) DESC, t.l2 ASC) AS rr " +
+        s"FROM l1a m JOIN $prev t ON t.l1 = m.l1) WHERE rr = 1), " +
+        s"tm$i AS (SELECT ta$i.l1, ta$i.l2, i AS dim, " +
+        "CAST(sum(CAST(floor(v[i]*1048576) AS BIGINT)) AS DOUBLE)/count(*)/1048576.0 AS m " +
+        s"FROM ta$i JOIN l1a USING (vec_id), range(1,65) t(i) GROUP BY ta$i.l1, ta$i.l2, dim), " +
+        s"tl$i AS (SELECT l1, l2, list(m ORDER BY dim) AS cv FROM tm$i GROUP BY l1, l2), " +
+        s"t$i AS (SELECT l1, l2, cv, sqrt(" + duckDot("cv", "cv") + s") AS cn FROM tl$i)"
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
+      "c1 AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n WHERE vec_id < 8), " +
+      "l1a AS (SELECT vec_id, l1, v, nm FROM (SELECT n.vec_id, c1.cid AS l1, n.v, n.nm, " +
+      "row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+      duckDot("n.v", "c1.cv") + " / (n.nm * c1.cn) DESC, c1.cid ASC) AS cr " +
+      "FROM n, c1) WHERE cr = 1), " +
+      "t0 AS (SELECT l1, CAST(row_number() OVER (PARTITION BY l1 ORDER BY vec_id) - 1 AS BIGINT) AS l2, " +
+      "v AS cv, nm AS cn FROM l1a " +
+      "QUALIFY row_number() OVER (PARTITION BY l1 ORDER BY vec_id) <= 8), " +
+      iter(1, "t0") + ", " + iter(2, "t1") + ", " +
+      "fin AS (SELECT vec_id, l1, l2 FROM (SELECT m.vec_id, m.l1, t.l2, " +
+      "row_number() OVER (PARTITION BY m.vec_id ORDER BY " +
+      duckDot("m.v", "t.cv") + " / (m.nm * t.cn) DESC, t.l2 ASC) AS rr " +
+      "FROM l1a m JOIN t2 t ON t.l1 = m.l1) WHERE rr = 1) " +
+      "SELECT vec_id, l1 * 8 + l2 AS cell FROM fin ORDER BY vec_id"
+  }
+
   /** The recall accounting replay: each method's standalone oracle SQL
     * (verbatim — the exact text its own query is hash-checked against)
     * becomes a derived table, intersected with brute force on
@@ -1401,6 +1476,7 @@ object LlmOps {
     // hash-checked against, composed as derived tables and intersected
     "sim_recall_report" -> recallReportOracleSql,
     "sim_probed_assign" -> probedAssignOracleSql,
+    "sim_twolevel_assign" -> twoLevelOracleSql,
     // the cell-blocked kNN graph: same assignment CTE (cr <= 1), then
     // within-cell pairs ranked per ITEM (every vec is its own probe)
     "sim_knn_graph" ->

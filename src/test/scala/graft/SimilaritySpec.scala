@@ -315,6 +315,47 @@ class SimilaritySpec extends SparkSpec {
     assert(sem.except(all).count() == 0)
   }
 
+  test("twoLevelClustered: planted near-dups share a composite cell; " +
+    "cells are valid (l2 < m2) and cover every row") {
+    val m2 = 4
+    val cb1 = Similarity.coarseCodebookOf(fixture, "vec_id", "embedding", 4)
+    val cells = Similarity.twoLevelClustered(
+      fixture, "vec_id", "embedding", cb1, m2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cells.size == 45, "every input row must be assigned exactly once")
+    // composite key well-formed: l2 component within [0, m2)
+    cells.values.foreach(c => assert(c % m2 >= 0 && c % m2 < m2))
+    // a near-identical twin (cos ≈ 1) must land with its original — the
+    // blocking-recall property SemDeDup needs from ANY cell law
+    (0L until 5L).foreach { id =>
+      assert(cells(id) == cells(id + 100L),
+        s"planted twin $id/${id + 100} split across cells " +
+          s"${cells(id)}/${cells(id + 100L)}")
+    }
+  }
+
+  test("knnGraph and semanticNearDupPairs switch to the two-level form " +
+    "above MaxDriverCells and still recall planted twins") {
+    // bound forced low so the branch runs with real cell geometry on a
+    // 45-row frame: k = 9 > 8 → two-level with k1 = 3, m2 = 3
+    val edges = Similarity.knnGraph(
+      fixture, "vec_id", "embedding", k = 1, centroids = 9,
+      maxDriverCells = 8).collect()
+    assert(edges.nonEmpty)
+    (0L until 5L).foreach { id =>
+      val nbr = edges.find(_.getLong(0) == id).map(_.getLong(1))
+      assert(nbr.contains(id + 100L),
+        s"two-level kNN lost planted twin of $id: got $nbr")
+    }
+    val pairs = Similarity.semanticNearDupPairs(
+      fixture, "vec_id", "embedding", 0.99, centroids = 9,
+      maxDriverCells = 8).collect()
+    (0L until 5L).foreach { id =>
+      assert(pairs.exists(p => p.getLong(0) == id && p.getLong(1) == id + 100L),
+        s"two-level semantic near-dup lost planted pair ($id, ${id + 100})")
+    }
+  }
+
   test("cosineNearDupPairs drops null block keys (the join-form contract)") {
     // the self-join formulation never paired null-keyed rows (null does
     // not equi-join); the generator form must not either — groupBy would
