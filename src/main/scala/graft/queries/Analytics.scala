@@ -17,6 +17,51 @@ object Analytics {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
+  /** Frequent co-purchase pairs over (l_orderkey, l_partkey) rows —
+    * apriori k=1 prune, basket-shaped pair emission, and a BASKET-SIZE
+    * GUARD (`maxBasket`, the maxGroupSize pattern from Dedup):
+    *
+    *  - apriori k=1 over the RAW rows: per-part raw line count ≥
+    *    distinct-order count, so `raw count ≥ support` keeps a SUPERSET
+    *    of the truly frequent parts — over-keeping never changes output,
+    *    and pruning BEFORE the distinct shrinks its shuffle. The filter
+    *    is an aggregate of the fact table, broadcastable at any
+    *    realistic catalog size.
+    *  - basket shape, not join shape (the 1000× lesson — the self-join
+    *    form was the battery's biggest line at 481.7 s): collect_set per
+    *    order IS the distinct (one corpus-wide shuffle), the double
+    *    explode emits each basket's m² pairs MAP-SIDE where the partial
+    *    pair-count aggregate absorbs them, and the only other exchange
+    *    carries distinct pairs.
+    *  - the guard bounds m: a basket emits m² pairs inside ONE task, so
+    *    a single pathological basket (a degenerate mega-order, a
+    *    catalog-spanning batch import) is a task-level blowup no
+    *    partitioning can split. Baskets larger than `maxBasket` DISTINCT
+    *    frequent parts are excluded outright — the dd_minhash_capped
+    *    semantics: a basket with 10⁴+ distinct items is not co-purchase
+    *    signal, and keeping it would let one row dominate every support
+    *    count it touches. The cap is measured AFTER the frequent-part
+    *    prune (junk parts don't disqualify a basket) and replayed by the
+    *    oracle; at TPC-H shapes (≤ 7 lines/order) it never binds, so the
+    *    default is plan-shape insurance, not a result change. */
+  def basketPairs(raw: DataFrame, support: Int = 2,
+      maxBasket: Int = 1024): DataFrame = {
+    val freq = raw.groupBy("l_partkey")
+      .agg(count(lit(1)).as("__pn"))
+      .filter(col("__pn") >= support)
+      .select("l_partkey")
+    val li = raw.join(broadcast(freq), Seq("l_partkey"), "left_semi")
+    li.groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("__parts"))
+      .filter(size(col("__parts")) <= maxBasket)
+      .select(explode(col("__parts")).as("part_a"), col("__parts"))
+      .select(col("part_a"), explode(col("__parts")).as("part_b"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= support)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     // Revenue per region: lineitem ⋈ orders (shuffle) ⋈ customer (shuffle)
@@ -97,45 +142,9 @@ object Analytics {
     // bounds the fan-out — the 300× ladder measured the unpruned join's
     // pair constant growing 5.3× on 3× data, and the frequent-part set
     // shrinks relative to the fact table as the catalog long-tails.
-    "an_basket_pairs" -> ((s, d) => {
-      val support = 2
-      val raw = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      // apriori k=1 pass over the RAW rows: per-part raw line count ≥
-      // distinct-order count, so `raw count ≥ support` keeps a SUPERSET
-      // of the truly frequent parts — sound (the prune is an
-      // optimization, over-keeping never changes output) and cheap (a
-      // map-side-combining agg, no distinct underneath). The filter is
-      // an aggregate of the fact table — small enough to broadcast-
-      // semi-join at any realistic part cardinality (swap for a
-      // shuffled semi-join or bloom gate if the catalog itself is
-      // shuffle-sized). Pruning BEFORE the distinct also shrinks the
-      // distinct's own shuffle by the pruned fraction.
-      val freq = raw.groupBy("l_partkey")
-        .agg(count(lit(1)).as("__pn"))
-        .filter(col("__pn") >= support)
-        .select("l_partkey")
-      // Basket shape, not join shape (the 1000× lesson — this was the
-      // battery's biggest line at 481.7 s): the self-join form pays FOUR
-      // wide shuffles (the distinct, two ENSURE_REQUIREMENTS exchanges
-      // re-keying it to l_orderkey for the join, the pair aggregate) and
-      // materializes every candidate pair as a joined row. collect_set
-      // per order IS the distinct (one corpus-wide shuffle), the double
-      // explode emits each order's m² pairs map-side where the partial
-      // pair-count aggregate absorbs them, and the only other exchange
-      // carries distinct pairs. Baskets bound m (TPC-H ≤ 7 lines/order;
-      // the caller owns that bound like CellPairs' callers own block
-      // size), so the fan-out is linear in orders at any scale.
-      val li = raw.join(broadcast(freq), Seq("l_partkey"), "left_semi")
-      li.groupBy("l_orderkey")
-        .agg(collect_set(col("l_partkey")).as("__parts"))
-        .select(explode(col("__parts")).as("part_a"), col("__parts"))
-        .select(col("part_a"), explode(col("__parts")).as("part_b"))
-        .filter(col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= support)
-        .orderBy(col("support").desc, col("part_a"), col("part_b"))
-    }),
+    "an_basket_pairs" -> ((s, d) =>
+      basketPairs(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))),
 
     // Top-k per group via rank pushdown: row_number ≤ k directly above
     // the window lets Catalyst infer a WindowGroupLimit, so each map
@@ -367,12 +376,20 @@ object Analytics {
         "CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click, " +
         "CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel " +
         "FROM firsts"),
+    // replays the basket-size guard (and with it the apriori prune the
+    // guard is measured after): baskets keep only parts with raw line
+    // count >= support, and baskets with > 1024 distinct surviving parts
+    // are excluded outright (never binds at TPC-H shapes — <= 7
+    // lines/order — so gate output is the unguarded result)
     "an_basket_pairs" ->
-      ("SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, " +
-        "count(DISTINCT a.l_orderkey) AS support " +
-        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
-        "AND a.l_partkey < b.l_partkey " +
-        "GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2 " +
+      ("WITH freq AS (SELECT l_partkey FROM lineitem GROUP BY 1 HAVING count(*) >= 2), " +
+        "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN freq USING (l_partkey)), " +
+        "ok AS (SELECT l_orderkey FROM li GROUP BY 1 HAVING count(*) <= 1024) " +
+        "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, " +
+        "count(*) AS support " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey JOIN ok ON ok.l_orderkey = a.l_orderkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2 " +
         "ORDER BY support DESC, part_a, part_b"),
     // cents-ranked with custkey tie-break → fully deterministic order;
     // DuckDB row_number is BIGINT, Spark's is INT — cast to match

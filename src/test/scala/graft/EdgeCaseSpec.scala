@@ -167,6 +167,30 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("basketPairs excludes a pathological mega-basket but keeps its " +
+    "parts' organic pairs") {
+    // 4 organic 2-item baskets establishing pairs (1,2) and (3,4), plus
+    // TWO degenerate 50-part baskets over parts 10..59 (every mega part
+    // appears twice, so the apriori prune keeps them all and the baskets
+    // stay size-50 when the cap is measured)
+    val organic = Seq(
+      (100L, 1L), (100L, 2L), (101L, 1L), (101L, 2L), (102L, 3L), (102L, 4L),
+      (103L, 3L), (103L, 4L))
+    val mega = (10L until 60L).flatMap(p => Seq((998L, p), (999L, p)))
+    val raw = (organic ++ mega).toDF("l_orderkey", "l_partkey")
+    val guarded = graft.queries.Analytics.basketPairs(raw, support = 2,
+      maxBasket = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(guarded == Set((1L, 2L, 2L), (3L, 4L, 2L)),
+      s"guarded pairs were ${guarded.mkString(", ")}")
+    // without the guard the mega-baskets flood in: C(50,2) = 1225
+    // support-2 pairs — one degenerate order shape dominating the output
+    val unguarded = graft.queries.Analytics.basketPairs(raw, support = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(unguarded.size == 2 + 1225 && guarded.subsetOf(unguarded),
+      s"expected 1227 unguarded pairs, got ${unguarded.size}")
+  }
+
   test("null, empty, and whitespace-only text flow through text kernels") {
     val docs = Seq((1L, null: String), (2L, ""), (3L, "   "), (4L, "one word"))
       .toDF("doc_id", "text")
