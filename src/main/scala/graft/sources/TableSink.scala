@@ -95,12 +95,13 @@ object TableSink {
     *
     * WRITER-WRITER concurrency (the one Delta behavior the plain form
     * lacked — optimistic concurrency control):
-    *  - version numbers are CLAIMED by an atomic create-if-absent
-    *    (`mkdir` of the version directory, [[claimVersion]]): two
-    *    concurrent writers can NEVER both own `vN`, so neither clobbers
-    *    the other's files — each conflicting writer transparently
-    *    retries at N+1, Delta's "blind append wins, no lost table
-    *    state" outcome for overwrite-mode conflicts;
+    *  - version numbers are CLAIMED by an atomic create-if-absent of a
+    *    `.claim-vN` marker through the pluggable [[ClaimStore]]
+    *    (O_EXCL file locally; conditional-put on object stores — see
+    *    the trait doc): two concurrent writers can NEVER both own `vN`,
+    *    so neither clobbers the other's files — each conflicting writer
+    *    transparently retries at N+1, Delta's "blind append wins, no
+    *    lost table state" outcome for overwrite-mode conflicts;
     *  - a version is COMMITTED only when its `_SUCCESS` marker lands
     *    (the Hadoop committer writes it last), so a claimed-but-crashed
     *    writer leaves an ignorable husk, never a readable half-table;
@@ -113,11 +114,12 @@ object TableSink {
     * Returns the version number written. */
   def overwriteViaSwap(
       df: DataFrame, table: String, baseDir: String,
-      keepVersions: Int = 2): Long = {
+      keepVersions: Int = 2,
+      claims: ClaimStore = ClaimStore.local): Long = {
     val spark = df.sparkSession
     val dir = new java.io.File(baseDir, table)
     dir.mkdirs()
-    val next = claimVersion(dir)
+    val next = claimVersion(dir, claims)
     val path = new java.io.File(dir, s"v$next").toString
     df.write.mode("overwrite").parquet(path)
     def swapTo(v: Long): Unit = {
@@ -150,6 +152,7 @@ object TableSink {
           f.delete(); ()
         }
         rec(new java.io.File(dir, s"v$v"))
+        new java.io.File(dir, s".claim-v$v").delete()
       }
     next
   }
@@ -164,16 +167,55 @@ object TableSink {
         new java.io.File(f, "_SUCCESS").isFile)
       .map(_.getName.drop(1).toLong).toSeq.sorted
 
-  /** Atomically claim the next free version number: `mkdir` is
-    * create-if-absent on every POSIX filesystem, so exactly one of any
-    * set of racing writers wins each number; losers retry upward. The
-    * scan starts past every existing directory (committed or claimed). */
-  private def claimVersion(dir: java.io.File): Long = {
+  /** The one primitive the OCC protocol needs from storage: an atomic
+    * create-if-absent with exactly one winner among racing callers.
+    * POSIX gives it for free (`O_EXCL` file creation — the [[local]]
+    * adapter); **S3-class object stores do NOT make `mkdir` atomic** (a
+    * "directory" is a key prefix, and two PUTs both succeed), so a
+    * 100 TB deployment plugs in a conditional-put adapter instead:
+    * S3 `If-None-Match: *` (supported since 2024), GCS
+    * `x-goog-if-generation-match: 0`, ABFS `If-None-Match: *` — each is
+    * exactly this contract, one HTTP header. Everything above the claim
+    * (versioned dirs, `_SUCCESS`-gated visibility, the helping swap,
+    * pruning) is adapter-agnostic. Delta Lake solves the same problem
+    * with conditional-put log records (ref utils.py:124-142 is the
+    * reference's Delta sink); this is the minimal parquet-native form. */
+  trait ClaimStore {
+    /** True iff THIS caller created `name` under `dir` — losers get
+      * false, never an exception. */
+    def tryClaim(dir: java.io.File, name: String): Boolean
+  }
+
+  object ClaimStore {
+    /** Local-filesystem adapter: `Files.createFile` = open(O_CREAT|O_EXCL),
+      * atomic on every POSIX filesystem (and NFSv3+). */
+    val local: ClaimStore = (dir: java.io.File, name: String) =>
+      try {
+        java.nio.file.Files.createFile(new java.io.File(dir, name).toPath)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+  }
+
+  /** Atomically claim the next free version number through the
+    * [[ClaimStore]]: exactly one of any set of racing writers wins each
+    * `.claim-vN` marker; losers retry upward. The scan starts past every
+    * existing claim marker AND version directory (committed, claimed, or
+    * husk), so a claimed-but-crashed writer is skipped, never reused. */
+  private def claimVersion(dir: java.io.File, claims: ClaimStore): Long = {
     def existingMax: Long = Option(dir.listFiles).iterator.flatten
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toLong).maxOption.getOrElse(0L)
+      .flatMap { f =>
+        if (f.isDirectory && f.getName.matches("v\\d+"))
+          Some(f.getName.drop(1).toLong)
+        else if (f.isFile && f.getName.matches("\\.claim-v\\d+"))
+          Some(f.getName.stripPrefix(".claim-v").toLong)
+        else None
+      }.maxOption.getOrElse(0L)
     var v = existingMax + 1
-    while (!new java.io.File(dir, s"v$v").mkdir()) v += 1
+    while (!claims.tryClaim(dir, s".claim-v$v")) v += 1
+    // the directory itself needs no atomicity once the claim is owned
+    new java.io.File(dir, s"v$v").mkdirs()
     v
   }
 }

@@ -128,6 +128,54 @@ class TableSinkSpec extends SparkSpec {
     assert(spark.table("tsink_occ_t").collect().toSeq == expect)
   }
 
+  test("ClaimStore.local: exactly one winner among racing claimants") {
+    val dir = java.nio.file.Files.createTempDirectory("tsink_claim").toFile
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        gate.await()
+        if (TableSink.ClaimStore.local.tryClaim(dir, ".claim-v1"))
+          wins.incrementAndGet()
+        ()
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(wins.get() == 1, s"${wins.get()} claimants won the same marker")
+  }
+
+  test("racing writers through a conditional-put adapter (the object-store " +
+    "path) never share a version") {
+    // an S3-style adapter: claims live in a shared KV store where
+    // putIfAbsent IS the conditional put — no filesystem atomicity used
+    val kv = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    val store: TableSink.ClaimStore = (dir: java.io.File, name: String) =>
+      kv.putIfAbsent(s"${dir.getName}/$name", true) == null
+    val base = java.nio.file.Files.createTempDirectory("tsink_s3").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { w =>
+      new Thread(() =>
+        try (1 to 2).foreach { r =>
+          got.add(TableSink.overwriteViaSwap(
+            Seq((w, r)).toDF("writer", "round"), "tsink_s3_t", base,
+            keepVersions = 100, claims = store))
+        } catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    val versions = { import scala.jdk.CollectionConverters._; got.asScala.toSeq }
+    assert(versions.size == 4 && versions.distinct.size == 4,
+      s"version collision through the adapter: $versions")
+    // every claim went through the adapter, and no local .claim files exist
+    assert(kv.size >= 4)
+    val dir = new java.io.File(base, "tsink_s3_t")
+    assert(!Option(dir.listFiles).iterator.flatten
+      .exists(_.getName.startsWith(".claim-")),
+      "adapter path must not fall back to local claim files")
+    assert(spark.table("tsink_s3_t").count() == 1)
+  }
+
   test("a claimed-but-crashed writer's husk is skipped by claim, commit " +
     "list, and swap") {
     val base = java.nio.file.Files.createTempDirectory("tsink_husk").toString
