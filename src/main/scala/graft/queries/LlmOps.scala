@@ -261,6 +261,15 @@ object LlmOps {
           .select(lit(method).as("method"), col("n_hits"),
             col("n_possible"))
       val planes = Similarity.lshPlanes(emb.count())
+      // EVERY ANN variant rides the report — each re-run with its
+      // standalone query's exact parameterization (and memoized model
+      // artifacts), so a recall regression in any index family, trained
+      // or not, refined or not, hash-mismatches at every gate scale
+      val cb = memo(s"cb16x2:$d") {
+        Similarity.trainCodebook(emb, "vec_id", "embedding", 16, 2) }
+      val pq = memo(s"pq4x16x2:$d") {
+        Similarity.trainSubCodebooks(emb, "vec_id", "embedding",
+          subspaces = 4, cents = 16, iters = 2, dims = 64) }
       report("ivf",
           Similarity.ivfTopK(emb, "vec_id", "embedding", pf, k))
         .unionByName(report("ivfpq",
@@ -268,6 +277,20 @@ object LlmOps {
         .unionByName(report("lsh",
           Similarity.lshTopK(emb, "vec_id", "embedding", pf, k,
             planes = planes, dims = 64, tables = 4)))
+        .unionByName(report("ivf_trained",
+          Similarity.ivfTopK(emb, "vec_id", "embedding", pf, k,
+            codebookOpt = Some(cb))))
+        .unionByName(report("ivfpq_refined",
+          Similarity.ivfPqRefinedTopK(emb, "vec_id", "embedding", pf, k,
+            refine = 3, dims = 64)))
+        .unionByName(report("ivfpq_trained",
+          Similarity.ivfPqTopK(emb, "vec_id", "embedding", pf, k,
+            dims = 64, codebookOpt = Some(cb))))
+        .unionByName(report("ivfpq_trained_pq",
+          Similarity.ivfPqTopK(emb, "vec_id", "embedding", pf, k,
+            dims = 64, codebookOpt = Some(cb), subCbOpt = Some(pq))))
+        .unionByName(report("pq",
+          Similarity.pqTopK(emb, "vec_id", "embedding", pf, k, dims = 64)))
         .orderBy("method")
     }),
 
@@ -1251,6 +1274,64 @@ object LlmOps {
       "cc AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
       ivfPqGateSql("cc") + ", " + ivfPqTailSql
 
+  /** Named so the recall report can reuse each variant's replay VERBATIM
+    * (the same string its standalone query is hash-checked against). */
+  private val ivfPqRefinedOracleSql: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
+      "cc AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
+      ivfPqGateSql("cc") + ", " + ivfPqRefinedTailSql
+
+  private val ivfPqTrainedOracleSql: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
+      "c0 AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
+      duckLloydIter(1, "c0") + ", " + duckLloydIter(2, "c1") + ", " +
+      ivfPqGateSql("c2") + ", " + ivfPqTailSql
+
+  private val ivfPqTrainedPqOracleSql: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
+      "c0 AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
+      duckLloydIter(1, "c0") + ", " + duckLloydIter(2, "c1") + ", " +
+      ivfPqGateSql("c2") + ", " + ivfPqTrainedPqTailSql
+
+  private val ivfTrainedOracleSql: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
+      "c0 AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
+      duckLloydIter(1, "c0") + ", " + duckLloydIter(2, "c1") + ", " +
+      "assigned AS (SELECT vec_id, cent_id, v, nm FROM (" +
+      "SELECT n.vec_id, c2.cent_id, n.v, n.nm, " +
+      "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "c2.cv") + " / (n.nm * c2.cn) DESC, c2.cent_id ASC) AS cr " +
+      "FROM n, c2) WHERE cr <= 1), " +
+      "probes AS (SELECT vec_id AS probe_id, cent_id, v AS pv, nm AS pn FROM (" +
+      "SELECT n.vec_id, c2.cent_id, n.v, n.nm, " +
+      "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "c2.cv") + " / (n.nm * c2.cn) DESC, c2.cent_id ASC) AS cr " +
+      "FROM n, c2 WHERE n.vec_id < 10) WHERE cr <= 4), " +
+      "scored AS (SELECT probes.probe_id, assigned.vec_id AS vec_id_n, " +
+      "round(" + duckDot("probes.pv", "assigned.v") + " / (probes.pn * assigned.nm), 6) AS score_r " +
+      "FROM assigned JOIN probes ON assigned.cent_id = probes.cent_id AND probes.probe_id <> assigned.vec_id) " +
+      "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
+      "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"
+
+  private val pqOracleSql: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id < 16), " +
+      (0 until 4).map { s =>
+        s"k$s AS (SELECT e.vec_id, c.cent_id AS code FROM e, cents c " +
+          s"QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+          s"(${duckSliceDot("c.v", "c.v", s)} - 2*${duckSliceDot("e.v", "c.v", s)}) ASC, c.cent_id ASC) = 1)"
+      }.mkString(", ") + ", " +
+      "scored AS (SELECT p.vec_id AS probe_id, d.vec_id AS vec_id_n, " +
+      "round(" + (0 until 4).map(s => duckSliceDot("p.v", s"c$s.v", s)).mkString(" + ") + ", 6) AS score_r " +
+      "FROM e p JOIN e d ON p.vec_id < 10 AND d.vec_id <> p.vec_id " +
+      (0 until 4).map(s =>
+        s"JOIN k$s ON k$s.vec_id = d.vec_id JOIN cents c$s ON c$s.cent_id = k$s.code ").mkString +
+      ") " +
+      "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
+      "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"
+
   /** The probed-assignment replay (`sim_probed_assign`): IvfPrunedIndex's
     * APPROXIMATE mode, term-for-term. The codebook is the first 72
     * vectors (the gate instantiation of k = max(72, ⌈n/64⌉); fixed like
@@ -1360,7 +1441,12 @@ object LlmOps {
         "ON a.probe_id = b.probe_id AND a.vec_id_n = b.vec_id_n) AS BIGINT) AS n_hits, " +
         s"CAST((SELECT count(*) FROM ${pairs(bruteOracleSql)}) AS BIGINT) AS n_possible"
     Seq("ivf" -> ivfOracleSql, "ivfpq" -> ivfPqOracleSql,
-      "lsh" -> lshOracleSql)
+      "lsh" -> lshOracleSql,
+      "ivf_trained" -> ivfTrainedOracleSql,
+      "ivfpq_refined" -> ivfPqRefinedOracleSql,
+      "ivfpq_trained" -> ivfPqTrainedOracleSql,
+      "ivfpq_trained_pq" -> ivfPqTrainedPqOracleSql,
+      "pq" -> pqOracleSql)
       .map { case (m, sql) => row(m, sql) }
       .mkString("", " UNION ALL ", " ORDER BY method")
   }
@@ -1504,64 +1590,18 @@ object LlmOps {
     "sim_topk_ivfpq" -> ivfPqOracleSql,
     // ADC oversample (refine·k = 15, ties vec_id asc) then exact cosine
     // re-rank — both cuts replayed
-    "sim_topk_ivfpq_refined" ->
-      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
-        "cc AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
-        ivfPqGateSql("cc") + ", " + ivfPqRefinedTailSql),
+    "sim_topk_ivfpq_refined" -> ivfPqRefinedOracleSql,
     // same composition with the coarse codebook TRAINED: the two Lloyd
     // iterations replay first (exactly as in sim_topk_ivf_trained), then
     // c2 gates the cells and the PQ tail scores
-    "sim_topk_ivfpq_trained" ->
-      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
-        "c0 AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
-        duckLloydIter(1, "c0") + ", " + duckLloydIter(2, "c1") + ", " +
-        ivfPqGateSql("c2") + ", " + ivfPqTailSql),
+    "sim_topk_ivfpq_trained" -> ivfPqTrainedOracleSql,
     // both levels trained: coarse Lloyd replay gates (c2), per-subspace
     // PQ Lloyd replays (pc{s}_2) encode and score
-    "sim_topk_ivfpq_trained_pq" ->
-      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
-        "c0 AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
-        duckLloydIter(1, "c0") + ", " + duckLloydIter(2, "c1") + ", " +
-        ivfPqGateSql("c2") + ", " + ivfPqTrainedPqTailSql),
-    "sim_topk_ivf_trained" ->
-      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "n AS (SELECT vec_id, v, sqrt(" + duckDot("v", "v") + ") AS nm FROM e), " +
-        "c0 AS (SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM n WHERE vec_id < 16), " +
-        duckLloydIter(1, "c0") + ", " + duckLloydIter(2, "c1") + ", " +
-        "assigned AS (SELECT vec_id, cent_id, v, nm FROM (" +
-        "SELECT n.vec_id, c2.cent_id, n.v, n.nm, " +
-        "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "c2.cv") + " / (n.nm * c2.cn) DESC, c2.cent_id ASC) AS cr " +
-        "FROM n, c2) WHERE cr <= 1), " +
-        "probes AS (SELECT vec_id AS probe_id, cent_id, v AS pv, nm AS pn FROM (" +
-        "SELECT n.vec_id, c2.cent_id, n.v, n.nm, " +
-        "row_number() OVER (PARTITION BY n.vec_id ORDER BY " + duckDot("n.v", "c2.cv") + " / (n.nm * c2.cn) DESC, c2.cent_id ASC) AS cr " +
-        "FROM n, c2 WHERE n.vec_id < 10) WHERE cr <= 4), " +
-        "scored AS (SELECT probes.probe_id, assigned.vec_id AS vec_id_n, " +
-        "round(" + duckDot("probes.pv", "assigned.v") + " / (probes.pn * assigned.nm), 6) AS score_r " +
-        "FROM assigned JOIN probes ON assigned.cent_id = probes.cent_id AND probes.probe_id <> assigned.vec_id) " +
-        "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
-        "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
+    "sim_topk_ivfpq_trained_pq" -> ivfPqTrainedPqOracleSql,
+    "sim_topk_ivf_trained" -> ivfTrainedOracleSql,
     // dense ids 0..15 make the positional sub-codebook index equal the
     // vec_id, so cent_id doubles as the code value
-    "sim_topk_pq" ->
-      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id < 16), " +
-        (0 until 4).map { s =>
-          s"k$s AS (SELECT e.vec_id, c.cent_id AS code FROM e, cents c " +
-            s"QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
-            s"(${duckSliceDot("c.v", "c.v", s)} - 2*${duckSliceDot("e.v", "c.v", s)}) ASC, c.cent_id ASC) = 1)"
-        }.mkString(", ") + ", " +
-        "scored AS (SELECT p.vec_id AS probe_id, d.vec_id AS vec_id_n, " +
-        "round(" + (0 until 4).map(s => duckSliceDot("p.v", s"c$s.v", s)).mkString(" + ") + ", 6) AS score_r " +
-        "FROM e p JOIN e d ON p.vec_id < 10 AND d.vec_id <> p.vec_id " +
-        (0 until 4).map(s =>
-          s"JOIN k$s ON k$s.vec_id = d.vec_id JOIN cents c$s ON c$s.cent_id = k$s.code ").mkString +
-        ") " +
-        "SELECT probe_id, vec_id_n, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_r DESC, vec_id_n ASC) AS INTEGER) AS rank, score_r " +
-        "FROM scored QUALIFY rank <= 5 ORDER BY probe_id, rank"),
+    "sim_topk_pq" -> pqOracleSql,
     "ta_token_stats" ->
       ("WITH w AS (" + wordsCte + ") " +
         "SELECT d.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens, " +

@@ -270,12 +270,31 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfPqTopK(fixture, "vec_id", "embedding", pf, 5, dims = 64)))
     val lsh = recall(pairSet(
       Similarity.lshTopK(fixture, "vec_id", "embedding", pf, 5, tables = 4)))
+    val cb = Similarity.trainCodebook(fixture, "vec_id", "embedding", 16, 2)
+    val pq = Similarity.trainSubCodebooks(fixture, "vec_id", "embedding",
+      subspaces = 4, cents = 16, iters = 2, dims = 64)
+    val ivfTrained = recall(pairSet(Similarity.ivfTopK(
+      fixture, "vec_id", "embedding", pf, 5, codebookOpt = Some(cb))))
+    val refined = recall(pairSet(Similarity.ivfPqRefinedTopK(
+      fixture, "vec_id", "embedding", pf, 5, refine = 3, dims = 64)))
+    val trainedPq = recall(pairSet(Similarity.ivfPqTopK(
+      fixture, "vec_id", "embedding", pf, 5, dims = 64,
+      codebookOpt = Some(cb), subCbOpt = Some(pq))))
+    val pqOnly = recall(pairSet(Similarity.pqTopK(
+      fixture, "vec_id", "embedding", pf, 5, dims = 64)))
     // floors, not equalities: the gate (sim_recall_report) pins the exact
     // integers per scale; the spec pins the QUALITY contract — an index
-    // change that tanks recall fails here even if it re-pins the oracle
+    // change that tanks recall fails here even if it re-pins the oracle.
+    // EVERY report variant carries a floor.
     assert(ivf >= 0.8, s"ivf recall@5 sank to $ivf")
     assert(ivfpq >= 0.3, s"ivfpq recall@5 sank to $ivfpq")
     assert(lsh >= 0.3, s"lsh recall@5 sank to $lsh")
+    assert(ivfTrained >= 0.8, s"ivf_trained recall@5 sank to $ivfTrained")
+    assert(refined >= 0.5, s"ivfpq_refined recall@5 sank to $refined")
+    assert(refined >= ivfpq,
+      s"exact refine must not lose recall vs raw ADC: $refined < $ivfpq")
+    assert(trainedPq >= 0.3, s"ivfpq_trained_pq recall@5 sank to $trainedPq")
+    assert(pqOnly >= 0.3, s"pq recall@5 sank to $pqOnly")
     // every method must still surface the planted rank-1 twins
     assert((0L until 5L).forall(p =>
       brute.contains((p, p + 100L))), "fixture twins missing from brute")
