@@ -605,34 +605,24 @@ object LlmOps {
     // to channel sums. PNG is lossless, so the oracle — the pixel
     // formula summed directly in SQL, never touching the bytes — is
     // independent ground truth for a real compressed-image round trip.
-    "mm_png_decode" -> ((s, d) => {
-      import s.implicits._
-      documents(s, d).select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val w = 8 + (id % 9).toInt
-          val h = 6 + (id % 7).toInt
-          (id, Multimodal.encodeImage(w, h, "png", (x, y) => (
-            ((id + 7L * x + 13L * y) % 256).toInt,
-            ((id * 2 + 5L * x + 11L * y) % 256).toInt,
-            ((id * 3 + 3L * x + 17L * y) % 256).toInt)))
-        }).toDF("doc_id", "content")
-        .transform(df => Multimodal.imageChannelSums(df).toDF())
-        .orderBy("doc_id")
-    }),
+    "mm_png_decode" -> ((s, d) =>
+      // assets staged to parquet once per fixture (see phashAssets/
+      // staged): the measured work is the DECODE, as in a real pipeline
+      // reading stored images
+      Multimodal.imageChannelSums(phashAssets(s, d)).toDF()
+        .orderBy("doc_id")),
 
     // REAL PNG resize: ImageIO decode → nearest-neighbour remap →
     // PNG re-encode → ImageIO decode again for the sums. Oracle applies
     // the pixel formula at the remapped source coordinates.
     "mm_png_resize" -> ((s, d) => {
       import s.implicits._
-      documents(s, d).select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val w = 8 + (id % 9).toInt
-          val h = 6 + (id % 7).toInt
-          val bytes = Multimodal.encodeImage(w, h, "png", (x, y) => (
-            ((id + 7L * x + 13L * y) % 256).toInt,
-            ((id * 2 + 5L * x + 11L * y) % 256).toInt,
-            ((id * 3 + 3L * x + 17L * y) % 256).toInt))
+      // staged input assets; the OPERATOR is decode → remap → re-encode
+      // → decode-sums (the re-encode is the resize's own output, so it
+      // stays in the measured time — only fixture synthesis moved out)
+      phashAssets(s, d).select("doc_id", "content")
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
           (id, Multimodal.resizeImage(bytes, 8, 6, "png"))
         }).toDF("doc_id", "content")
         .transform(df => Multimodal.imageChannelSums(df).toDF())
@@ -642,21 +632,22 @@ object LlmOps {
     // JPEG tier: lossy, so pixel sums aren't formula-checkable — the
     // decoded DIMENSIONS and sniffed format are. The payload really is
     // a JPEG (JDK writer) and really is parsed back (JDK reader).
-    "mm_jpeg_dims" -> ((s, d) => {
-      import s.implicits._
-      documents(s, d).select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val w = 8 + (id % 9).toInt
-          val h = 6 + (id % 7).toInt
-          (id, Multimodal.encodeImage(w, h, "jpeg", (x, y) => (
-            ((id + 7L * x + 13L * y) % 256).toInt,
-            ((id * 2 + 5L * x + 11L * y) % 256).toInt,
-            ((id * 3 + 3L * x + 17L * y) % 256).toInt)))
-        }).toDF("doc_id", "content")
+    "mm_jpeg_dims" -> ((s, d) =>
+      staged(s, d, "jpeg_assets") {
+        import s.implicits._
+        documents(s, d).select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 8 + (id % 9).toInt
+            val h = 6 + (id % 7).toInt
+            (id, Multimodal.encodeImage(w, h, "jpeg", (x, y) => (
+              ((id + 7L * x + 13L * y) % 256).toInt,
+              ((id * 2 + 5L * x + 11L * y) % 256).toInt,
+              ((id * 3 + 3L * x + 17L * y) % 256).toInt)))
+          }).toDF("doc_id", "content")
+      }
         .transform(df => Multimodal.imageChannelSums(df).toDF())
         .select("doc_id", "format", "width", "height")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // REAL audio decode: each doc becomes a deterministic synthetic WAV
     // (mono 16-bit PCM; length, rate, and samples are closed-form
@@ -682,20 +673,9 @@ object LlmOps {
     // splits into 4×4-pixel tiles (edge tiles smaller) with exact
     // per-channel integer sums — the image analogue of ta_chunk. Oracle
     // sums the generating formula within each tile's pixel bounds.
-    "mm_image_tiles" -> ((s, d) => {
-      import s.implicits._
-      documents(s, d).select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val w = 8 + (id % 9).toInt
-          val h = 6 + (id % 7).toInt
-          (id, Multimodal.encodeImage(w, h, "png", (x, y) => (
-            ((id + 7L * x + 13L * y) % 256).toInt,
-            ((id * 2 + 5L * x + 11L * y) % 256).toInt,
-            ((id * 3 + 3L * x + 17L * y) % 256).toInt)))
-        }).toDF("doc_id", "content")
-        .transform(df => Multimodal.imageTiles(df, tile = 4).toDF())
-        .orderBy("doc_id", "tile_y", "tile_x")
-    }),
+    "mm_image_tiles" -> ((s, d) =>
+      Multimodal.imageTiles(phashAssets(s, d), tile = 4).toDF()
+        .orderBy("doc_id", "tile_y", "tile_x")),
 
     // Activity segmentation (VAD shape) through the real codec: decode,
     // then integer energy-run detection — ≥4 consecutive samples with
@@ -795,19 +775,20 @@ object LlmOps {
     // the oracle evaluates the pixel formula per (frame, x, y) directly
     // in SQL — independent ground truth for 1-to-N frame extraction
     // through a real palette-indexed codec.
-    "mm_gif_frames" -> ((s, d) => {
-      import s.implicits._
-      documents(s, d).select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val w = 8 + (id % 9).toInt
-          val h = 6 + (id % 7).toInt
-          val nf = 2 + (id % 4).toInt
-          (id, Multimodal.encodeGifFrames(w, h, nf, (f, x, y) =>
-            ((id * 5 + 50L * f + 7L * x + 13L * y) % 256).toInt))
-        }).toDF("doc_id", "content")
+    "mm_gif_frames" -> ((s, d) =>
+      staged(s, d, "gif_assets") {
+        import s.implicits._
+        documents(s, d).select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 8 + (id % 9).toInt
+            val h = 6 + (id % 7).toInt
+            val nf = 2 + (id % 4).toInt
+            (id, Multimodal.encodeGifFrames(w, h, nf, (f, x, y) =>
+              ((id * 5 + 50L * f + 7L * x + 13L * y) % 256).toInt))
+          }).toDF("doc_id", "content")
+      }
         .transform(df => Multimodal.gifFrameSums(df).toDF())
-        .orderBy("doc_id", "frame_idx")
-    }),
+        .orderBy("doc_id", "frame_idx")),
 
     // Incremental near-dup: the doc_id % 5 == 0 slice plays a fresh
     // ingest batch deduping against the standing corpus (the other 4/5)
@@ -983,20 +964,43 @@ object LlmOps {
       "CAST(sum(CASE WHEN j < 32 THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS lo64 " +
       "FROM bits GROUP BY doc_id)"
 
-  /** The mm_png_decode fixture shared by the perceptual-hash queries:
-    * deterministic formula images carried as REAL compressed PNGs. */
-  private def phashAssets(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    documents(s, d).select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions(_.map { id =>
-        val w = 8 + (id % 9).toInt
-        val h = 6 + (id % 7).toInt
-        (id, Multimodal.encodeImage(w, h, "png", (x, y) => (
-          ((id + 7L * x + 13L * y) % 256).toInt,
-          ((id * 2 + 5L * x + 11L * y) % 256).toInt,
-          ((id * 3 + 3L * x + 17L * y) % 256).toInt)))
-      }).toDF("doc_id", "content")
+  /** Materialize a deterministic fixture frame to parquet ONCE per
+    * (fixture dir, name) and read the stored bytes thereafter. The mm
+    * batteries' slope was jstack-triaged to fixture PNG/GIF *encode*
+    * (one Deflater/LZW pass per image per query per sample), not to the
+    * decode operators under test — staging moves synthesis out of the
+    * measured time the way real pipelines read stored assets, and the
+    * batteries now measure DECODE. Content is a pure function of
+    * doc_id, so staged bytes are identical to inline-built ones and
+    * every oracle is untouched. Keyed by the fixture path so ladder
+    * scales never alias; `_SUCCESS` gates readability (a crashed stage
+    * rebuilds). */
+  private def staged(s: SparkSession, d: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_assets_${java.lang.Integer.toHexString(d.hashCode)}/$name")
+    if (!new java.io.File(dir, "_SUCCESS").isFile)
+      build.write.mode("overwrite").parquet(dir.toString)
+    s.read.parquet(dir.toString)
   }
+
+  /** The mm_png_decode fixture shared by the image queries:
+    * deterministic formula images carried as REAL compressed PNGs,
+    * staged to parquet once per fixture (see [[staged]]). */
+  private def phashAssets(s: SparkSession, d: String): DataFrame =
+    staged(s, d, "png_assets") {
+      import s.implicits._
+      documents(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 6 + (id % 7).toInt
+          (id, Multimodal.encodeImage(w, h, "png", (x, y) => (
+            ((id + 7L * x + 13L * y) % 256).toInt,
+            ((id * 2 + 5L * x + 11L * y) % 256).toInt,
+            ((id * 3 + 3L * x + 17L * y) % 256).toInt)))
+        }).toDF("doc_id", "content")
+    }
 
   private val FloodText =
     "boilerplate template header footer nav boilerplate template header footer nav"
