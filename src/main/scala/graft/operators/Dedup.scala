@@ -705,14 +705,28 @@ object Dedup {
     * verified by levenshtein over a bounded text window. The window cap is
     * the scale guard — levenshtein is O(len²), so the comparison cost per
     * pair is a constant, and blocking keeps the pair count O(bucket²)
-    * instead of all-pairs. Returns (a, b, edit_dist) with a < b. */
+    * instead of all-pairs. `maxBlock` is the block-skew guard (the
+    * `maxGroupSize` pattern shared by the simhash/phash pair emitters): a
+    * boilerplate-prefixed corpus puts m docs in ONE block and the self-join
+    * emits m² pairs from a single task — blocks larger than `maxBlock` are
+    * dropped whole (both join sides, so no half-pairs), costed as a window
+    * count on the SAME shuffle key the join uses (no extra exchange).
+    * Returns (a, b, edit_dist) with a < b. */
   def levenshteinNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      prefixLen: Int = 30, window: Int = 120, maxDist: Int = 20): DataFrame = {
-    val base = df.select(
+      prefixLen: Int = 30, window: Int = 120, maxDist: Int = 20,
+      maxBlock: Int = 1024): DataFrame = {
+    val blocked = df.select(
       col(idCol),
       md5(substring(col(textCol), 1, prefixLen)).as("blk"),
       substring(col(textCol), 1, window).as("__t"))
+    val base =
+      if (maxBlock <= 0) blocked
+      else blocked
+        .withColumn("__bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("blk")))
+        .filter(col("__bn") <= maxBlock)
+        .drop("__bn")
     val a = base.select(col("blk"), col(idCol).as("a"), col("__t").as("ta"))
     val b = base.select(col("blk"), col(idCol).as("b"), col("__t").as("tb"))
     a.join(b, "blk").filter(col("a") < col("b"))

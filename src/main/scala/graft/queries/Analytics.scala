@@ -50,7 +50,13 @@ object Analytics {
       .agg(count(lit(1)).as("__pn"))
       .filter(col("__pn") >= support)
       .select("l_partkey")
-    val li = raw.join(broadcast(freq), Seq("l_partkey"), "left_semi")
+    // No broadcast hint: the frequent-part set scales with the CATALOG
+    // (every part at support=2 — ~20 B keys at TPC-H 100 TB), so forcing
+    // a broadcast is a driver OOM at exactly the scale the prune matters.
+    // AQE sees freq's runtime size and broadcasts when it fits (it does
+    // at every fixture scale); above the threshold the semi-join shuffles
+    // on l_partkey with no driver-resident artifact.
+    val li = raw.join(freq, Seq("l_partkey"), "left_semi")
     li.groupBy("l_orderkey")
       .agg(collect_set(col("l_partkey")).as("__parts"))
       .filter(size(col("__parts")) <= maxBasket)

@@ -191,6 +191,27 @@ class EdgeCaseSpec extends SparkSpec {
       s"expected 1227 unguarded pairs, got ${unguarded.size}")
   }
 
+  test("levenshteinNearDupPairs drops an oversized prefix block whole " +
+    "but keeps organic blocks") {
+    // one organic 2-doc block (shared 30-char prefix, small tail edit)
+    // plus a 40-doc boilerplate block — the mega-block every real corpus
+    // has. maxBlock=10 must drop the flood entirely (no half-pairs) while
+    // the organic pair survives.
+    val prefix = "the quick brown fox jumps over the lazy dog "
+    val boiler = "standard header boilerplate do not edit below line "
+    val docs = (Seq(
+      (1L, prefix + "alpha"), (2L, prefix + "alphb")) ++
+      (10L until 50L).map(i => (i, boiler + s"row $i"))).toDF("doc_id", "text")
+    val capped = Dedup.levenshteinNearDupPairs(
+      docs, "doc_id", "text", maxBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"capped pairs were ${capped.mkString(", ")}")
+    // cap off: the boilerplate block floods C(40,2) = 780 pairs back in
+    val uncapped = Dedup.levenshteinNearDupPairs(
+      docs, "doc_id", "text", maxBlock = 0).count()
+    assert(uncapped == 1 + 780, s"expected 781 uncapped pairs, got $uncapped")
+  }
+
   test("null, empty, and whitespace-only text flow through text kernels") {
     val docs = Seq((1L, null: String), (2L, ""), (3L, "   "), (4L, "one word"))
       .toDF("doc_id", "text")
