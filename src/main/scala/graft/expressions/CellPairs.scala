@@ -127,10 +127,38 @@ case class CellPairs(child: Expression, minScore: Double, topK: Int)
     }
 
     if (topK <= 0) {
-      // LAZY emission: a permissive minScore admits up to m²/2 pairs per
-      // block, and the join form this replaced streamed them — so must
-      // this generator. Per-block memory stays O(m·dims) (the member
-      // arrays above), never O(pairs); the loop state is two indices.
+      if (m.toLong * (m - 1) / 2 <= CellPairs.EagerPairBound) {
+        // EAGER emission under the bound: the lazy iterator's per-element
+        // machinery is a measured 2× on threshold workloads dominated by
+        // small blocks (dd_semantic at 1000×: 22.5 s lazy vs 11.3 s eager,
+        // SCALE.md r14 A/B). Worst case here is EagerPairBound rows
+        // (~5 MB) — bounded regardless of minScore.
+        val out = Vector.newBuilder[InternalRow]
+        var oi = 0
+        while (oi < m - 1) {
+          val ai = order(oi)
+          var oj = oi + 1
+          while (oj < m) {
+            val bi = order(oj)
+            if (ids(ai) < ids(bi)) {
+              val s = score(ai, bi)
+              if (java.lang.Double.compare(s, minScore) >= 0) {
+                val r = new GenericInternalRow(3)
+                r.update(0, ids(ai)); r.update(1, ids(bi)); r.update(2, s)
+                out += r
+              }
+            }
+            oj += 1
+          }
+          oi += 1
+        }
+        return out.result().iterator
+      }
+      // LAZY emission above the bound: a permissive minScore admits up to
+      // m²/2 pairs per block, and the join form this replaced streamed
+      // them — so must this generator. Per-block memory stays O(m·dims)
+      // (the member arrays above), never O(pairs); the loop state is two
+      // indices.
       new Iterator[InternalRow] {
         private var oi = 0
         private var oj = 1
@@ -207,4 +235,14 @@ case class CellPairs(child: Expression, minScore: Double, topK: Int)
 
   override protected def withNewChildInternal(newChild: Expression): CellPairs =
     copy(child = newChild)
+}
+
+object CellPairs {
+  /** Threshold-mode blocks whose worst-case pair count m·(m−1)/2 fits
+    * under this bound emit eagerly (bulk Vector, fast iteration); larger
+    * blocks fall back to the lazy streaming iterator so per-block memory
+    * never exceeds ~EagerPairBound rows (~5 MB) even at minScore = −∞.
+    * 2¹⁷ pairs ⇔ m ≤ 512 members — every corpus-scaled cell (~128
+    * members by the k = n/128 law) sits far under it. */
+  val EagerPairBound: Long = 1L << 17
 }

@@ -54,6 +54,26 @@ class CellPairsSpec extends SparkSpec {
     }
   }
 
+  test("lazy branch above the eager pair bound matches the join " +
+    "formulation") {
+    // 513 members in ONE block: 513·512/2 = 131,328 worst-case pairs —
+    // just over EagerPairBound (2^17 = 131,072), so this is the streaming
+    // iterator's path; the small-fixture tests above all take the eager
+    // buffer. Unit vectors at golden-angle increments give a spread of
+    // scores so the threshold actually filters.
+    assert(513L * 512 / 2 > graft.expressions.CellPairs.EagerPairBound)
+    val big = (0 until 513).map { i =>
+      val th = i * 2.399963
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat), "w")
+    }.toDF("vec_id", "embedding", "blk")
+    val gen = Similarity.cosineNearDupPairs(
+      big, "vec_id", "embedding", "blk", 0.95)
+      .orderBy("a", "b").collect().toSeq
+    val join = joinFormPairs(big, 0.95)
+      .orderBy("a", "b").collect().toSeq
+    assert(gen.nonEmpty && gen === join)
+  }
+
   test("zero-norm member yields NaN score (join form raises under ANSI)") {
     // The one deliberate divergence, same as IvfTop1's: a degenerate
     // zero-norm vector makes the join form's codegen'd division raise
