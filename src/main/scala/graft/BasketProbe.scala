@@ -37,11 +37,16 @@ object BasketProbe {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey")),
       support = support, maxBasket = maxBasket).count()
+    // basketPairs persists its pair table internally (deferred-width
+    // materialization) — drop it between samples, Bench's own barrier
+    val release = () => graft.operators.Dedup.releaseAllCaches(spark)
     val rows = run() // warm-up
+    release()
     val times = (1 to n).map { _ =>
       val t0 = System.nanoTime()
       run()
       val dt = (System.nanoTime() - t0) / 1e9
+      release()
       if (sys.env.get("SPARK_GRAFT_GC_EACH_QUERY").contains("1")) System.gc()
       dt
     }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** A/B probe for the driver-memory law's switch point (SCALE.md r15):
+  * runs the FULL SemDeDup pair pipeline at the corpus-scaled k both
+  * ways — single-level (codebook = driver artifact, k cells) vs the
+  * two-level form `semanticNearDupPairs` switches to above
+  * `Similarity.MaxDriverCells` (L1 = ⌈√k⌉ driver cells, L2 refined
+  * distributively) — and prints per-sample train/pair seconds plus the
+  * MEASURED driver codebook bytes of each form, so the law's cost at
+  * the crossover is a number, not a design note.
+  *
+  * The two forms are different (legitimate) blocking choices, so pair
+  * counts differ slightly; the probe reports both counts for context.
+  *
+  * usage: TwoLevelProbe [samples]   (honours SPARK_GRAFT_SF_DIR/_CPUS)
+  */
+object TwoLevelProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toInt).getOrElse(3)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Similarity
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val k = math.max(16, math.ceil(emb.count() / 128.0).toInt)
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val m2 = math.ceil(k.toDouble / k1).toInt
+    System.err.println(s"k=$k k1=$k1 m2=$m2 sf=$sfDir")
+
+    def timed[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    def fmt(d: Double) = f"$d%.3f"
+
+    // ---- single-level: k driver cells (the sub-law path) ----
+    var singleBytes = 0L
+    var singleCnt = 0L
+    val single = (1 to n).map { _ =>
+      val (tt, cb) = timed(Similarity.trainCodebook(
+        emb, "vec_id", "embedding", k, 2, probeGroups = 8))
+      singleBytes = org.apache.spark.util.SizeEstimator.estimate(cb)
+      val (tp, c) = timed(Similarity.semanticNearDupPairs(
+        emb, "vec_id", "embedding", 0.35,
+        codebookOpt = Some(cb), probeGroups = 8).count())
+      singleCnt = c
+      graft.operators.Dedup.releaseAllCaches(spark)
+      (tt, tp)
+    }
+
+    // ---- two-level: forced via maxDriverCells below k (the above-law
+    // path, exactly the branch semanticPairs takes above 2^16) ----
+    var twoBytes = 0L
+    var twoCnt = 0L
+    val two = (1 to n).map { _ =>
+      val (tt, l1) = timed(Similarity.trainCodebook(
+        emb, "vec_id", "embedding", k1, 2, probeGroups = 8))
+      twoBytes = org.apache.spark.util.SizeEstimator.estimate(l1)
+      val (tp, c) = timed(Similarity.cosineNearDupPairs(
+        Similarity.twoLevelClustered(emb, "vec_id", "embedding", l1, m2,
+          probeGroups = 8),
+        "vec_id", "embedding", "__cell", 0.35).count())
+      twoCnt = c
+      graft.operators.Dedup.releaseAllCaches(spark)
+      (tt, tp)
+    }
+
+    println(s"""{"probe":"two_level_crossover","k":$k,"k1":$k1,"m2":$m2,""" +
+      s""""single":{"train_sec":[${single.map(s => fmt(s._1)).mkString(",")}],""" +
+      s""""pairs_sec":[${single.map(s => fmt(s._2)).mkString(",")}],""" +
+      s""""driver_bytes":$singleBytes,"pairs":$singleCnt},""" +
+      s""""two_level":{"train_sec":[${two.map(s => fmt(s._1)).mkString(",")}],""" +
+      s""""pairs_sec":[${two.map(s => fmt(s._2)).mkString(",")}],""" +
+      s""""driver_bytes":$twoBytes,"pairs":$twoCnt}}""")
+    spark.stop()
+  }
+}

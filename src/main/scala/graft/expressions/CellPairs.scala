@@ -131,8 +131,10 @@ case class CellPairs(child: Expression, minScore: Double, topK: Int)
         // EAGER emission under the bound: the lazy iterator's per-element
         // machinery is a measured 2× on threshold workloads dominated by
         // small blocks (dd_semantic at 1000×: 22.5 s lazy vs 11.3 s eager,
-        // SCALE.md r14 A/B). Worst case here is EagerPairBound rows
-        // (~5 MB) — bounded regardless of minScore.
+        // SCALE.md r14 A/B). Worst case here is EagerPairBound rows —
+        // each a GenericInternalRow over a boxed Object[3] (~100 B with
+        // headers), so ~13 MB at the 2¹⁷ bound — bounded regardless of
+        // minScore.
         val out = Vector.newBuilder[InternalRow]
         var oi = 0
         while (oi < m - 1) {
@@ -241,8 +243,17 @@ object CellPairs {
   /** Threshold-mode blocks whose worst-case pair count m·(m−1)/2 fits
     * under this bound emit eagerly (bulk Vector, fast iteration); larger
     * blocks fall back to the lazy streaming iterator so per-block memory
-    * never exceeds ~EagerPairBound rows (~5 MB) even at minScore = −∞.
-    * 2¹⁷ pairs ⇔ m ≤ 512 members — every corpus-scaled cell (~128
-    * members by the k = n/128 law) sits far under it. */
-  val EagerPairBound: Long = 1L << 17
+    * never exceeds ~EagerPairBound rows even at minScore = −∞. Each
+    * buffered row is a GenericInternalRow over a boxed Object[3] —
+    * ~100 B with object headers — so the worst-case buffer is ~13 MB at
+    * this bound. 2¹⁷ pairs ⇔ m ≤ 512 members — every corpus-scaled cell
+    * (~128 members by the k = n/128 law) sits far under it.
+    *
+    * `GRAFT_EAGER_PAIR_BOUND` overrides it for the sensitivity sweep
+    * (SCALE.md r15) — a measurement knob for local-mode probes ONLY
+    * (cluster executors read their own env): the committed default IS
+    * the contract. */
+  val EagerPairBound: Long =
+    sys.env.get("GRAFT_EAGER_PAIR_BOUND").map(_.toLong)
+      .getOrElse(1L << 17)
 }

@@ -711,7 +711,10 @@ object Dedup {
     * emits m² pairs from a single task — blocks larger than `maxBlock` are
     * dropped whole (both join sides, so no half-pairs), costed as a window
     * count on the SAME shuffle key the join uses (no extra exchange).
-    * Returns (a, b, edit_dist) with a < b. */
+    * The default cap is oracle-replayed (dd_edit_distance's DuckDB SQL
+    * carries the matching QUALIFY block-count filter — the maxBasket
+    * convention), so the guard binding on a skewed corpus diverges in
+    * neither engine. Returns (a, b, edit_dist) with a < b. */
   def levenshteinNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       prefixLen: Int = 30, window: Int = 120, maxDist: Int = 20,

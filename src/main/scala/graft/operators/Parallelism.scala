@@ -75,6 +75,25 @@ object Parallelism {
     clamp(spark, (total + targetBytes - 1) / targetBytes)
   }
 
+  /** Partition count from Catalyst's logical size estimate of a
+    * SCAN-SIDE frame — a Project/Filter lineage over a file relation,
+    * where `stats.sizeInBytes` is the file bytes scaled by the
+    * projection, i.e. an honest size. NOT valid above a join (stats
+    * there are row-count products, the scaladoc's original warning);
+    * callers own that the frame is scan-shaped. Use where the operator
+    * receives a DataFrame (no path to hand [[forInputBytes]]) and needs
+    * a width for its input-sized first shuffle before any action has
+    * produced a row count for [[forRows]]. */
+  def forPlanBytes(
+      df: org.apache.spark.sql.DataFrame,
+      targetBytes: Long = TargetPartitionBytes): Int = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bytes =
+      if (est.isValidLong) est.toLong
+      else Cap.toLong * targetBytes // corrupt estimate → the Cap rail
+    clamp(df.sparkSession, (bytes + targetBytes - 1) / targetBytes)
+  }
+
   /** Partition count from a materialized row count. `bytesPerRow` is the
     * SHUFFLED width (columns + row overhead), not the parquet-encoded
     * width — 64 B covers the narrow (long, long[, long]) edge/state rows

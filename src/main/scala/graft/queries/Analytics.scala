@@ -46,6 +46,8 @@ object Analytics {
     *    default is plan-shape insurance, not a result change. */
   def basketPairs(raw: DataFrame, support: Int = 2,
       maxBasket: Int = 1024): DataFrame = {
+    import graft.operators.Parallelism
+    val spark = raw.sparkSession
     val freq = raw.groupBy("l_partkey")
       .agg(count(lit(1)).as("__pn"))
       .filter(col("__pn") >= support)
@@ -57,15 +59,48 @@ object Analytics {
     // at every fixture scale); above the threshold the semi-join shuffles
     // on l_partkey with no driver-resident artifact.
     val li = raw.join(freq, Seq("l_partkey"), "left_semi")
-    li.groupBy("l_orderkey")
-      .agg(collect_set(col("l_partkey")).as("__parts"))
-      .filter(size(col("__parts")) <= maxBasket)
-      .select(explode(col("__parts")).as("part_a"), col("__parts"))
-      .select(col("part_a"), explode(col("__parts")).as("part_b"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b")
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= support)
+    // Deferred-width materialization (the iterative operators' contract,
+    // Parallelism.scala NOTE): at the session's fixed width the sf100
+    // support=32 probe pushed ~126 M surviving pair instances through 32
+    // partitions (~4 M rows each — spill; 6.3 → 13.3 → 73.0 s on the
+    // 100×→1000× segment, SCALE.md r14). Two phases, each executed ONCE
+    // at a width derived from what IT is about to shuffle:
+    //  1. basket build — input-sized (the prune agg + semi-join + one
+    //     collect_set exchange carrying a row per surviving line), width
+    //     from the scan's own plan-stats bytes;
+    //  2. pair count — fan-out-sized, and the exact volume Σ m·(m−1)/2
+    //     is a cheap cached-block aggregate over the persisted baskets,
+    //     so the width tracks the TRUE pair count, not a guess.
+    // The returned tail (support filter + the caller's sort) reads the
+    // persisted pair table, which is distinct-pair-sized. Bench's
+    // per-sample releaseAllCaches barrier drops both scratch frames.
+    val nBuild = Parallelism.forPlanBytes(raw)
+    val (baskets, pairVolume) =
+      Parallelism.withShufflePartitions(spark, nBuild) {
+        val b = li.groupBy("l_orderkey")
+          .agg(collect_set(col("l_partkey")).as("__parts"))
+          .filter(size(col("__parts")) <= maxBasket)
+          .persist()
+        val v = b.agg(sum(
+          expr("CAST(size(__parts) AS BIGINT) * (size(__parts) - 1)"))
+          .as("__v")).first()
+        val vol = if (v.isNullAt(0)) 0L else v.getLong(0) / 2
+        (b, vol)
+      }
+    val nPairs = Parallelism.forRows(spark, pairVolume)
+    Parallelism.withShufflePartitions(spark, nPairs) {
+      val c = baskets
+        .select(explode(col("__parts")).as("part_a"), col("__parts"))
+        .select(col("part_a"), explode(col("__parts")).as("part_b"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= support)
+        .persist()
+      c.count()
+      baskets.unpersist(blocking = false)
+      c
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

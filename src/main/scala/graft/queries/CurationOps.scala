@@ -850,9 +850,16 @@ object CurationOps {
         "FROM bg JOIN uni ux ON bg.x = ux.wd JOIN uni uy ON bg.y = uy.wd " +
         "CROSS JOIN tot " +
         "ORDER BY pmi DESC, x, y LIMIT 20"),
+    // QUALIFY replays the operator's maxBlock=1024 skew guard (the
+    // maxBasket convention: guard stays default-ON at scale AND the
+    // oracle replays it, so a corpus with a >1024-doc prefix block
+    // diverges in neither engine). Never binds on the fixtures — gate
+    // output is the unguarded result.
     "dd_edit_distance" ->
-      ("WITH b AS (SELECT doc_id, md5(substring(text, 1, 30)) AS blk, " +
-        "substring(text, 1, 120) AS t FROM documents) " +
+      ("WITH b0 AS (SELECT doc_id, md5(substring(text, 1, 30)) AS blk, " +
+        "substring(text, 1, 120) AS t FROM documents), " +
+        "b AS (SELECT * FROM b0 " +
+        "QUALIFY count(*) OVER (PARTITION BY blk) <= 1024) " +
         "SELECT x.doc_id AS a, y.doc_id AS b, " +
         "CAST(levenshtein(x.t, y.t) AS INTEGER) AS edit_dist " +
         "FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id " +

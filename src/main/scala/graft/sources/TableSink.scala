@@ -124,10 +124,29 @@ object TableSink {
     df.write.mode("overwrite").parquet(path)
     def swapTo(v: Long): Unit = {
       val p = new java.io.File(dir, s"v$v").toString
-      // the swap: one catalog statement; old version files are untouched
-      spark.sql(
-        s"CREATE OR REPLACE VIEW `$table` AS SELECT * FROM parquet.`$p`")
-      ()
+      // the swap: one catalog statement; old version files are untouched.
+      // CREATE OR REPLACE VIEW is NOT atomic in the session catalog
+      // (replace = a lookup + alter/create window, and two concurrent
+      // swappers — a writer plus a helper — can each observe the other's
+      // half-state: NOT_FOUND after a concurrent replace opened the gap,
+      // ALREADY_EXISTS after both chose the create path). The swap is
+      // idempotent and the helping loop below is monotonic, so the safe
+      // response to either transient is simply to retry; anything else
+      // (permissions, a REAL table squatting on the name) rethrows.
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try {
+          spark.sql(
+            s"CREATE OR REPLACE VIEW `$table` AS SELECT * FROM parquet.`$p`")
+          done = true
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if attempts < 10 && Option(e.getCondition).exists(c =>
+                c.contains("NOT_FOUND") || c.contains("ALREADY_EXISTS")) =>
+            attempts += 1
+        }
+      }
     }
     swapTo(next)
     // helping pass: if a concurrent writer committed a HIGHER version
@@ -195,6 +214,46 @@ object TableSink {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+      }
+
+    /** Generic HTTP conditional-put adapter — the actual wire protocol a
+      * 100 TB deployment uses: `PUT <endpoint>/<url-encoded claim key>`
+      * with `If-None-Match: *`, which S3 (since 2024-08), ABFS, and any
+      * S3-compatible store (MinIO et al.) honor as create-if-absent with
+      * exactly one winner (GCS spells the same header
+      * `x-goog-if-generation-match: 0` — pass it via `extraHeader`).
+      * 2xx ⇒ this caller owns the claim; 412 Precondition Failed (or
+      * S3's historical 409) ⇒ lost the race, retry upward. ANY other
+      * status throws: storage trouble must fail the writer loudly —
+      * treating a 500 as "lost" would let two writers share a version
+      * the moment the store hiccups. The claim key is the table dir's
+      * absolute path + marker name, so distinct tables (and distinct
+      * local test dirs) never collide on one endpoint. */
+    def httpConditionalPut(
+        endpoint: java.net.URI,
+        extraHeader: Option[(String, String)] = None): ClaimStore =
+      new ClaimStore {
+        private val client = java.net.http.HttpClient.newHttpClient()
+        def tryClaim(dir: java.io.File, name: String): Boolean = {
+          val key = java.net.URLEncoder.encode(
+            s"${dir.getAbsolutePath}/$name", "UTF-8")
+          val b = java.net.http.HttpRequest
+            .newBuilder(java.net.URI.create(
+              endpoint.toString.stripSuffix("/") + "/" + key))
+            .header("If-None-Match", "*")
+            .PUT(java.net.http.HttpRequest.BodyPublishers.noBody())
+          extraHeader.foreach { case (k, v) => b.header(k, v) }
+          val resp = client.send(
+            b.build(),
+            java.net.http.HttpResponse.BodyHandlers.discarding())
+          resp.statusCode() match {
+            case ok if ok / 100 == 2 => true
+            case 412 | 409 => false
+            case other => throw new IllegalStateException(
+              s"conditional PUT returned $other for claim $name — " +
+                "refusing to guess who owns the version")
+          }
+        }
       }
   }
 

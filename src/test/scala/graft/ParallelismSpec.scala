@@ -41,6 +41,19 @@ class ParallelismSpec extends SparkSpec {
     assert(fine > Parallelism.cores(spark) && fine <= Parallelism.Cap)
   }
 
+  test("forPlanBytes floors at cores for small scans and tracks the " +
+    "plan-stats bytes above the floor") {
+    import spark.implicits._
+    val tiny = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    assert(Parallelism.forPlanBytes(tiny) === Parallelism.cores(spark))
+    // same frame, a 1-byte target: the LocalRelation's honest row-width
+    // stats dominate the floor (2 rows x 16 B payload > 16 one-byte
+    // partitions only if stats count row overhead -- assert > cores
+    // with a target small enough that any sane estimate clears it)
+    val fine = Parallelism.forPlanBytes(tiny, targetBytes = 1L)
+    assert(fine > Parallelism.cores(spark) && fine <= Parallelism.Cap)
+  }
+
   test("forInputBytes treats unreadable paths as empty, not fatal") {
     assert(Parallelism.forInputBytes(spark, Seq("/no/such/path.parquet")) ===
       Parallelism.cores(spark))

@@ -176,6 +176,81 @@ class TableSinkSpec extends SparkSpec {
     assert(spark.table("tsink_s3_t").count() == 1)
   }
 
+  test("racing writers through an ACTUAL HTTP If-None-Match conditional " +
+    "put (S3-stub server) never share a version") {
+    // A real local HTTP server speaking the object-store claim protocol:
+    // PUT with If-None-Match: * succeeds (200) for exactly the first
+    // caller of each key — putIfAbsent on the server side IS the
+    // store's atomicity — and returns 412 Precondition Failed to every
+    // loser, like S3/MinIO/ABFS. The adapter under test is the shipped
+    // ClaimStore.httpConditionalPut: claims travel over the wire, not
+    // through the local filesystem.
+    val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val misuse = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val conditional =
+        "*" == ex.getRequestHeaders.getFirst("If-None-Match")
+      if (ex.getRequestMethod != "PUT" || !conditional) {
+        misuse.incrementAndGet()
+        ex.sendResponseHeaders(400, -1)
+      } else if (claimed.add(ex.getRequestURI.toString))
+        ex.sendResponseHeaders(200, -1)
+      else ex.sendResponseHeaders(412, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val store = TableSink.ClaimStore.httpConditionalPut(java.net.URI.create(
+        s"http://127.0.0.1:${server.getAddress.getPort}/claims"))
+      val base = java.nio.file.Files.createTempDirectory("tsink_http").toString
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 2).map { w =>
+        new Thread(() =>
+          try (1 to 2).foreach { r =>
+            got.add(TableSink.overwriteViaSwap(
+              Seq((w, r)).toDF("writer", "round"), "tsink_http_t", base,
+              keepVersions = 100, claims = store))
+          } catch { case t: Throwable => errs.add(t) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+      val versions = {
+        import scala.jdk.CollectionConverters._; got.asScala.toSeq
+      }
+      assert(versions.size == 4 && versions.distinct.size == 4,
+        s"version collision through the HTTP adapter: $versions")
+      assert(misuse.get() == 0, "adapter sent a non-conditional request")
+      // every claim was made over the wire (4 wins + any lost retries)
+      assert(claimed.size >= 4)
+      // …and none fell back to local claim markers
+      val dir = new java.io.File(base, "tsink_http_t")
+      assert(!Option(dir.listFiles).iterator.flatten
+        .exists(_.getName.startsWith(".claim-")),
+        "HTTP adapter path must not create local claim files")
+      assert(spark.table("tsink_http_t").count() == 1)
+    } finally server.stop(0)
+  }
+
+  test("httpConditionalPut refuses to guess on a non-412 failure") {
+    // a flaky store (500) must FAIL the writer, not count as 'lost the
+    // race' — misclassifying it would hand two writers the same version
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(500, -1); ex.close()
+    })
+    server.start()
+    try {
+      val store = TableSink.ClaimStore.httpConditionalPut(java.net.URI.create(
+        s"http://127.0.0.1:${server.getAddress.getPort}/claims"))
+      val dir = java.nio.file.Files.createTempDirectory("tsink_http5").toFile
+      intercept[IllegalStateException] { store.tryClaim(dir, ".claim-v1") }
+    } finally server.stop(0)
+  }
+
   test("a claimed-but-crashed writer's husk is skipped by claim, commit " +
     "list, and swap") {
     val base = java.nio.file.Files.createTempDirectory("tsink_husk").toString
