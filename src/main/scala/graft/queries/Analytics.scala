@@ -17,6 +17,17 @@ object Analytics {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
+  /** Basket fan-out folded into [[basketPairs]]'s width target: one
+    * input line becomes up to m̄ pair instances (m̄ = mean basket size),
+    * so the pair stage's per-partition input budget is the shuffle
+    * target divided by this. 4 is the TPC-H lines-per-order shape; the
+    * r15 same-day sweep measured widths in this region (~8× cores at
+    * 1000×) time-neutral with the fixed-width form while a 16× factor
+    * (~1 k partitions) paid a 10–30 % per-stage width tax — and a
+    * heavier-basket corpus degrades by overshooting width (AQE
+    * re-coalesces), not by spilling (see basketPairs). */
+  val PairAmplification = 4
+
   /** Frequent co-purchase pairs over (l_orderkey, l_partkey) rows —
     * apriori k=1 prune, basket-shaped pair emission, and a BASKET-SIZE
     * GUARD (`maxBasket`, the maxGroupSize pattern from Dedup):
@@ -59,37 +70,39 @@ object Analytics {
     // at every fixture scale); above the threshold the semi-join shuffles
     // on l_partkey with no driver-resident artifact.
     val li = raw.join(freq, Seq("l_partkey"), "left_semi")
-    // Deferred-width materialization (the iterative operators' contract,
-    // Parallelism.scala NOTE): at the session's fixed width the sf100
-    // support=32 probe pushed ~126 M surviving pair instances through 32
-    // partitions (~4 M rows each — spill; 6.3 → 13.3 → 73.0 s on the
-    // 100×→1000× segment, SCALE.md r14). Two phases, each executed ONCE
-    // at a width derived from what IT is about to shuffle:
-    //  1. basket build — input-sized (the prune agg + semi-join + one
-    //     collect_set exchange carrying a row per surviving line), width
-    //     from the scan's own plan-stats bytes;
-    //  2. pair count — fan-out-sized, and the exact volume Σ m·(m−1)/2
-    //     is a cheap cached-block aggregate over the persisted baskets,
-    //     so the width tracks the TRUE pair count, not a guess.
-    // The returned tail (support filter + the caller's sort) reads the
-    // persisted pair table, which is distinct-pair-sized. Bench's
-    // per-sample releaseAllCaches barrier drops both scratch frames.
-    val nBuild = Parallelism.forPlanBytes(raw)
-    val (baskets, pairVolume) =
-      Parallelism.withShufflePartitions(spark, nBuild) {
-        val b = li.groupBy("l_orderkey")
-          .agg(collect_set(col("l_partkey")).as("__parts"))
-          .filter(size(col("__parts")) <= maxBasket)
-          .persist()
-        val v = b.agg(sum(
-          expr("CAST(size(__parts) AS BIGINT) * (size(__parts) - 1)"))
-          .as("__v")).first()
-        val vol = if (v.isNullAt(0)) 0L else v.getLong(0) / 2
-        (b, vol)
-      }
-    val nPairs = Parallelism.forRows(spark, pairVolume)
+    // Deferred-width execution (the iterative operators' contract,
+    // Parallelism.scala NOTE): the sf100 support=32 probe at r14 pushed
+    // ~126 M surviving pair instances through the session's 32 fixed
+    // partitions (~4 M rows each) and measured a 6.3 → 13.3 → 73.0 s
+    // 100×→1000× knee. The width must therefore track the PAIR volume,
+    // not the input bytes alone. Two r15 lessons bound HOW it may be
+    // derived (SCALE.md r15, measured same-day A/B at sf100):
+    //  - materializing the basket table to estimate the volume exactly
+    //    (persist + Σ m(m−1)/2) is 10⁸ cached array rows at 1000× — the
+    //    heap pressure that OOM'd the sf100 battery;
+    //  - a counts-only volume pre-pass is ~20 s of pure per-execution
+    //    overhead at sf100 while buying nothing locally: the pipeline
+    //    itself measured width-NEUTRAL from 32 to 2289 partitions
+    //    (51–75 s, same-session BasketDebug) — the r14 knee is a
+    //    memory/disk-contention regime, not a constant local tax.
+    // So the width derives for FREE from the scan's plan-stats bytes
+    // with the fan-out folded into the per-partition target: each input
+    // line amplifies into ≤ m̄ pair instances (m̄ = lines/order, ~4 at
+    // TPC-H shapes), so a 32 MB/4 = 8 MB input target keeps each
+    // task's pair slice inside the shuffle spill budget at the TPC-H
+    // shape; a heavier-basket corpus overshoots the width instead of
+    // spilling, AQE coalesces the byte-small reduce partitions back,
+    // and the Cap rails a corrupt estimate. Locally the floor keeps
+    // gate-scale plans identical (nPairs = cores at sf0.1). Only the
+    // support-filtered OUTPUT persists (distinct-pair-sized — the
+    // scope's materialization contract); Bench's per-sample
+    // releaseAllCaches barrier drops it between samples.
+    val nPairs = Parallelism.forPlanBytes(
+      raw, Parallelism.TargetPartitionBytes / PairAmplification)
     Parallelism.withShufflePartitions(spark, nPairs) {
-      val c = baskets
+      val c = li.groupBy("l_orderkey")
+        .agg(collect_set(col("l_partkey")).as("__parts"))
+        .filter(size(col("__parts")) <= maxBasket)
         .select(explode(col("__parts")).as("part_a"), col("__parts"))
         .select(col("part_a"), explode(col("__parts")).as("part_b"))
         .filter(col("part_a") < col("part_b"))
@@ -98,7 +111,6 @@ object Analytics {
         .filter(col("support") >= support)
         .persist()
       c.count()
-      baskets.unpersist(blocking = false)
       c
     }
   }
