@@ -76,13 +76,39 @@ object TwoLevelProbe {
       (tt, tp)
     }
 
+    // ---- recall: the r15 verdict's missing number. Both forms emit
+    // pairs ABOVE THE SAME SCORE THRESHOLD under different (legitimate)
+    // blocking, so single-level — the exhaustive-within-cell form whose
+    // cells the k = n/128 law sizes — is the reference set, and recall
+    // = |two ∩ single| / |single| quantifies what the bounded-driver
+    // branch loses. Training is fixed-point deterministic (no RNG), so
+    // re-deriving the frames here reproduces the timed runs' outputs
+    // bit-for-bit. ----
+    val (commonCnt, recall) = {
+      val cb = Similarity.trainCodebook(
+        emb, "vec_id", "embedding", k, 2, probeGroups = 8)
+      val ps = Similarity.semanticNearDupPairs(
+        emb, "vec_id", "embedding", 0.35,
+        codebookOpt = Some(cb), probeGroups = 8).select("a", "b")
+      val l1 = Similarity.trainCodebook(
+        emb, "vec_id", "embedding", k1, 2, probeGroups = 8)
+      val pt = Similarity.cosineNearDupPairs(
+        Similarity.twoLevelClustered(emb, "vec_id", "embedding", l1, m2,
+          probeGroups = 8),
+        "vec_id", "embedding", "__cell", 0.35).select("a", "b")
+      val c = pt.join(ps, Seq("a", "b"), "left_semi").count()
+      graft.operators.Dedup.releaseAllCaches(spark)
+      (c, if (singleCnt == 0) 1.0 else c.toDouble / singleCnt)
+    }
+
     println(s"""{"probe":"two_level_crossover","k":$k,"k1":$k1,"m2":$m2,""" +
       s""""single":{"train_sec":[${single.map(s => fmt(s._1)).mkString(",")}],""" +
       s""""pairs_sec":[${single.map(s => fmt(s._2)).mkString(",")}],""" +
       s""""driver_bytes":$singleBytes,"pairs":$singleCnt},""" +
       s""""two_level":{"train_sec":[${two.map(s => fmt(s._1)).mkString(",")}],""" +
       s""""pairs_sec":[${two.map(s => fmt(s._2)).mkString(",")}],""" +
-      s""""driver_bytes":$twoBytes,"pairs":$twoCnt}}""")
+      s""""driver_bytes":$twoBytes,"pairs":$twoCnt},""" +
+      s""""common_pairs":$commonCnt,"recall_vs_single":${fmt(recall)}}""")
     spark.stop()
   }
 }

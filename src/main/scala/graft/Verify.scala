@@ -21,12 +21,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (selected(name))
+      if (selected(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // scratch barrier: operators that persist (registered scratch —
+        // dedup pair tables, basketPairs' eager output) would otherwise
+        // accumulate blocks across the 200+ query battery; each query's
+        // result is fully written by here, so dropping is always safe
+        // (plain persists recompute from live lineage).
+        graft.operators.Dedup.releaseScratch(spark)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

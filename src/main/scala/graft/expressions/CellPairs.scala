@@ -251,9 +251,28 @@ object CellPairs {
     *
     * `GRAFT_EAGER_PAIR_BOUND` overrides it for the sensitivity sweep
     * (SCALE.md r15) — a measurement knob for local-mode probes ONLY
-    * (cluster executors read their own env): the committed default IS
-    * the contract. */
-  val EagerPairBound: Long =
-    sys.env.get("GRAFT_EAGER_PAIR_BOUND").map(_.toLong)
-      .getOrElse(1L << 17)
+    * (cluster executors read their own env, so the override would
+    * silently diverge from the driver): the committed default IS the
+    * contract. Enforced, not just documented — the override is honored
+    * only under a local master, and a malformed value falls back to the
+    * default instead of throwing NumberFormatException inside static
+    * initialization (which would surface as an opaque
+    * ExceptionInInitializerError on first use). */
+  val EagerPairBound: Long = {
+    val isLocal = Option(org.apache.spark.SparkEnv.get)
+      .forall(_.conf.get("spark.master", "local").startsWith("local"))
+    resolveEagerPairBound(sys.env.get("GRAFT_EAGER_PAIR_BOUND"), isLocal)
+  }
+
+  /** The override-resolution rule behind [[EagerPairBound]], pure for
+    * the spec: non-local masters and malformed/non-positive values both
+    * fall back to the committed default. */
+  private[graft] def resolveEagerPairBound(
+      raw: Option[String], isLocal: Boolean): Long = {
+    val default = 1L << 17
+    if (!isLocal) default
+    else raw.flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ > 0)
+      .getOrElse(default)
+  }
 }

@@ -87,11 +87,41 @@ object Parallelism {
   def forPlanBytes(
       df: org.apache.spark.sql.DataFrame,
       targetBytes: Long = TargetPartitionBytes): Int = {
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plan = df.queryExecution.optimizedPlan
+    val est = plan.stats.sizeInBytes
+    // Plausibility guard (the scan-shaped contract, ENFORCED as a
+    // signal): over a Project/Filter lineage the estimate can only
+    // SHRINK relative to the leaves' file bytes, so an estimate far
+    // above the summed leaf sizes means the caller handed a frame with
+    // a join/aggregate in it — stats there are row-count products and
+    // the derived width silently rails to Cap. Warn loudly (tests
+    // assert via [[planBytesPlausible]]) rather than guess a width.
+    val leafBytes = plan.collectLeaves()
+      .map(_.stats.sizeInBytes).filter(_.isValidLong).map(_.toLong).sum
+    if (leafBytes > 0L && est.isValidLong &&
+        est.toLong > 4L * math.max(leafBytes, 1L)) {
+      System.err.println(
+        s"[Parallelism.forPlanBytes] estimate ${est} is ${est.toLong / math.max(leafBytes, 1L)}x " +
+        s"the summed leaf bytes ($leafBytes) — the frame is not " +
+        "scan-shaped (a join/aggregate inflated stats to a row-count " +
+        "product); the derived width is untrustworthy and may rail to " +
+        s"Cap ($Cap). Use forInputBytes/forRows at this call site.")
+    }
     val bytes =
       if (est.isValidLong) est.toLong
       else Cap.toLong * targetBytes // corrupt estimate → the Cap rail
     clamp(df.sparkSession, (bytes + targetBytes - 1) / targetBytes)
+  }
+
+  /** True when [[forPlanBytes]]'s scan-shaped contract holds for `df`:
+    * the plan's size estimate does not exceed 4× its leaves' file
+    * bytes. Exposed so specs can assert a call site's frame shape. */
+  def planBytesPlausible(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val plan = df.queryExecution.optimizedPlan
+    val est = plan.stats.sizeInBytes
+    val leafBytes = plan.collectLeaves()
+      .map(_.stats.sizeInBytes).filter(_.isValidLong).map(_.toLong).sum
+    !est.isValidLong || leafBytes == 0L || est.toLong <= 4L * leafBytes
   }
 
   /** Partition count from a materialized row count. `bytesPerRow` is the

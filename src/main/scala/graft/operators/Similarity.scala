@@ -916,20 +916,35 @@ object Similarity {
       .filter(col("__rn") <= m2)
       .select(col("__l1"), (col("__rn") - 1).cast("long").as("__l2"),
         col("__vd").as("__cv"), col("__norm").as("__cn"))
-    // one member→sub-centroid argmax: join on the L1 cell, score by the
-    // shared left-fold cosine, keep min(struct(negsim, l2)) per member —
-    // partial-aggregates map-side, so only n rows reach the exchange
-    def assign(cents: DataFrame): DataFrame =
-      base.join(cents, Seq("__l1"))
-        .withColumn("__neg",
-          -(dot(col("__vd"), col("__cv")) / (col("__norm") * col("__cn"))))
-        .groupBy(col(idCol))
-        .agg(min(struct(col("__neg"), col("__l2"))).as("__best"),
-          first(col("__l1")).as("__l1"),
-          first(col("__vd")).as("__vd"),
-          first(col(vecCol)).as(vecCol))
+    // one member→sub-centroid argmax, ARRAY-PACKED (the r16 premium
+    // fix — the r15 crossover measured the two-level pairs stage 3.2×
+    // single-level, and the old row-exploded form was why): the sub-
+    // centroids of each L1 cell pack into ONE row's array, the join on
+    // `__l1` attaches a member's whole candidate set to it in place,
+    // and `array_min` over a transform computes the same deterministic
+    // min(struct(negsim, l2)) without materializing n·m2 joined rows or
+    // paying the old per-pass groupBy(idCol) exchange of n wide
+    // (vector-carrying) rows. Same ordering semantics (struct compare:
+    // negsim asc, l2 asc; NaN greatest) — the `sim_twolevel_assign`
+    // hash gate pins bit-equality. The packed side is k1 rows of
+    // m2-element arrays — the SAME total bytes as the fine codebook
+    // (k·dims·8 B), so at fixture scales AQE broadcasts it, and at
+    // 100 TB it shuffles k1 rows against n on `__l1` — still strictly
+    // fewer exchanges per pass than the old join + re-aggregate.
+    def assign(cents: DataFrame): DataFrame = {
+      val packed = cents.groupBy("__l1")
+        .agg(collect_list(struct(col("__l2"), col("__cv"), col("__cn")))
+          .as("__subs"))
+      base.join(packed, Seq("__l1"))
+        .withColumn("__best",
+          array_min(transform(col("__subs"), s =>
+            struct(
+              (-(dot(col("__vd"), s.getField("__cv")) /
+                (col("__norm") * s.getField("__cn")))).as("__neg"),
+              s.getField("__l2").as("__l2")))))
         .select(col(idCol), col(vecCol), col("__l1"),
           col("__best.__l2").as("__l2"), col("__vd"))
+    }
     var cents = cents0
     for (_ <- 0 until iters) {
       val assigned = assign(cents)

@@ -95,21 +95,30 @@ object Analytics {
     // and the Cap rails a corrupt estimate. Locally the floor keeps
     // gate-scale plans identical (nPairs = cores at sf0.1). Only the
     // support-filtered OUTPUT persists (distinct-pair-sized — the
-    // scope's materialization contract); Bench's per-sample
-    // releaseAllCaches barrier drops it between samples.
+    // scope's materialization contract).
+    //
+    // EAGER-EXECUTION NOTE: this method RUNS the pair pipeline at call
+    // time (persist + count — the withShufflePartitions contract needs
+    // the heavy phase materialized inside the scope), so a plan-only
+    // consumer pays full execution here. The persisted output is
+    // registered in the operator SCRATCH registry: any session-long
+    // caller (Verify, Bench between samples) drops it via
+    // Dedup.releaseScratch/releaseAllCaches, and because it is a plain
+    // persist with live lineage, a consumer that reads the frame after
+    // release silently recomputes — correct, just at session width.
     val nPairs = Parallelism.forPlanBytes(
       raw, Parallelism.TargetPartitionBytes / PairAmplification)
     Parallelism.withShufflePartitions(spark, nPairs) {
-      val c = li.groupBy("l_orderkey")
-        .agg(collect_set(col("l_partkey")).as("__parts"))
-        .filter(size(col("__parts")) <= maxBasket)
-        .select(explode(col("__parts")).as("part_a"), col("__parts"))
-        .select(col("part_a"), explode(col("__parts")).as("part_b"))
-        .filter(col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= support)
-        .persist()
+      val c = graft.operators.Dedup.scratchPersist(
+        li.groupBy("l_orderkey")
+          .agg(collect_set(col("l_partkey")).as("__parts"))
+          .filter(size(col("__parts")) <= maxBasket)
+          .select(explode(col("__parts")).as("part_a"), col("__parts"))
+          .select(col("part_a"), explode(col("__parts")).as("part_b"))
+          .filter(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b")
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= support))
       c.count()
       c
     }

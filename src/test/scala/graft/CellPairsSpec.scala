@@ -128,4 +128,25 @@ class CellPairsSpec extends SparkSpec {
     val for0 = got.filter(_.getLong(0) == 0L).sortBy(_.getInt(2))
     assert(for0.head.getLong(1) === 2L && for0.head.getDouble(3) === 1.0)
   }
+
+  test("EagerPairBound override resolution: malformed and non-positive " +
+    "values fall back, non-local masters ignore the knob (r15 ADVICE)") {
+    import graft.expressions.CellPairs.resolveEagerPairBound
+    val default = 1L << 17
+    // a malformed env value must NOT throw (it previously surfaced as an
+    // opaque ExceptionInInitializerError inside static init)
+    assert(resolveEagerPairBound(Some("not-a-number"), isLocal = true)
+      === default)
+    assert(resolveEagerPairBound(Some(""), isLocal = true) === default)
+    assert(resolveEagerPairBound(Some("-5"), isLocal = true) === default)
+    assert(resolveEagerPairBound(Some("0"), isLocal = true) === default)
+    // valid local override honored (the sensitivity-sweep knob)
+    assert(resolveEagerPairBound(Some("32768"), isLocal = true) === 32768L)
+    assert(resolveEagerPairBound(Some(" 1024 "), isLocal = true) === 1024L)
+    // the knob is local-only: on a cluster master the executors would
+    // read their OWN env and silently diverge from the driver, so the
+    // override is refused outright
+    assert(resolveEagerPairBound(Some("32768"), isLocal = false) === default)
+    assert(resolveEagerPairBound(None, isLocal = true) === default)
+  }
 }

@@ -191,6 +191,31 @@ class EdgeCaseSpec extends SparkSpec {
       s"expected 1227 unguarded pairs, got ${unguarded.size}")
   }
 
+  test("basketPairs registers its persisted output as scratch: " +
+    "releaseScratch drops the blocks and the frame recomputes correctly " +
+    "(r15 ADVICE: no per-call persist leak)") {
+    // id-scoped (not isEmpty): suites share the session and may run in
+    // parallel, so only the ids THIS call introduced are asserted on
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val raw = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val pairs = graft.queries.Analytics.basketPairs(raw, support = 2)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // the eager persist+count left cached blocks behind…
+    assert(added.nonEmpty,
+      "expected basketPairs' materialized output to be cached")
+    // …which the scratch barrier (Verify runs it per query, Bench per
+    // sample) releases without invalidating the result: a plain persist
+    // keeps its lineage, so the frame silently recomputes
+    graft.operators.Dedup.releaseScratch(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet & added
+    assert(leaked.isEmpty,
+      s"releaseScratch must drop basketPairs' persisted output: $leaked")
+    assert(pairs.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ===
+      Set((1L, 2L, 2L)))
+  }
+
   test("levenshteinNearDupPairs drops an oversized prefix block whole " +
     "but keeps organic blocks") {
     // one organic 2-doc block (shared 30-char prefix, small tail edit)

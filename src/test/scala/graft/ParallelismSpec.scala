@@ -69,6 +69,27 @@ class ParallelismSpec extends SparkSpec {
     assert(spark.conf.get(key) === before)
   }
 
+  test("planBytesPlausible accepts scan-shaped frames and flags a frame " +
+    "with a join above the scan (r15 ADVICE: forPlanBytes misuse signal)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plausible").toString
+    (1 to 2000).map(i => (i.toLong, s"name_$i", i % 7))
+      .toDF("id", "name", "grp").write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    // Project/Filter lineage: estimate ≤ leaf bytes → plausible
+    assert(Parallelism.planBytesPlausible(scan))
+    assert(Parallelism.planBytesPlausible(
+      scan.select("id", "grp").filter($"grp" === 1)))
+    // a self-join's stats are a row-count PRODUCT — the exact shape the
+    // forPlanBytes scaladoc forbids; the guard must see it
+    val joined = scan.join(scan.withColumnRenamed("id", "id2"), "grp")
+    assert(!Parallelism.planBytesPlausible(joined),
+      "join-inflated stats should be flagged implausible")
+    // and the derivation itself still rails safely (clamped to Cap)
+    val n = Parallelism.forPlanBytes(joined)
+    assert(n <= Parallelism.Cap)
+  }
+
   test("withShufflePartitions restores the conf when the body throws") {
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
