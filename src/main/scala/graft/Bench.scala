@@ -232,6 +232,13 @@ object Bench {
         s""""host_factor":${fmt(hostFactor)},""" +
         s""""host_factor_raw":${fmt(hostFactorRaw)},""" +
         s""""host_factor_capped":$hostFactorCapped,""" +
+        // The r15 lesson: the round's committed artifact was captured in
+        // a 1.22×-steal window (28 queries retried an order of magnitude
+        // faster minutes later) and read as a regression at first sight.
+        // A run taken under visible contention self-describes as suspect
+        // so history is never silently polluted: re-run when quiet
+        // before treating the numbers as a code signal.
+        s""""contended":${hostFactorRaw > 1.1 || retried.nonEmpty},""" +
         s""""retried":${qjson(retried)},""" +
         s""""unbaselined":${slist(unbaselined)},$extra"sf":"$sfDir"}"""
     // FULL per-query detail + the sink tag list → the bench file (the

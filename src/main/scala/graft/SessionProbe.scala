@@ -55,15 +55,11 @@ object SessionProbe {
     spark.stop()
   }
 
-  /** ceil(fileBytes / 32 MB) floored at 8 — the st_* state sizing rule
-    * under test: tracks bytes at scale, keeps the fixture-scale fixed
-    * cost at the session-window query's historical 8 stores. */
-  def derivedStateWidth(spark: SparkSession, path: String): Int = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val bytes = hp.getFileSystem(conf).getContentSummary(hp).getLength
-    math.max(8L, (bytes + (32L << 20) - 1) / (32L << 20)).toInt
-  }
+  /** The st_sessions state sizing rule under test — delegates to the
+    * production helper so the probe measures exactly what the gate
+    * query runs. */
+  def derivedStateWidth(spark: SparkSession, path: String): Int =
+    graft.queries.StreamingQueries.stateWidthFor(spark, path)
 
   private def tmp(s: SparkSession, name: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** A/B probe for the driver-memory law's switch point (SCALE.md r15):
   * runs the FULL SemDeDup pair pipeline at the corpus-scaled k both
@@ -84,21 +85,39 @@ object TwoLevelProbe {
     // branch loses. Training is fixed-point deterministic (no RNG), so
     // re-deriving the frames here reproduces the timed runs' outputs
     // bit-for-bit. ----
-    val (commonCnt, recall) = {
+    // Recall is threshold-stratified: at the gate's 0.35 operating
+    // threshold the above-threshold pair set is enormous (cos ≥ 0.35 is
+    // weak similarity) and ANY ~128-member blocking samples a thin,
+    // clustering-dependent slice of it, so two different clusterings
+    // overlap little by construction. What dedup actually acts on is
+    // the HIGH-similarity stratum — recall there says whether the
+    // bounded-driver branch loses real near-dups or just swaps which
+    // weak pairs it happens to score.
+    val strata = Seq(0.35, 0.60, 0.80, 0.90)
+    val recallJson = {
       val cb = Similarity.trainCodebook(
         emb, "vec_id", "embedding", k, 2, probeGroups = 8)
       val ps = Similarity.semanticNearDupPairs(
         emb, "vec_id", "embedding", 0.35,
-        codebookOpt = Some(cb), probeGroups = 8).select("a", "b")
+        codebookOpt = Some(cb), probeGroups = 8)
+        .select(col("a"), col("b"), col("score_r")).persist()
       val l1 = Similarity.trainCodebook(
         emb, "vec_id", "embedding", k1, 2, probeGroups = 8)
       val pt = Similarity.cosineNearDupPairs(
         Similarity.twoLevelClustered(emb, "vec_id", "embedding", l1, m2,
           probeGroups = 8),
-        "vec_id", "embedding", "__cell", 0.35).select("a", "b")
-      val c = pt.join(ps, Seq("a", "b"), "left_semi").count()
+        "vec_id", "embedding", "__cell", 0.35)
+        .select("a", "b").persist()
+      val parts = strata.map { t =>
+        val ref = ps.filter(col("score_r") >= t)
+        val refCnt = ref.count()
+        val c = ref.join(pt, Seq("a", "b"), "left_semi").count()
+        val r = if (refCnt == 0) 1.0 else c.toDouble / refCnt
+        s""""t$t":{"single_pairs":$refCnt,"common":$c,"recall":${fmt(r)}}"""
+      }
+      ps.unpersist(); pt.unpersist()
       graft.operators.Dedup.releaseAllCaches(spark)
-      (c, if (singleCnt == 0) 1.0 else c.toDouble / singleCnt)
+      parts.mkString("{", ",", "}")
     }
 
     println(s"""{"probe":"two_level_crossover","k":$k,"k1":$k1,"m2":$m2,""" +
@@ -108,7 +127,7 @@ object TwoLevelProbe {
       s""""two_level":{"train_sec":[${two.map(s => fmt(s._1)).mkString(",")}],""" +
       s""""pairs_sec":[${two.map(s => fmt(s._2)).mkString(",")}],""" +
       s""""driver_bytes":$twoBytes,"pairs":$twoCnt},""" +
-      s""""common_pairs":$commonCnt,"recall_vs_single":${fmt(recall)}}""")
+      s""""recall_by_threshold":$recallJson}""")
     spark.stop()
   }
 }

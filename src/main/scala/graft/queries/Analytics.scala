@@ -124,6 +124,28 @@ object Analytics {
     }
   }
 
+  /** Shared co-purchase edge phase of the three graph queries
+    * (an_pagerank / an_bfs_hops / an_sssp): support≥2 part pairs over
+    * orders, i.e. exactly [[basketPairs]] with the mega-basket guard
+    * disabled (these queries' oracles replay UNguarded pair semantics —
+    * Int.MaxValue keeps the contract byte-identical; at TPC-H shapes
+    * the guard never binds anyway). The r16 motivation is the r13/r15
+    * basket lesson landing on the graph family: all three previously
+    * inlined a lineitem self-join + session-width pair aggregate, and
+    * at 1000× the isolated an_sssp probe DIED on execution memory
+    * (UNABLE_TO_ACQUIRE_MEMORY at 80 g heap, 32 fixed partitions)
+    * inside that phase — the same per-task hash-state blowup
+    * an_basket_pairs hit before its derived-width materialization.
+    * Routing through basketPairs buys the map-side basket emission, the
+    * plan-stats-derived shuffle width, and the in-scope materialization
+    * in one move; the walk/rank phases then start from a persisted,
+    * pair-sized table (the iterative operators' own width derivation is
+    * unchanged). */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    basketPairs(
+      lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+      support = 2, maxBasket = Int.MaxValue)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     // Revenue per region: lineitem ⋈ orders (shuffle) ⋈ customer (shuffle)
@@ -258,18 +280,11 @@ object Analytics {
     // integer formula in SQL, so this is a true cross-engine replay of
     // an ITERATIVE distributed algorithm on the hash gate.
     "an_pagerank" -> ((s, d) => {
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        .distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      val pairs = a.join(b, "l_orderkey")
-        .filter(col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-      val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
-        .unionByName(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
-      graft.operators.Graph.pageRankScaled(edges, "src", "dst", iters = 3)
+      val edges = coPurchaseEdges(s, d)
+        .select(col("part_a").as("src"), col("part_b").as("dst"))
+      val sym = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pageRankScaled(sym, "src", "dst", iters = 3)
         .orderBy(col("rank_scaled").desc, col("id"))
     }),
 
@@ -282,17 +297,10 @@ object Analytics {
     // bounded recursive CTE. Set semantics — no arithmetic — so the
     // hash compare is exact.
     "an_bfs_hops" -> ((s, d) => {
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        .distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      val pairs = a.join(b, "l_orderkey")
-        .filter(col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-      val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
-        .unionByName(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+      val one = coPurchaseEdges(s, d)
+        .select(col("part_a").as("src"), col("part_b").as("dst"))
+      val edges = one.unionByName(
+        one.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = edges.select(col("src").as("id"))
         .filter(col("id") % 97 === 0).distinct()
       graft.operators.Graph.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 3)
@@ -364,15 +372,7 @@ object Analytics {
     // integer weights keep the min-fold exact, and the oracle replays
     // with a hop-bounded recursive CTE over identical integer sums.
     "an_sssp" -> ((s, d) => {
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        .distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      val pairs = a.join(b, "l_orderkey")
-        .filter(col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
+      val pairs = coPurchaseEdges(s, d)
       val edges = pairs.select(col("part_a").as("src"),
           col("part_b").as("dst"), col("support"))
         .unionByName(pairs.select(col("part_b").as("src"),

@@ -11,6 +11,14 @@ import graft.operators.{Bpe, Dedup, Packing, Sampling, TextOps}
   * is integer arithmetic so the hash compare is exact.
   */
 object CurationOps {
+
+  /** Bytes of shuffled window-fingerprint rows per byte of
+    * scan-estimated document text (dd_span_dedup's width derivation):
+    * one ~44 B (doc_id, s, fp₁₆) row per token position (~6 B of raw
+    * text), times ~2× parquet→raw decompression ≈ 16. Folded into the
+    * per-partition byte target the same way basketPairs folds
+    * PairAmplification. */
+  private val SpanAmplification = 16
   import Tables._
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -422,29 +430,40 @@ object CurationOps {
     // copy; this pass then removes residual cross-doc boilerplate).
     "dd_span_dedup" -> ((s, d) => {
       val W = 8
-      val toks = documents(s, d)
+      import graft.operators.Parallelism
+      val docs = documents(s, d)
+      val toks = docs
         .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      // the window-fingerprint table feeds BOTH the dup-count aggregate
-      // and the coverage semi-join — un-persisted, each consumer re-ran
-      // the tokenize + per-window md5 kernel over the corpus (the
-      // query's dominant CPU). Registered scratch (MEMORY_AND_DISK):
-      // O(n_tokens) narrow rows, the same order of bytes a shuffle of it
-      // spills anyway, released by releaseScratch at the pipeline
-      // boundary. The windows ride the native shingle kernel; md5 runs
-      // per emitted window either way.
-      val wins = Dedup.scratchPersist(
-        toks.filter(size(col("ws")) >= W)
-          .select(col("doc_id"),
-            posexplode(TextOps.allShingles(col("ws"), W)).as(Seq("i0", "sh")))
-          .select(col("doc_id"), (col("i0") + 1).as("s"), md5(col("sh")).as("fp")))
-      val dups = wins.groupBy("fp").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2).select("fp")
+      // SINGLE-PASS dup detection (the r16 1000× fix, third form): the
+      // r15 two-consumer shape — scratch-persist the fingerprint table,
+      // aggregate a dup set, semi-join coverage back — was measured
+      // SUPER-LINEAR at the top of the ladder (sf30 19.2 → sf100
+      // 109.9 s min on 3.33× data) and WIDTH-NEUTRAL (isolated sf100:
+      // 109.9 s at 32 partitions, 146.1 at 128, 112.0 at 256), i.e. the
+      // term is the persist itself: ~40 GB of O(n_windows) cached rows
+      // fit in storage memory at 300× and thrash MEMORY_AND_DISK at
+      // 1000×, paying a corpus-sized write plus two reads. So the dup
+      // count now rides ONE windowed count over the fingerprint — the
+      // kernel (tokenize + shingle + md5) runs once, the only wide
+      // exchange is the fp-keyed window shuffle, and nothing is cached.
+      // The fingerprint itself shrinks 3×: unhex(md5(·)) carries the
+      // identical 128-bit value as 16 binary bytes instead of 32 hex
+      // chars (~48 B UTF8String), so the one shuffle is ~half the bytes
+      // — and COLLISION-IDENTICAL to the oracle's md5-string compare.
+      val wins = toks.filter(size(col("ws")) >= W)
+        .select(col("doc_id"),
+          posexplode(TextOps.allShingles(col("ws"), W)).as(Seq("i0", "sh")))
+        .select(col("doc_id"), (col("i0") + 1).as("s"),
+          unhex(md5(col("sh"))).as("fp"))
       // per-doc disjoint covered intervals: sorted duplicated-window
       // starts fold left-to-right; a start x extends the open interval
       // when x ≤ e+1 (covered positions are the inclusive union — an
       // adjacent window merges to the same covered set), else opens
       // [x, x+W−1]. One groupBy(doc_id) over the duplicated windows.
-      val covered = wins.join(dups, Seq("fp"), "left_semi")
+      val winSpec = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val covered = wins
+        .withColumn("__c", count(lit(1)).over(winSpec))
+        .filter(col("__c") >= 2)
         .groupBy("doc_id")
         .agg(sort_array(collect_list(col("s"))).as("starts"))
         .select(col("doc_id"), expr(s"""
@@ -464,7 +483,7 @@ object CurationOps {
       // ivsᵢ₊₁.a−1], [ivsₗ.e+1, n_tokens]; the cleaned text is the
       // doc's own array sliced at those gaps — no per-token shuffle,
       // no per-position membership test.
-      toks
+      val cleaned = toks
         .join(covered, Seq("doc_id"), "left")
         .select(col("doc_id"), col("ws"),
           size(col("ws")).cast("long").as("n_tokens"),
@@ -482,7 +501,25 @@ object CurationOps {
         .select(col("doc_id"), col("n_tokens"),
           (col("n_tokens") - size(col("kept"))).as("n_removed"),
           md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
-        .orderBy("doc_id")
+      // the fp window shuffle carries ~16× the scan-estimated text
+      // bytes (one ~44 B (doc_id, s, fp₁₆) row per ~6 B token position,
+      // times parquet→raw decompression), so the width derives from the
+      // scan with that amplification folded into the per-partition
+      // target — at the fixture scales the floor keeps plans identical
+      // (nSpan = cores through sf10), and at 1000× the per-task window
+      // sort stays in memory instead of external-sorting 700 MB slices.
+      // basketPairs' materialization contract: only the per-doc OUTPUT
+      // persists (registered scratch — Verify/Bench release per query),
+      // executed inside the scope; the orderBy tail stays deferred.
+      val nSpan = Parallelism.forPlanBytes(
+        docs.select(col("doc_id"), col("text")),
+        Parallelism.TargetPartitionBytes / SpanAmplification)
+      val m = Parallelism.withShufflePartitions(s, nSpan) {
+        val p = Dedup.scratchPersist(cleaned)
+        p.count()
+        p
+      }
+      m.orderBy("doc_id")
     }),
 
     // PMI collocation mining: ln(c_xy·N·N / (N2·c_x·c_y)) for bigrams

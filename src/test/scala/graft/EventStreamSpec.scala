@@ -243,4 +243,26 @@ class EventStreamSpec extends SparkSpec {
       assert(ids.toSeq === Seq(1L, 2L, 3L))
     } finally query.stop()
   }
+
+  test("stateWidthFor floors at 8 for fixture-scale inputs and tracks " +
+    "bytes above 256 MB (the st_sessions growth-term fix, r16)") {
+    import graft.queries.StreamingQueries.stateWidthFor
+    // fixture-scale file → the historical 8 state stores (gate plans
+    // unchanged: sf0.1 events is ~16 MB)
+    val dir = java.nio.file.Files.createTempDirectory("statew").toString
+    val small = s"$dir/small.bin"
+    java.nio.file.Files.write(java.nio.file.Paths.get(small),
+      new Array[Byte](1 << 20))
+    assert(stateWidthFor(spark, small) === 8)
+    // the derived regime: ceil(bytes / 32 MB). The probe measured the
+    // real thing at sf30 (467 MB → 15) and sf100 (1.6 GB → 50); here the
+    // arithmetic is pinned against a sparse file-backed length
+    val big = s"$dir/big.bin"
+    val raf = new java.io.RandomAccessFile(big, "rw")
+    raf.setLength(467L << 20) // the sf30 events size
+    raf.close()
+    assert(stateWidthFor(spark, big) === 15)
+    // unreadable path → floor, never a throw
+    assert(stateWidthFor(spark, "/no/such/file") === 8)
+  }
 }
