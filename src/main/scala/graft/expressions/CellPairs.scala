@@ -257,12 +257,28 @@ object CellPairs {
     * only under a local master, and a malformed value falls back to the
     * default instead of throwing NumberFormatException inside static
     * initialization (which would surface as an opaque
-    * ExceptionInInitializerError on first use). */
-  val EagerPairBound: Long = {
-    val isLocal = Option(org.apache.spark.SparkEnv.get)
-      .forall(_.conf.get("spark.master", "local").startsWith("local"))
+    * ExceptionInInitializerError on first use).
+    *
+    * Resolved LAZILY at first use, not at class-load, and FAIL-CLOSED:
+    * if no SparkEnv exists yet (a cluster driver that loaded this class
+    * before the session came up — exactly the case where class-load
+    * resolution used to default to "local" and honor the override), the
+    * master is treated as NON-local and the override is refused. Every
+    * real evaluation site (driver or executor) runs with a live
+    * SparkEnv, so a local-mode probe still gets its knob. */
+  lazy val EagerPairBound: Long = {
+    val isLocal = masterIsLocal(Option(org.apache.spark.SparkEnv.get)
+      .map(_.conf.get("spark.master", "")))
     resolveEagerPairBound(sys.env.get("GRAFT_EAGER_PAIR_BOUND"), isLocal)
   }
+
+  /** Fail-closed master classification behind [[EagerPairBound]], pure
+    * for the spec: an absent SparkEnv (None) or an unset/empty master is
+    * NOT local — the override-refusing branch — so a class loaded before
+    * the session exists can never freeze a cluster run onto a local-only
+    * measurement knob. */
+  private[graft] def masterIsLocal(master: Option[String]): Boolean =
+    master.exists(_.startsWith("local"))
 
   /** The override-resolution rule behind [[EagerPairBound]], pure for
     * the spec: non-local masters and malformed/non-positive values both

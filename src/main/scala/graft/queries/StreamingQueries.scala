@@ -77,13 +77,24 @@ object StreamingQueries {
     * stores carry real per-micro-batch fixed cost — see
     * [[withStatePartitions]]); the width only rises when the data
     * outgrows them, which is the cluster regime. Unreadable paths
-    * contribute 0 and land on the floor. */
+    * contribute 0 and land on the floor — LOUDLY: a transient
+    * filesystem error at 1000× that silently railed the width to 8
+    * would reproduce the exact per-task state blowup this derivation
+    * exists to prevent, so the fallback prints the failure to stderr
+    * where the bench/verify logs capture it. */
   private[graft] def stateWidthFor(s: SparkSession, path: String): Int = {
     val conf = s.sparkContext.hadoopConfiguration
     val bytes = try {
       val hp = new org.apache.hadoop.fs.Path(path)
       hp.getFileSystem(conf).getContentSummary(hp).getLength
-    } catch { case _: Exception => 0L }
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"[graft] stateWidthFor: cannot size '$path' " +
+            s"(${e.getClass.getName}: ${e.getMessage}); " +
+            "falling back to floor state width 8")
+        0L
+    }
     math.max(8L, (bytes + (32L << 20) - 1) / (32L << 20)).toInt
   }
 
@@ -121,7 +132,10 @@ object StreamingQueries {
       val outDir = tmp(s, "win_out")
       val ckDir = tmp(s, "win_ck")
       rmrf(ckDir) // fresh checkpoint: each invocation reprocesses the file
-      withStatePartitions(s, 8) {
+      // derived state width (stateWidthFor — the st_sessions lesson
+      // applied to every stateful st_* query): sized from the staged
+      // drop directory, i.e. exactly the bytes the stream will read
+      withStatePartitions(s, stateWidthFor(s, srcDir)) {
         val q = EventStream.windowedTypeCounts(stream, "10 minutes", "1 hour")
           .writeStream
           .outputMode("complete")
@@ -162,7 +176,10 @@ object StreamingQueries {
       val ckDir = tmp(s, "dedup_ck")
       rmrf(ckDir)
       rmrf(outDir)
-      withStatePartitions(s, 8) {
+      // derived width over the STAGED directory: the fixture lands
+      // twice (re-delivery), so the dedup state's input volume — and
+      // therefore the width — is automatically the doubled bytes
+      withStatePartitions(s, stateWidthFor(s, srcDir)) {
         val q = EventStream.dedupWithinWatermark(stream, "10 minutes")
           .writeStream
           .outputMode("append")
@@ -278,7 +295,13 @@ object StreamingQueries {
       val ckDir = tmp(s, "join_ck")
       rmrf(ckDir)
       rmrf(outDir)
-      withStatePartitions(s, 8) {
+      // derived width for the stream-stream join (r16 verdict item):
+      // both sides' state stores share the same shuffle partitions, but
+      // each input event lands in AT MOST one side's buffer (it is a
+      // purchase or a view, never both), so the staged directory's bytes
+      // bound the total buffered state and size the width directly —
+      // same derivation as the single-store queries
+      withStatePartitions(s, stateWidthFor(s, srcDir)) {
         val q = EventStream.joinWithinWindow(
           side("purchase"), side("view"), "10 minutes", "30 minutes")
           .writeStream
@@ -317,7 +340,11 @@ object StreamingQueries {
       val ckDir = tmp(s, "resume_ck")
       rmrf(srcDir); rmrf(outDir); rmrf(ckDir)
       val raw = s.read.schema(rawSchema).parquet(path)
-      def run(): Unit = withStatePartitions(s, 8) {
+      // width from the FULL fixture (path, not srcDir): the checkpoint
+      // bakes the state partition count at run 1, before half_b lands,
+      // so sizing from the drop directory would freeze run 1's half-
+      // sized width for the query's whole lifetime
+      def run(): Unit = withStatePartitions(s, stateWidthFor(s, path)) {
         val stream = s.readStream.schema(rawSchema)
           .option("recursiveFileLookup", "true").parquet(srcDir)
         val q = stream.groupBy("event_type")
@@ -378,7 +405,9 @@ object StreamingQueries {
       val ckDir = tmp(s, "state_ck")
       rmrf(ckDir)
       rmrf(outDir)
-      withStatePartitions(s, 8) {
+      // derived width: mapGroupsWithState keeps one row per user, so
+      // state grows with input key cardinality — the st_sessions shape
+      withStatePartitions(s, stateWidthFor(s, srcDir)) {
         val q = EventStream.runningUserActivity(typed)
           .toDF()
           .writeStream
@@ -420,7 +449,10 @@ object StreamingQueries {
       val ckDir = tmp(s, "enrich_ck")
       rmrf(ckDir)
       rmrf(outDir)
-      withStatePartitions(s, 8) {
+      // derived width: the complete-mode rollup's state is nation-bounded
+      // (25 keys) but the aggregation exchange still carries the full
+      // stream — sized from the staged bytes like every other st_* query
+      withStatePartitions(s, stateWidthFor(s, srcDir)) {
         // integer-cents discipline (the ts_*/w* precedent): per-row cents
         // then an exact integer sum, so no cross-engine/partition-order
         // float reassociation can drift past a rounding mask at scale

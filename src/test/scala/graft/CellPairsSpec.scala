@@ -149,4 +149,18 @@ class CellPairsSpec extends SparkSpec {
     assert(resolveEagerPairBound(Some("32768"), isLocal = false) === default)
     assert(resolveEagerPairBound(None, isLocal = true) === default)
   }
+
+  test("master classification is fail-closed: absent SparkEnv / unset " +
+    "master is NOT local, so the override can never leak onto a cluster " +
+    "driver that loaded the class before the session (r16 ADVICE)") {
+    import graft.expressions.CellPairs.masterIsLocal
+    assert(!masterIsLocal(None)) // no SparkEnv yet — the old bug honored it
+    assert(!masterIsLocal(Some(""))) // env up, master unset in its conf
+    assert(!masterIsLocal(Some("spark://host:7077")))
+    assert(!masterIsLocal(Some("yarn")))
+    assert(!masterIsLocal(Some("k8s://https://host")))
+    assert(masterIsLocal(Some("local")))
+    assert(masterIsLocal(Some("local[32]")))
+    assert(masterIsLocal(Some("local-cluster[2,1,1024]")))
+  }
 }

@@ -262,7 +262,18 @@ class EventStreamSpec extends SparkSpec {
     raf.setLength(467L << 20) // the sf30 events size
     raf.close()
     assert(stateWidthFor(spark, big) === 15)
-    // unreadable path → floor, never a throw
-    assert(stateWidthFor(spark, "/no/such/file") === 8)
+    // unreadable path → floor, never a throw — and LOUDLY (r16 ADVICE):
+    // a silently railed-to-floor width at 1000x reproduces the exact
+    // state blowup the derivation prevents, so the fallback must leave
+    // a diagnostic in the bench/verify logs
+    val realErr = System.err
+    val captured = new java.io.ByteArrayOutputStream()
+    try {
+      System.setErr(new java.io.PrintStream(captured, true, "UTF-8"))
+      assert(stateWidthFor(spark, "/no/such/file") === 8)
+    } finally System.setErr(realErr)
+    val diag = captured.toString("UTF-8")
+    assert(diag.contains("stateWidthFor") && diag.contains("/no/such/file")
+      && diag.contains("floor"), s"missing fallback diagnostic: '$diag'")
   }
 }

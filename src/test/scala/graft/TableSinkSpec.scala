@@ -275,23 +275,37 @@ class TableSinkSpec extends SparkSpec {
     // over an existing TABLE throws EXPECT_VIEW_NOT_TABLE.* (captured
     // empirically) — a condition OUTSIDE the transient race set, so the
     // swap must rethrow on FIRST sight, not busy-retry 10 times
+    // try/finally + IF EXISTS hygiene (r16 ADVICE): the squat table is
+    // permanent catalog state in the SHARED test session — leaking it
+    // pollutes other suites and fails this test's own re-run on the
+    // CREATE itself
+    spark.sql("DROP TABLE IF EXISTS tsink_squat")
     spark.sql("CREATE TABLE tsink_squat (id INT) USING parquet")
     val base = java.nio.file.Files.createTempDirectory("tsink_squat").toString
-    val t0 = System.nanoTime()
-    val e = intercept[org.apache.spark.sql.AnalysisException] {
-      TableSink.overwriteViaSwap(
-        Seq((1, "a")).toDF("id", "v"), "tsink_squat", base)
+    try {
+      val t0 = System.nanoTime()
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        TableSink.overwriteViaSwap(
+          Seq((1, "a")).toDF("id", "v"), "tsink_squat", base)
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(e.getCondition.startsWith("EXPECT_VIEW_NOT_TABLE"),
+        s"unexpected condition: ${e.getCondition}")
+      // retry-free: 10 backoff rounds would sleep ≥ ~1 s on their own;
+      // a first-sight rethrow (one write + one failed statement) stays
+      // well under the backoff budget. Generous bound to avoid host noise.
+      assert(elapsedMs < 30000, s"squat conflict took ${elapsedMs}ms")
+      // and the transient set is pinned verbatim to the two conditions the
+      // 16-thread race probe produced — no substring matching
+      assert(TableSink.TransientSwapConditions ===
+        Set("TABLE_OR_VIEW_ALREADY_EXISTS", "TABLE_OR_VIEW_NOT_FOUND"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS tsink_squat")
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles).iterator.flatten.foreach(rec)
+        f.delete(); ()
+      }
+      rec(new java.io.File(base))
     }
-    val elapsedMs = (System.nanoTime() - t0) / 1000000L
-    assert(e.getCondition.startsWith("EXPECT_VIEW_NOT_TABLE"),
-      s"unexpected condition: ${e.getCondition}")
-    // retry-free: 10 backoff rounds would sleep ≥ ~1 s on their own;
-    // a first-sight rethrow (one write + one failed statement) stays
-    // well under the backoff budget. Generous bound to avoid host noise.
-    assert(elapsedMs < 30000, s"squat conflict took ${elapsedMs}ms")
-    // and the transient set is pinned verbatim to the two conditions the
-    // 16-thread race probe produced — no substring matching
-    assert(TableSink.TransientSwapConditions ===
-      Set("TABLE_OR_VIEW_ALREADY_EXISTS", "TABLE_OR_VIEW_NOT_FOUND"))
   }
 }
