@@ -59,17 +59,6 @@ object Analytics {
       maxBasket: Int = 1024): DataFrame = {
     import graft.operators.Parallelism
     val spark = raw.sparkSession
-    val freq = raw.groupBy("l_partkey")
-      .agg(count(lit(1)).as("__pn"))
-      .filter(col("__pn") >= support)
-      .select("l_partkey")
-    // No broadcast hint: the frequent-part set scales with the CATALOG
-    // (every part at support=2 — ~20 B keys at TPC-H 100 TB), so forcing
-    // a broadcast is a driver OOM at exactly the scale the prune matters.
-    // AQE sees freq's runtime size and broadcasts when it fits (it does
-    // at every fixture scale); above the threshold the semi-join shuffles
-    // on l_partkey with no driver-resident artifact.
-    val li = raw.join(freq, Seq("l_partkey"), "left_semi")
     // Deferred-width execution (the iterative operators' contract,
     // Parallelism.scala NOTE): the sf100 support=32 probe at r14 pushed
     // ~126 M surviving pair instances through the session's 32 fixed
@@ -106,22 +95,53 @@ object Analytics {
     // Dedup.releaseScratch/releaseAllCaches, and because it is a plain
     // persist with live lineage, a consumer that reads the frame after
     // release silently recomputes — correct, just at session width.
+    // Both halves of that contract are pinned by BasketPairsContractSpec;
+    // a consumer that never wants the eager execution (plan inspection,
+    // a caller that materializes inside its OWN width scope) takes
+    // [[basketPairsPlan]] instead.
     val nPairs = Parallelism.forPlanBytes(
       raw, Parallelism.TargetPartitionBytes / PairAmplification)
     Parallelism.withShufflePartitions(spark, nPairs) {
       val c = graft.operators.Dedup.scratchPersist(
-        li.groupBy("l_orderkey")
-          .agg(collect_set(col("l_partkey")).as("__parts"))
-          .filter(size(col("__parts")) <= maxBasket)
-          .select(explode(col("__parts")).as("part_a"), col("__parts"))
-          .select(col("part_a"), explode(col("__parts")).as("part_b"))
-          .filter(col("part_a") < col("part_b"))
-          .groupBy("part_a", "part_b")
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= support))
+        basketPairsPlan(raw, support, maxBasket))
       c.count()
       c
     }
+  }
+
+  /** LAZY plan-only variant of [[basketPairs]] (r16 verdict hardening):
+    * the identical pair pipeline with NO persist, NO count, NO scratch
+    * registration — for consumers that only inspect the plan, or that
+    * materialize inside their own derived-width scope. The caller owns
+    * the width: executing this plan under the session default at 1000×
+    * reproduces the r14 fixed-width knee that [[basketPairs]]' eager
+    * in-scope materialization exists to prevent, so any consumer that
+    * will RUN the plan at scale must wrap execution in
+    * `Parallelism.withShufflePartitions(spark, Parallelism.forPlanBytes(
+    * raw, TargetPartitionBytes / PairAmplification))` exactly as
+    * [[basketPairs]] does. */
+  def basketPairsPlan(raw: DataFrame, support: Int = 2,
+      maxBasket: Int = 1024): DataFrame = {
+    val freq = raw.groupBy("l_partkey")
+      .agg(count(lit(1)).as("__pn"))
+      .filter(col("__pn") >= support)
+      .select("l_partkey")
+    // No broadcast hint: the frequent-part set scales with the CATALOG
+    // (every part at support=2 — ~20 B keys at TPC-H 100 TB), so forcing
+    // a broadcast is a driver OOM at exactly the scale the prune matters.
+    // AQE sees freq's runtime size and broadcasts when it fits (it does
+    // at every fixture scale); above the threshold the semi-join shuffles
+    // on l_partkey with no driver-resident artifact.
+    raw.join(freq, Seq("l_partkey"), "left_semi")
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("__parts"))
+      .filter(size(col("__parts")) <= maxBasket)
+      .select(explode(col("__parts")).as("part_a"), col("__parts"))
+      .select(col("part_a"), explode(col("__parts")).as("part_b"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= support)
   }
 
   /** Shared co-purchase edge phase of the three graph queries
@@ -143,6 +163,26 @@ object Analytics {
     * unchanged). */
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
     basketPairs(
+      lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+      support = 2, maxBasket = Int.MaxValue)
+
+  /** LAZY co-purchase edge plan — [[coPurchaseEdges]] without the eager
+    * in-scope materialization, for the one graph query whose consumer
+    * materializes the edges EXACTLY ONCE itself: pageRankScaled
+    * localCheckpoints its (symmetrized) edge input as its first step, so
+    * feeding it the eager variant pays the pair pipeline's blocks TWICE
+    * (persist+count, then the checkpoint copy) — a measured ~0.25–0.5 s
+    * of pure overhead at sf0.1 (r17 BenchOne n=5 A/B: eager min 3.451 /
+    * median 3.892 vs lazy 3.200 / 3.403) that held an_pagerank at the
+    * regression-gate edge. bfs/sssp stay on the eager variant: their
+    * query bodies read the edge frame twice (edges AND seeds) before any
+    * truncation, so a lazy plan would execute the pipeline once per
+    * consumer. The pipeline's heavy map side still runs once here — the
+    * symmetrizing union's two branches share the pair aggregate's
+    * exchange — and the single materialization happens inside
+    * pageRankScaled's own checkpoint. */
+  private def coPurchaseEdgesPlan(s: SparkSession, d: String): DataFrame =
+    basketPairsPlan(
       lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
       support = 2, maxBasket = Int.MaxValue)
 
@@ -280,7 +320,7 @@ object Analytics {
     // integer formula in SQL, so this is a true cross-engine replay of
     // an ITERATIVE distributed algorithm on the hash gate.
     "an_pagerank" -> ((s, d) => {
-      val edges = coPurchaseEdges(s, d)
+      val edges = coPurchaseEdgesPlan(s, d)
         .select(col("part_a").as("src"), col("part_b").as("dst"))
       val sym = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))

@@ -455,11 +455,24 @@ object CurationOps {
           posexplode(TextOps.allShingles(col("ws"), W)).as(Seq("i0", "sh")))
         .select(col("doc_id"), (col("i0") + 1).as("s"),
           unhex(md5(col("sh"))).as("fp"))
-      // per-doc disjoint covered intervals: sorted duplicated-window
-      // starts fold left-to-right; a start x extends the open interval
-      // when x ≤ e+1 (covered positions are the inclusive union — an
-      // adjacent window merges to the same covered set), else opens
-      // [x, x+W−1]. One groupBy(doc_id) over the duplicated windows.
+      // SKEW BOUND of the bare fp window (r16 ADVICE, adjudicated by
+      // measurement r17): a corpus-hot boilerplate shingle concentrates
+      // its whole partition in one task, which WindowExec buffers in a
+      // spillable ExternalAppendOnlyUnsafeRowBuffer — the degenerate
+      // case externally sorts one hot slab on disk, degraded but never
+      // OOM, and every non-hot fingerprint is unaffected. The salted
+      // alternative the ADVICE sketched was BUILT and MEASURED: salt =
+      // pmod(hash(doc_id, s), 32), per-(fp, salt) groupBy counts (map-
+      // side partials kill the skew), per-fp window over the slice
+      // summaries, semi-join back on (fp, salt). Its plan is skew-free
+      // — and it re-runs the shingle kernel in both consumers (Catalyst
+      // prunes the dead window off the broadcast semi-join's row side,
+      // so no exchange is shared), which measured 1.816 s vs 1.157
+      // isolated at sf0.1 (+57 %) and 10.08 s vs 6.95 at sf10 (+45 %):
+      // the insurance against a degenerate corpus costs half again the
+      // query at every real scale. So the single-kernel window stays,
+      // and the skew ceiling — one spilled sort of the hot slab — is
+      // the documented trade (SCALE.md r17 records the A/B).
       val winSpec = org.apache.spark.sql.expressions.Window.partitionBy("fp")
       val covered = wins
         .withColumn("__c", count(lit(1)).over(winSpec))

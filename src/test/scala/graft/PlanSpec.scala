@@ -305,6 +305,45 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("span dedup runs the shingle kernel once: one scan feeds the dup " +
+    "window, one the reassembly (the r17 skew A/B's measured contract)") {
+    // The r16 ADVICE flagged the bare fp window's skew slab and sketched
+    // a salted two-phase count; r17 built and measured it: the salted
+    // plan re-runs the tokenize+shingle+md5 kernel in both consumers
+    // (+57 % at sf0.1, +45 % at sf10 — SCALE.md r17), so the committed
+    // form keeps the single-kernel window and documents the spillable
+    // skew ceiling. This pins it: exactly TWO document scans — the
+    // shingle kernel's and the complement-reassembly's — so a rewrite
+    // that silently adds a third (a second kernel pass) fails here
+    // before it costs half the query at every scale.
+    // the query's result is scratch-persisted, so the heavy pipeline
+    // lives inside an InMemoryRelation — collect must hop through the
+    // cached plan (collectWithSubqueries alone sees zero scans)
+    def deepCollect[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val here = collectWithSubqueries(p)(pf)
+      val cached = collectWithSubqueries(p) {
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          im.relation.cachedPlan
+      }.flatMap(deepCollect(_)(pf))
+      here ++ cached
+    }
+    val plan = planOf("dd_span_dedup")
+    val scans = deepCollect(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.size == 2,
+      s"dd_span_dedup should scan documents exactly twice, got ${scans.size}")
+    // and the dup-count window partitions on the raw fingerprint (the
+    // single-kernel form's signature; the salted form partitioned on
+    // (fp, salt) and paid the second kernel)
+    val wins = deepCollect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.exists(_.partitionSpec.length == 1),
+      "expected the bare-fp dup-count window")
+  }
+
   test("LSH/PQ encode stay fused: one kernel call, never per-plane dot trees") {
     // the pre-fusion formulations put tables×planes graft_dot calls (LSH)
     // / subspaces×cents struct subtrees (PQ) into the per-row projection —
