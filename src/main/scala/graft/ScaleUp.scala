@@ -89,7 +89,7 @@ object ScaleUp {
   /** Deterministic ±1 pattern for copy `i` (splitmix64 over the element
     * index) applied elementwise — one diagonal orthogonal transform per
     * copy. Copy 0 is the identity (verbatim vectors). */
-  private def signFlip(arr: org.apache.spark.sql.Column, copy: Int, dim: Int) =
+  private[graft] def signFlip(arr: org.apache.spark.sql.Column, copy: Int, dim: Int) =
     if (copy == 0) arr
     else {
       val signs = Array.tabulate(dim) { j =>

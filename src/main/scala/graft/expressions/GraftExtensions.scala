@@ -85,6 +85,20 @@ object GraftFunctions {
         IvfTop1(children.head, children(1), children(2))
       }),
     (
+      FunctionIdentifier("graft_ivf_topp"),
+      new ExpressionInfo(classOf[IvfTopP].getName, "graft_ivf_topp"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "graft_ivf_topp takes (serialized_index, vec, norm, p)")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val p = children(3) match {
+          case Literal(v: Int, IntegerType) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_ivf_topp: p must be an integer literal")
+        }
+        IvfTopP(children.head, children(1), children(2), p)
+      }),
+    (
       FunctionIdentifier("graft_lsh_sigs"),
       new ExpressionInfo(classOf[LshSigs].getName, "graft_lsh_sigs"),
       (children: Seq[Expression]) => {

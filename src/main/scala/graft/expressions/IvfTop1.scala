@@ -91,6 +91,59 @@ case class IvfTop1(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** TOP-P variant of [[IvfTop1]] (`graft_ivf_topp`): the multi-probe
+  * assignment kernel — returns the P best cells' cent_ids (best first,
+  * identical (negsim, cent_id) ordering, head always == top-1) as
+  * `array<bigint>`, with the same serialized-index artifact, the same
+  * O(1)-in-k plan size, and the same group pruning generalized to a
+  * P-deep candidate set. Built for the two-level semantic branch's L1
+  * multi-probe (the r17 nd-fixture probes attributed its recall loss to
+  * L1 hard assignment); the naive alternative — sort_array over k
+  * literal cell structs — is what made the first multi-probe frontier
+  * measurement 13× instead of ~4×. `p` is a literal constructor
+  * parameter (the CellPairs pattern), so codegen stays branch-free. */
+case class IvfTopP(first: Expression, second: Expression, third: Expression,
+    p: Int) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _), DoubleType)
+          if first.foldable && first.eval(null) != null && p >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (BinaryType, ArrayType(DoubleType, _), DoubleType) if p < 1 =>
+        TypeCheckResult.TypeCheckFailure("graft_ivf_topp: p must be >= 1")
+      case (BinaryType, ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "graft_ivf_topp: index must be a non-null foldable binary literal")
+      case (a, b, c) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_ivf_topp requires (binary, array<double>, double), got " +
+            s"${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_ivf_topp"
+
+  @transient private lazy val index: IvfPrunedIndex =
+    IvfPrunedIndex.deserialize(first.eval(null).asInstanceOf[Array[Byte]])
+
+  override def nullSafeEval(bytes: Any, vec: Any, norm: Any): Any =
+    index.assignTopP(vec.asInstanceOf[ArrayData],
+      norm.asInstanceOf[Double], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfIndex", index,
+      classOf[IvfPrunedIndex].getName)
+    nullSafeCodeGen(ctx, ev, (_, vec, norm) =>
+      s"${ev.value} = $ref.assignTopP($vec, $norm, $p);")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): IvfTopP =
+    copy(first = f, second = s, third = t)
+}
+
 /** The serialized model artifact behind [[IvfTop1]]: the codebook flattened
   * to primitive arrays plus the driver-computed pruning groups. Built once
   * per codebook on the driver, shipped as one binary literal. */
@@ -208,6 +261,113 @@ final class IvfPrunedIndex(
     out.update(0, bestNeg)
     out.update(1, bestCid)
     out
+  }
+
+  /** Exact (or probed, mirroring [[assignTop1]]'s probeGroups contract)
+    * TOP-P cells, best first — the multi-probe assignment kernel behind
+    * `graft_ivf_topp`. Ordering is the identical nan-safe
+    * (negsim, cent_id) struct ordering as top-1, so the head of the
+    * returned array always equals `assignTop1`'s cent_id; pruning in
+    * exact mode compares a group's Cauchy-Schwarz bound against the
+    * CURRENT P-TH BEST (only once p candidates exist — fail-open before
+    * that and on NaN, like top-1). Returns min(p, k) cent_ids. */
+  def assignTopP(vec: ArrayData, norm: Double, p: Int): ArrayData = {
+    val n = vec.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) { xs(i) = vec.getDouble(i); i += 1 }
+    val cap = if (p < cellCid.length) p else cellCid.length
+    val negs = new Array[Double](cap)
+    val cids = new Array[Long](cap)
+    var cnt = 0
+
+    // insert candidate keeping (neg, cid) ascending; worst kept = index
+    // cnt-1. Same compare as the struct ordering.
+    def offer(neg: Double, cid: Long): Unit = {
+      if (cnt < cap) { negs(cnt) = neg; cids(cnt) = cid; cnt += 1 }
+      else {
+        val c = cmpDouble(neg, negs(cap - 1))
+        if (!(c < 0 || (c == 0 && cid < cids(cap - 1)))) return
+        negs(cap - 1) = neg; cids(cap - 1) = cid
+      }
+      var j = cnt - 1
+      while (j > 0) {
+        val c = cmpDouble(negs(j), negs(j - 1))
+        if (c < 0 || (c == 0 && cids(j) < cids(j - 1))) {
+          val tn = negs(j); negs(j) = negs(j - 1); negs(j - 1) = tn
+          val tc = cids(j); cids(j) = cids(j - 1); cids(j - 1) = tc
+          j -= 1
+        } else j = 0
+      }
+    }
+    def scan(from: Int, until: Int): Unit = {
+      var ci = from
+      while (ci < until) {
+        val m = if (n < dims) n else dims
+        var acc = 0.0
+        var j = 0
+        val off = ci * dims
+        while (j < m) { acc += xs(j) * cellVec(off + j); j += 1 }
+        offer(-(acc / (norm * cellNrm(ci))), cellCid(ci))
+        ci += 1
+      }
+    }
+
+    if (numGroups <= 1 || n != dims || !(norm > 0.0) ||
+        java.lang.Double.isInfinite(norm)) {
+      scan(0, cellCid.length)
+    } else {
+      val g = numGroups
+      val bounds = new Array[Double](g)
+      var gi = 0
+      while (gi < g) {
+        var acc = 0.0
+        var j = 0
+        val off = gi * dims
+        while (j < dims) { acc += xs(j) * groupMean(off + j); j += 1 }
+        bounds(gi) = acc / norm + groupR(gi)
+        gi += 1
+      }
+      if (probeGroups > 0 && probeGroups < g) {
+        // probed mode: same deterministic (bound desc, idx asc) group
+        // selection as top-1 — the candidates just feed a P-deep heap
+        val chosen = new Array[Boolean](g)
+        var pi = 0
+        while (pi < probeGroups) {
+          var best = -1
+          gi = 0
+          while (gi < g) {
+            if (!chosen(gi) &&
+              (best < 0 || cmpDouble(bounds(gi), bounds(best)) > 0)) best = gi
+            gi += 1
+          }
+          chosen(best) = true
+          scan(groupStart(best), groupStart(best + 1))
+          pi += 1
+        }
+      } else {
+        var gmax = 0
+        gi = 1
+        while (gi < g) {
+          if (cmpDouble(bounds(gi), bounds(gmax)) > 0) gmax = gi
+          gi += 1
+        }
+        scan(groupStart(gmax), groupStart(gmax + 1))
+        gi = 0
+        while (gi < g) {
+          // prune only against a FULL candidate set's worst member —
+          // with fewer than cap kept, every group can still contribute
+          if (gi != gmax &&
+            !(cnt == cap && bounds(gi) + Eps < -negs(cap - 1)))
+            scan(groupStart(gi), groupStart(gi + 1))
+          gi += 1
+        }
+      }
+    }
+    val out = new Array[Any](cnt)
+    i = 0
+    while (i < cnt) { out(i) = cids(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 

@@ -337,6 +337,17 @@ object Similarity {
       col("__vd"), col("__norm"))
   }
 
+  /** Top-P cent_ids (best first; head == [[cellTop1Col]]'s cent_id) via
+    * the same pruned-index artifact — the multi-probe assignment column
+    * (see [[graft.expressions.IvfTopP]]). */
+  private def cellTopPCol(codebook: Array[(Long, Seq[Double], Double)],
+      probeGroups: Int, p: Int): Column = {
+    val idx = graft.expressions.IvfPrunedIndex.build(codebook, probeGroups)
+    call_function("graft_ivf_topp",
+      lit(graft.expressions.IvfPrunedIndex.serialize(idx)),
+      col("__vd"), col("__norm"), lit(p))
+  }
+
   def ivfTopK(
       emb: DataFrame, idCol: String, vecCol: String,
       probePred: Column, k: Int, centroids: Int = 16, nprobe: Int = 4,
@@ -807,9 +818,22 @@ object Similarity {
       val m2 = math.ceil(centroids.toDouble / k1).toInt
       val l1 = trainCodebook(emb, idCol, vecCol, k1, iters,
         probeGroups = probeGroups)
+      // L1 MULTI-PROBE, default on for this branch (r17 nd-fixture
+      // probes): two-level recall loss vs single-level is almost
+      // entirely L1 hard-assignment straddling (truth pairs co-block at
+      // L1 0.57 vs 0.55 full-cell at the ≥ 0.8 stratum, nd30), and
+      // probing each vector's top-2 L1 cells recovers it — planted-truth
+      // recall 0.550 → 0.838 (nd30 ≥ 0.8; 0.663 → 0.922 at ≥ 0.9) for
+      // ~1.12× the pairs stage (16.1 → 18.1 s) once the assignment rides
+      // the graft_ivf_topp pruned kernel. A pair surfacing in both
+      // shared blocks dedups here (same (a, b, score_r) from identical
+      // vectors, so dropDuplicates is exact); the single-level branch
+      // emits each pair once and needs none of this.
       return cosineNearDupPairs(
-        twoLevelClustered(emb, idCol, vecCol, l1, m2, iters, probeGroups),
+        twoLevelClustered(emb, idCol, vecCol, l1, m2, iters, probeGroups,
+          l1Probes = 2),
         idCol, vecCol, "__cell", minScore)
+        .dropDuplicates("a", "b")
     }
     val codebook = codebookOpt.getOrElse(
       trainCodebook(emb, idCol, vecCol, centroids, iters))
@@ -901,9 +925,10 @@ object Similarity {
   def twoLevelClustered(
       emb: DataFrame, idCol: String, vecCol: String,
       l1Codebook: Array[(Long, Seq[Double], Double)], m2: Int,
-      iters: Int = 2, probeGroups: Int = 0): DataFrame = {
+      iters: Int = 2, probeGroups: Int = 0, l1Probes: Int = 1): DataFrame = {
     require(l1Codebook.nonEmpty, "twoLevelClustered: empty L1 codebook")
     require(m2 > 0, "twoLevelClustered: m2 must be positive")
+    require(l1Probes >= 1, "twoLevelClustered: l1Probes must be >= 1")
     val base = withNorm(emb, vecCol)
       .withColumn("__l1", cellTop1Col(l1Codebook, probeGroups).getField("cent_id"))
       .select(col(idCol), col(vecCol), col("__l1"), col("__vd"), col("__norm"))
@@ -931,11 +956,11 @@ object Similarity {
     // (k·dims·8 B), so at fixture scales AQE broadcasts it, and at
     // 100 TB it shuffles k1 rows against n on `__l1` — still strictly
     // fewer exchanges per pass than the old join + re-aggregate.
-    def assign(cents: DataFrame): DataFrame = {
+    def assignOn(rows: DataFrame, cents: DataFrame): DataFrame = {
       val packed = cents.groupBy("__l1")
         .agg(collect_list(struct(col("__l2"), col("__cv"), col("__cn")))
           .as("__subs"))
-      base.join(packed, Seq("__l1"))
+      rows.join(packed, Seq("__l1"))
         .withColumn("__best",
           array_min(transform(col("__subs"), s =>
             struct(
@@ -945,6 +970,7 @@ object Similarity {
         .select(col(idCol), col(vecCol), col("__l1"),
           col("__best.__l2").as("__l2"), col("__vd"))
     }
+    def assign(cents: DataFrame): DataFrame = assignOn(base, cents)
     var cents = cents0
     for (_ <- 0 until iters) {
       val assigned = assign(cents)
@@ -964,7 +990,31 @@ object Similarity {
           e => e.getField("m")).as("__cv"))
         .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
     }
-    assign(cents)
+    // l1Probes > 1 (MEASUREMENT knob, default 1 = the committed plan,
+    // bit-identical): the nd-fixture recall probe attributed the
+    // two-level branch's near-dup loss almost entirely to L1 hard
+    // assignment (truth pairs co-block at L1 0.676 vs 0.664 at the full
+    // cell, ≥ 0.8 stratum, SCALE.md r17) — members of one tight cluster
+    // straddle coarse-cell boundaries. Multi-probing re-blocks each
+    // vector into its top-P L1 cells for the FINAL assignment only
+    // (training stays top-1, so the fine codebook — and the default
+    // path's every byte — is unchanged); a vector then appears in ≤ P
+    // blocks and a straddling pair co-blocks if ANY probe overlaps.
+    // Downstream pair consumers must dedup (a, b) across shared blocks.
+    // Assignment rides the same pruned-index artifact as top-1
+    // (graft_ivf_topp — O(1)-in-k plan, P-deep group pruning): the
+    // first frontier measurement used sort_array over k1 literal cell
+    // structs and its assignment cost alone made P=2 read as 13× the
+    // pairs stage; the kernel form is what makes the frontier's price
+    // the honest ~4× block-quadratics, not an expression artifact.
+    val finalRows =
+      if (l1Probes <= 1) base
+      else withNorm(emb, vecCol)
+        .withColumn("__l1",
+          explode(cellTopPCol(l1Codebook, probeGroups, l1Probes)))
+        .select(col(idCol), col(vecCol), col("__l1"), col("__vd"),
+          col("__norm"))
+    assignOn(finalRows, cents)
       .select(col(idCol), col(vecCol),
         (col("__l1") * m2 + col("__l2")).as("__cell"))
   }

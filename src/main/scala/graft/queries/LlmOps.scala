@@ -71,10 +71,15 @@ object LlmOps {
       val l1 = memo(s"cb2l${k1}x2p8:$d") {
         Similarity.trainCodebook(emb, "vec_id", "embedding", k1, 2,
           probeGroups = 8) }
+      // L1 multi-probe P=2 + (a, b) dedup — the r17 recall fix (planted-
+      // truth recall 0.550 → 0.838 at the ≥ 0.8 stratum for ~1.12× the
+      // pairs stage; see Similarity.semanticNearDupPairs' two-level
+      // branch, which this mirrors, and SCALE.md r17)
       emb -> Similarity.cosineNearDupPairs(
         Similarity.twoLevelClustered(emb, "vec_id", "embedding", l1, m2,
-          probeGroups = 8),
+          probeGroups = 8, l1Probes = 2),
         "vec_id", "embedding", "__cell", 0.35)
+        .dropDuplicates("a", "b")
     } else {
       val (e, cb) = semanticCodebook(s, d)
       e -> Similarity.semanticNearDupPairs(e, "vec_id", "embedding", 0.35,

@@ -375,6 +375,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("twoLevelClustered l1Probes=2: every row keeps its top-1 cell " +
+    "among <= 2 blocks, and the semantic two-level branch dedups (a, b)") {
+    val m2 = 4
+    val cb1 = Similarity.coarseCodebookOf(fixture, "vec_id", "embedding", 4)
+    val top1 = Similarity.twoLevelClustered(
+      fixture, "vec_id", "embedding", cb1, m2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val probed = Similarity.twoLevelClustered(
+      fixture, "vec_id", "embedding", cb1, m2, l1Probes = 2).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(_.getLong(2)).toSet
+      }
+    assert(probed.keySet == top1.keySet, "multi-probe must cover every row")
+    probed.foreach { case (id, cells) =>
+      assert(cells.size >= 1 && cells.size <= 2,
+        s"row $id blocked into ${cells.size} cells")
+      assert(cells.contains(top1(id)),
+        s"row $id lost its top-1 cell ${top1(id)}: probed $cells")
+    }
+    // the branch's pair output is (a, b)-unique even though a pair can
+    // surface in two shared blocks — the dropDuplicates contract
+    val pairs = Similarity.semanticNearDupPairs(
+      fixture, "vec_id", "embedding", 0.5, centroids = 9,
+      maxDriverCells = 8)
+    val dup = pairs.groupBy("a", "b").count().filter(col("count") > 1).count()
+    assert(dup == 0, s"two-level branch emitted $dup duplicated pairs")
+  }
+
   test("cosineNearDupPairs drops null block keys (the join-form contract)") {
     // the self-join formulation never paired null-keyed rows (null does
     // not equi-join); the generator form must not either — groupBy would
