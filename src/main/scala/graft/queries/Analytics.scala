@@ -166,25 +166,17 @@ object Analytics {
       lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
       support = 2, maxBasket = Int.MaxValue)
 
-  /** LAZY co-purchase edge plan — [[coPurchaseEdges]] without the eager
-    * in-scope materialization, for the one graph query whose consumer
-    * materializes the edges EXACTLY ONCE itself: pageRankScaled
-    * localCheckpoints its (symmetrized) edge input as its first step, so
-    * feeding it the eager variant pays the pair pipeline's blocks TWICE
-    * (persist+count, then the checkpoint copy) — a measured ~0.25–0.5 s
-    * of pure overhead at sf0.1 (r17 BenchOne n=5 A/B: eager min 3.451 /
-    * median 3.892 vs lazy 3.200 / 3.403) that held an_pagerank at the
-    * regression-gate edge. bfs/sssp stay on the eager variant: their
-    * query bodies read the edge frame twice (edges AND seeds) before any
-    * truncation, so a lazy plan would execute the pipeline once per
-    * consumer. The pipeline's heavy map side still runs once here — the
-    * symmetrizing union's two branches share the pair aggregate's
-    * exchange — and the single materialization happens inside
-    * pageRankScaled's own checkpoint. */
-  private def coPurchaseEdgesPlan(s: SparkSession, d: String): DataFrame =
-    basketPairsPlan(
-      lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
-      support = 2, maxBasket = Int.MaxValue)
+  // an_pagerank consumes basketPairsPlan (lazy) directly: pageRankScaled
+  // localCheckpoints its symmetrized edge input as its first step, so the
+  // eager variant would pay the pair pipeline's blocks twice (persist +
+  // count, then the checkpoint copy) — a measured ~0.25–0.5 s of pure
+  // overhead at sf0.1 (r17 BenchOne n=5 A/B: eager min 3.451 / median
+  // 3.892 vs lazy 3.200 / 3.403) that held the query at the
+  // regression-gate edge. bfs/sssp stay on the eager [[coPurchaseEdges]]:
+  // their query bodies read the edge frame twice (edges AND seeds) before
+  // any truncation, so a lazy plan would execute the pipeline once per
+  // consumer. The lazy consumer owns the execution width — see the
+  // derived-width wrapper at the an_pagerank call site.
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
@@ -320,12 +312,26 @@ object Analytics {
     // integer formula in SQL, so this is a true cross-engine replay of
     // an ITERATIVE distributed algorithm on the hash gate.
     "an_pagerank" -> ((s, d) => {
-      val edges = coPurchaseEdgesPlan(s, d)
+      val raw = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val edges = basketPairsPlan(raw, support = 2, maxBasket = Int.MaxValue)
         .select(col("part_a").as("src"), col("part_b").as("dst"))
       val sym = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-      graft.operators.Graph.pageRankScaled(sym, "src", "dst", iters = 3)
-        .orderBy(col("rank_scaled").desc, col("id"))
+      // The lazy edge plan executes inside pageRankScaled's FIRST step
+      // (Checkpointer.truncate), which runs BEFORE pageRank's own
+      // derived-width scope — so the pair aggregate would otherwise run
+      // at the ambient session width, the r14 fixed-width knee
+      // basketPairs' eager scope exists to prevent (the r17 sf30 subset
+      // battery caught exactly that: 64.8 → 87.7 s). Wrap the call in
+      // the same pair-volume-derived width basketPairs uses; the
+      // rank loop re-derives its own width inside, and at gate scale
+      // the floor keeps this the session width (plan-identical).
+      import graft.operators.Parallelism
+      val nPairs = Parallelism.forPlanBytes(
+        raw, Parallelism.TargetPartitionBytes / PairAmplification)
+      Parallelism.withShufflePartitions(s, nPairs) {
+        graft.operators.Graph.pageRankScaled(sym, "src", "dst", iters = 3)
+      }.orderBy(col("rank_scaled").desc, col("id"))
     }),
 
     // Multi-source BFS over the co-purchase graph: minimum hop distance

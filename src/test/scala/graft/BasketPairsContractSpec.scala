@@ -86,4 +86,44 @@ class BasketPairsContractSpec extends SparkSpec {
       "mega-basket parts must be excluded by the guard")
     graft.operators.Dedup.releaseScratch(spark)
   }
+
+  test("a width scope applies to a lazy plan checkpointed inside it — " +
+    "the an_pagerank consumer contract") {
+    // an_pagerank executes basketPairsPlan inside pageRankScaled's FIRST
+    // step (Checkpointer.truncate), which runs BEFORE pageRank's own
+    // width scope; the call site therefore wraps the whole call in the
+    // pair-derived width. This pins the mechanism that wrapper relies
+    // on: shuffle width is read at execution time, so a localCheckpoint
+    // triggered inside withShufflePartitions materializes at the scoped
+    // width, not the width at plan-construction time (the r17 sf30
+    // subset battery caught the unwrapped form running the pair
+    // aggregate at session width: 64.8 -> 87.7 s).
+    import graft.operators.{Checkpointer, Parallelism}
+    // AQE would re-coalesce this byte-tiny shuffle to 1 partition and
+    // mask the width under test (at scale it only coalesces partitions
+    // BELOW the advisory byte target — the protection still composes);
+    // pin the pre-AQE mechanism with it off.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey)
+    try {
+      spark.conf.set(aqeKey, "false")
+      val plan = Analytics.basketPairsPlan(rawLines) // built OUTSIDE the scope
+        .groupBy("part_a").count() // extra exchange: last stage is a shuffle
+      val scoped = 7
+      val cp = Parallelism.withShufflePartitions(spark, scoped) {
+        Checkpointer.truncate(plan)
+      }
+      assert(cp.rdd.getNumPartitions == scoped,
+        s"checkpointed-in-scope plan must carry the scoped width $scoped, " +
+          s"got ${cp.rdd.getNumPartitions}")
+      // fresh DataFrame for the control: QueryExecution memoizes toRdd,
+      // so re-truncating the SAME object would reuse the scoped physical
+      // plan and prove nothing
+      val planAgain = Analytics.basketPairsPlan(rawLines)
+        .groupBy("part_a").count()
+      val cpDefault = Checkpointer.truncate(planAgain)
+      assert(cpDefault.rdd.getNumPartitions != scoped,
+        "outside the scope the same plan must fall back to the session width")
+    } finally spark.conf.set(aqeKey, aqePrev)
+  }
 }
