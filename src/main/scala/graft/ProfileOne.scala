@@ -52,6 +52,10 @@ object ProfileOne {
         a.start = e.time
         a.desc = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .filter(_.nonEmpty)
+          // fall back to the result stage's callsite name — identifies
+          // which action (count/collect/broadcast/checkpoint) ran the job
+          .orElse(e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
           .getOrElse("")
         e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
         jobs.synchronized { jobs(e.jobId) = a }
