@@ -249,9 +249,19 @@ object Bench {
       s""""queries":${qjson(medians)},"queries_min":${qjson(mins)},""" +
         s""""sink_queries":$sinkList,""")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullJson + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    // The detail also lands in a per-core-count sibling (BENCH_LOCAL_c32
+    // vs _c8): the r17 driver ran the 8-core scaling battery after the
+    // 32-core one and the second overwrote the first's per-query detail,
+    // leaving PERF_r17 with per_query: {} (r17 verdict item 6). Same
+    // JSON, extra file name — the timed region and the stdout contract
+    // are untouched.
+    val outs = Seq(out,
+      out.replaceAll("\\.json$", "") + s"_c$cpus.json").distinct
+    outs.foreach { o =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(o), fullJson + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $o: ${e.getMessage}")
+      }
     }
     spark.stop()
     // stdout gets a MINIMAL line: the driver's log-tail capture window

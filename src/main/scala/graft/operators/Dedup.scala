@@ -645,14 +645,10 @@ object Dedup {
     // overrides the session-wide spark.graft.checkpointDir
     def truncate(df: DataFrame, eager: Boolean): DataFrame =
       Checkpointer.truncate(df, eager, checkpointDir)
-    val edges = truncate(
+    val edges0 = truncate(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct(), eager = true)
-    var labels = truncate(
-      edges.select(col("src").as("id"))
-        .distinct()
-        .withColumn("component", col("id")), eager = true)
     // Per-round shuffle parallelism tracks the EDGE volume, not the
     // session default: the edge table is eagerly checkpointed above, so
     // the count is a cached-block scan, and 100 TB of pairs no longer
@@ -660,8 +656,32 @@ object Dedup {
     // (Parallelism scaladoc has the measured 300× case). Every action
     // below runs inside the scope; both returned frames (labels, and the
     // step backing it) are checkpoint-materialized in-loop.
-    val nParts = Parallelism.forRows(pairs.sparkSession, edges.count())
+    val nParts = Parallelism.forRows(pairs.sparkSession, edges0.count())
     Parallelism.withShufflePartitions(pairs.sparkSession, nParts) {
+    // Lay the STATIC edge table out on the per-round join key ONCE:
+    // hash-partition by dst, sort within partitions, checkpoint. A
+    // checkpoint captures outputPartitioning/outputOrdering, so every
+    // round's neighbor join reads the edge side with NO exchange and NO
+    // sort — previously the (corpus-sized) edge frame was re-shuffled
+    // and re-sorted per round while only the node-sized label table
+    // changed (guide §2.4: operations keyed the same way share one
+    // layout). One extra eager checkpoint pays for itself from round 2.
+    val edges = truncate(
+      edges0.repartition(nParts, col("dst")).sortWithinPartitions("dst"),
+      eager = true)
+    Checkpointer.release(edges0)
+    // FUSED FIRST ROUND: min-label propagation from labels(v) = v
+    // computes exactly min(v, min neighbor id), which is one aggregate
+    // over the pre-partitioned edge table (groupBy dst needs no
+    // exchange) — so the init both replaces the old distinct-ids job
+    // and absorbs what used to be the first loop iteration. Fixpoint
+    // (component-minimum id) is unchanged: init here equals the old
+    // state after round 1, and propagation is monotone.
+    var labels = truncate(
+      edges.groupBy(col("dst").as("id"))
+        .agg(min(col("src")).as("__nbr_min"))
+        .select(col("id"), least(col("id"), col("__nbr_min")).as("component")),
+      eager = true)
     var changed = 1L
     var iters = 0
     // round N's checkpoint blocks are dead the moment round N+1's

@@ -131,15 +131,24 @@ object CurationOps {
       def bucket(row: Int, tok: org.apache.spark.sql.Column) =
         conv(substring(md5(concat(lit(s"$row:"), tok)), 1, 4), 16, 10)
           .cast("long") % width
-      val toks = documents(s, d)
+      // ONE tokenize pass (r18, §2.3/§5): sketch and probes previously
+      // each re-ran the corpus token explode (two kernel passes). Both
+      // now derive from the SAME per-token count aggregate — the two
+      // consumers share its exchange (ReuseExchange), and the sketch's
+      // cell counts come from summing counts over DISTINCT tokens
+      // (Σ over occurrences ≡ Σ over tokens of their counts, exact
+      // integers), so the sketch shuffle input drops from 4×occurrences
+      // to 4×vocabulary. Output is bit-identical.
+      val tokCounts = documents(s, d)
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
-      val sketch = toks
-        .select(explode(array((0 until depth).map(i =>
+        .groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      val sketch = tokCounts
+        .select(col("exact_cnt"), explode(array((0 until depth).map(i =>
           struct(lit(i).as("row"), bucket(i, col("tok")).as("bkt"))): _*))
           .as("rb"))
         .groupBy(col("rb.row").as("row"), col("rb.bkt").as("bkt"))
-        .agg(count(lit(1)).as("cnt"))
-      val probes = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .agg(sum(col("exact_cnt")).as("cnt"))
+      val probes = tokCounts
         .orderBy(desc("exact_cnt"), asc("tok")).limit(20)
       probes
         .select(col("tok"), col("exact_cnt"),

@@ -255,6 +255,12 @@ object LlmOps {
       val emb = embeddings(s, d)
       val k = 5
       val pf = col("vec_id") < 10
+      // NOT persisted (r18 measured-and-rejected, §5): the brute
+      // baseline appears 16× in the unioned plan, but AQE's runtime
+      // stage cache already dedupes the identical broadcast builds — a
+      // scratchPersist A/B (BenchOne n=5) measured 3.68 → 4.00 s median
+      // (InMemoryRelation scan + per-sample unpersist overhead, no
+      // saved work), so the plain subtree stays.
       val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pf, k)
         .select("probe_id", "vec_id_n")
       def report(method: String, approx: DataFrame): DataFrame =
