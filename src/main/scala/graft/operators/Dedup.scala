@@ -323,6 +323,12 @@ object Dedup {
       col(idCol), posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
     val banded =
       if (maxBucketSize <= 0) allBanded
+      // join-against-filtered-aggregate kept over the window-count form
+      // (r18 measured-and-rejected): a window cap A/B'd FLAT at gate
+      // scale (2.594 → 2.649 s median), and at 100 TB the window's
+      // per-partition SORT lands exactly on the skewed bucket this guard
+      // exists for, while the hash aggregate absorbs the hot key
+      // map-side and the join co-partitions with the same exchange.
       else allBanded.join(
         allBanded.groupBy("band_idx", "band_hash")
           .agg(count(lit(1)).as("__bn"))
@@ -427,6 +433,16 @@ object Dedup {
         .select(col(idCol),
           posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
         .withColumn("band_pfx", bandPfxCol)
+        // Range-cluster by the partition key before the partitioned
+        // write (§6 small files): without this every write task holds
+        // rows of every band_pfx and emits one file per (task, pfx) —
+        // width × 64 tiny files, and the probe scan's split packing
+        // charges openCostInBytes per file (measured: a 5.8 MB probe
+        // read planned 64 tasks). Range clustering gives each directory
+        // ~⌈width/64⌉+1 writers, so file count tracks data volume, not
+        // width×keys; at scale a hot prefix still splits across tasks
+        // (unlike a hash repartition on the 64-value key alone).
+        .repartitionByRange(col("band_pfx"), col("band_hash"))
         .write.mode("overwrite").partitionBy("band_pfx").parquet(indexPath)
     }
   }
