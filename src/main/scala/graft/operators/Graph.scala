@@ -130,20 +130,33 @@ object Graph {
     val nParts = Parallelism.forRows(edges.sparkSession, e.count())
     Parallelism.withShufflePartitions(edges.sparkSession, nParts) {
     var frontier = dist
+    // ONE action per round drives both the frontier's checkpoint
+    // materialization and the emptiness test (the connectedComponents
+    // lazy-mark + count discipline) — the eager-truncate-then-isEmpty
+    // form paid an extra job launch per round, and the profiled cost of
+    // this loop at gate scale is driver-side job overhead, not data.
+    var nFrontier = dist.count() // cached-block scan of the seed ckpt
     var h = 1
-    while (h <= maxHops && !frontier.isEmpty) {
+    while (h <= maxHops && nFrontier > 0) {
       val cand = e.join(frontier, e("src") === frontier("id"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("cand"))
         .groupBy("id").agg(min("cand").as("cand"))
       val improved = cand.join(dist, Seq("id"), "left")
         .filter(col("dist").isNull || col("cand") < col("dist"))
-        .select(col("id"), col("cand").as("dist")).transform(Checkpointer.truncate(_))
-      // improved rows are STRICT improvements (or brand-new nodes) by the
-      // filter above, so the merge is a plain coalesce — no re-compare
-      dist = dist.join(improved.select(col("id"), col("dist").as("nd")),
-        Seq("id"), "full_outer")
-        .select(col("id"), coalesce(col("nd"), col("dist")).as("dist"))
-        .transform(Checkpointer.truncate(_))
+        .select(col("id"), col("cand").as("dist"))
+        .transform(Checkpointer.truncate(_, eager = false))
+      nFrontier = improved.count() // materializes + counts in one job
+      // empty frontier ⇒ the coalesce-merge below is the identity —
+      // skip its materialization on the terminating round
+      if (nFrontier > 0) {
+        // improved rows are STRICT improvements (or brand-new nodes) by
+        // the filter above, so the merge is a plain coalesce — no
+        // re-compare
+        dist = dist.join(improved.select(col("id"), col("dist").as("nd")),
+          Seq("id"), "full_outer")
+          .select(col("id"), coalesce(col("nd"), col("dist")).as("dist"))
+          .transform(Checkpointer.truncate(_))
+      }
       frontier = improved
       h += 1
     }
@@ -165,12 +178,18 @@ object Graph {
     val nParts = Parallelism.forRows(edges.sparkSession, e.count())
     Parallelism.withShufflePartitions(edges.sparkSession, nParts) {
     var frontier = dist
+    // one action per round: lazy checkpoint mark + count materializes the
+    // frontier AND answers the emptiness test (the connectedComponents
+    // discipline) — eager-truncate-then-isEmpty paid two job launches
+    var nFrontier = dist.count() // cached-block scan of the seed ckpt
     var h = 1
-    while (h <= maxHops && !frontier.isEmpty) {
+    while (h <= maxHops && nFrontier > 0) {
       val next = e.join(frontier, e("src") === frontier("id"))
         .select(col("dst").as("id")).distinct()
         .join(dist, Seq("id"), "left_anti")
-        .withColumn("hops", lit(h.toLong)).transform(Checkpointer.truncate(_))
+        .withColumn("hops", lit(h.toLong))
+        .transform(Checkpointer.truncate(_, eager = false))
+      nFrontier = next.count()
       // dist stays a UNION of already-checkpointed frontiers — every leg
       // is materialized, so re-checkpointing the growing union each round
       // would only re-copy the visited set maxHops times; the anti-join
