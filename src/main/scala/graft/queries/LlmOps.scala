@@ -872,8 +872,14 @@ object LlmOps {
       val grams = Dedup.withShinglesAndSigs(
         documents(s, d), "doc_id", "text", k = 5, numHashes = 2)
         .select(col("doc_id"), explode(col("shingles")).as("gram"))
-      val bench = grams.filter(col("doc_id") % 97 === 0)
-        .select("gram").distinct()
+      // bench grams persist (r18, §5): the subtree is a full corpus
+      // kernel pass and is consumed TWICE — the driver-side bloom build
+      // and the exact join's broadcast side. The persisted frame is the
+      // distinct EVAL-set gram list (MB-scale by the operator's own
+      // contract), never corpus-sized.
+      val bench = Dedup.scratchPersist(
+        grams.filter(col("doc_id") % 97 === 0)
+          .select("gram").distinct())
       val bytes = graft.expressions.BloomMightContain.serialize(
         bench.stat.bloomFilter("gram", 1L << 16, 0.03))
       grams.filter(col("doc_id") % 97 =!= 0)
@@ -908,8 +914,11 @@ object LlmOps {
       val grams = Dedup.withShinglesAndSigs(
         documents(s, d), "doc_id", "text", k = 5, numHashes = 2)
         .select(col("doc_id"), explode(col("shingles")).as("gram"))
-      val bench = grams.filter(col("doc_id") % 97 === 0)
-        .select("gram").distinct()
+      // bench grams persist: eval-set-sized, consumed by both the bloom
+      // build and the broadcast join (the ta_decontaminate_bloom pattern)
+      val bench = Dedup.scratchPersist(
+        grams.filter(col("doc_id") % 97 === 0)
+          .select("gram").distinct())
       // Bloom gate (ta_decontaminate_bloom's contract): false positives
       // pass the gate and die in the exact join below, so the result —
       // and the oracle — are unchanged.
