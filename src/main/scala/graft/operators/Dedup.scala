@@ -382,23 +382,25 @@ object Dedup {
         col(idCol), posexplode(col("bandkeys")).as(Seq("band_idx", "band_hash")))
     val bandedBatch = banded(batch)
       .transform(scratchPersist)
-    val bandedCorpus = banded(corpus)
+    // ONE bucket join of the batch against (corpus ∪ batch) bands
+    // replaces the former batch×corpus + batch×batch join pair (§2.4
+    // fewer shuffles): with disjoint id spaces, {unordered pairs sharing
+    // a bucket with ≥1 batch side} = batch × (corpus ∪ batch) minus the
+    // self-hits — least/greatest normalizes orientation (a within-batch
+    // pair arrives in both orientations, the cross pair in one) and the
+    // existing distinct collapses them. Same candidate set, one SMJ and
+    // one union branch fewer at every scale; the y-side exchange carries
+    // corpus+batch bands once instead of corpus and batch separately.
+    val bandedAll = banded(corpus).unionByName(bandedBatch)
     val x = bandedBatch.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
-    // batch × corpus: every bucket collision, either orientation
-    val crossCands = x.hint("merge")
-      .join(bandedCorpus.select(
+    val cands = x.hint("merge")
+      .join(bandedAll.select(
         col("band_idx"), col("band_hash"), col(idCol).as("b")),
         Seq("band_idx", "band_hash"))
+      .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
-    // batch × batch: the within-ingest duplicates
-    val withinCands = x.hint("merge")
-      .join(bandedBatch.select(
-        col("band_idx"), col("band_hash"), col(idCol).as("b")),
-        Seq("band_idx", "band_hash"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
-    val cands = crossCands.union(withinCands).distinct()
+      .distinct()
       .transform(scratchPersist)
     jaccardVerify(corpus.unionByName(batch), idCol, textCol, k, cands,
       thresholdNum, thresholdDen)
@@ -475,20 +477,20 @@ object Dedup {
       .select(col("band_idx"), col("band_hash"), col(idCol).as("b"))
     val x = bandedBatch.select(
       col("band_idx"), col("band_hash"), col(idCol).as("a"))
-    // batch × index: every bucket collision with the standing corpus.
-    // SHUFFLE_MERGE for the same reason as the in-memory variant: the
-    // batch side is kernel-amplified output Catalyst under-estimates.
-    val crossCands = x.hint("merge").join(index, Seq("band_idx", "band_hash"))
+    // ONE bucket join of the batch against (index ∪ batch) bands — the
+    // same §2.4 join fusion as the in-memory variant: identical
+    // candidate set (disjoint id spaces; least/greatest + distinct
+    // normalizes the doubled within-batch orientation), one SMJ and one
+    // union branch fewer. SHUFFLE_MERGE pinned for the same reason as
+    // before: the batch side is kernel-amplified output Catalyst
+    // under-estimates.
+    val bandedAll = index.unionByName(bandedBatch.select(
+      col("band_idx"), col("band_hash"), col(idCol).as("b")))
+    val cands = x.hint("merge").join(bandedAll, Seq("band_idx", "band_hash"))
+      .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
-    // batch × batch: the within-ingest duplicates
-    val withinCands = x.hint("merge")
-      .join(bandedBatch.select(
-        col("band_idx"), col("band_hash"), col(idCol).as("b")),
-        Seq("band_idx", "band_hash"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
-    val cands = crossCands.union(withinCands).distinct()
+      .distinct()
       .transform(scratchPersist)
     jaccardVerify(corpus.unionByName(batch), idCol, textCol, k, cands,
       thresholdNum, thresholdDen)
