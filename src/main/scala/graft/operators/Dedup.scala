@@ -663,9 +663,18 @@ object Dedup {
     // overrides the session-wide spark.graft.checkpointDir
     def truncate(df: DataFrame, eager: Boolean): DataFrame =
       Checkpointer.truncate(df, eager, checkpointDir)
+    // Both orientations from ONE pass over the pairs subtree: the union
+    // form embedded the (possibly expensive — dd_cluster feeds the whole
+    // minhash verify pipeline here) pairs plan twice, and while
+    // ReuseExchange dedupes its shuffles, the post-shuffle verify join
+    // re-executed per branch. explode of a 2-element struct array emits
+    // the same two rows per pair inside one codegen stage (§2.3 shuffle
+    // the same bytes, compute the input once).
     val edges0 = truncate(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         .distinct(), eager = true)
     // Per-round shuffle parallelism tracks the EDGE volume, not the
     // session default: the edge table is eagerly checkpointed above, so
