@@ -85,22 +85,48 @@ object ProfileOne {
     val t0 = System.nanoTime()
     val rows = fn(spark, sfDir).count()
     val wall = (System.nanoTime() - t0) / 1e9
-    graft.operators.Dedup.releaseAllCaches(spark)
+    // Drain the async listener bus BEFORE detaching: late-queued
+    // onJobEnd/onTaskEnd events would otherwise print wall 0.000 and
+    // undercount task metrics. Poll until every job has an end time,
+    // bounded by a short timeout; report stragglers instead of zeros.
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    var missing = jobs.synchronized { jobs.values.count(_.end == 0L) }
+    while (missing > 0 && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      missing = jobs.synchronized { jobs.values.count(_.end == 0L) }
+    }
+    // detach BEFORE the cache release so its unpersist jobs (outside the
+    // measured wall) are not attributed to the query's job table
     spark.sparkContext.removeSparkListener(listener)
+    graft.operators.Dedup.releaseAllCaches(spark)
 
     def mb(b: Long) = f"${b / 1048576.0}%8.1f"
     println(f"%n== $name: wall ${wall}%.3f s, $rows rows, ${jobs.size} jobs ==")
+    if (missing > 0)
+      println(s"!! $missing job(s) never reported an end event within 5s — " +
+        "their wall is a lower bound")
     println(" job  wall_s tasks  stages  run_s  cpu_s  in_MB  shR_MB shW_MB spill_MB  desc")
     var jobWallSum = 0.0
+    val intervals = mutable.ArrayBuffer.empty[(Long, Long)]
     jobs.toSeq.sortBy(_._1).foreach { case (jid, a) =>
       val w = math.max(0L, a.end - a.start) / 1e3
       jobWallSum += w
+      if (a.end > a.start) intervals += ((a.start, a.end))
       println(f"$jid%4d $w%7.3f ${a.tasks}%5d ${a.stages.size}%6d " +
         f"${a.runMs / 1e3}%6.2f ${a.cpuNs / 1e9}%6.2f ${mb(a.input)} ${mb(a.shRead)} " +
         f"${mb(a.shWrite)} ${mb(a.spill)}  ${a.desc.take(60)}")
     }
-    println(f"== job wall sum ${jobWallSum}%.3f s vs query wall ${wall}%.3f s " +
-      f"(driver gap ${wall - jobWallSum}%.3f s) ==")
+    // merge overlapping [start,end] windows so concurrent jobs (broadcast
+    // builds under the main job, the §2.6 thread-pool queries) are not
+    // double-counted against the wall — jobWallSum alone overstates
+    // busy time and can push the "driver gap" negative
+    var merged = 0.0
+    intervals.sortBy(_._1).foldLeft((0L, 0L)) { case ((cs, ce), (s2, e2)) =>
+      if (s2 > ce) { merged += (ce - cs) / 1e3; (s2, e2) }
+      else (cs, math.max(ce, e2))
+    } match { case (cs, ce) => merged += (ce - cs) / 1e3 }
+    println(f"== job wall sum ${jobWallSum}%.3f s (merged busy ${merged}%.3f s) " +
+      f"vs query wall ${wall}%.3f s (driver gap ${wall - merged}%.3f s) ==")
     spark.stop()
   }
 }
