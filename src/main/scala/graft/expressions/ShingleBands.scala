@@ -36,9 +36,11 @@ object TextKernels {
     val str = if (text == null) "" else text.toString
     val counts = new Array[Long](64)
     Dedup.tokenize(str).foreach { w =>
-      val hex = Dedup.md5Hex(md, w)
-      val lo = java.lang.Long.parseLong(hex.substring(0, 8), 16)
-      val hi = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      // (lo, hi) packed from digest bytes — bit-identical to the two
+      // unsigned hex-substring parses the oracle replays (md5Lo32Hi32)
+      val packed = Dedup.md5Lo32Hi32(md, w)
+      val lo = packed & 0xffffffffL
+      val hi = packed >>> 32
       var j = 0
       while (j < 32) {
         counts(j) += ((lo >> j) & 1L) * 2 - 1
@@ -61,7 +63,7 @@ object TextKernels {
     val str = if (text == null) "" else text.toString
     val counts = new Array[Long](32)
     Dedup.tokenize(str).foreach { w =>
-      val h = java.lang.Long.parseLong(Dedup.md5Hex(md, w).substring(0, 8), 16)
+      val h = Dedup.md5Lo32Hi32(md, w) & 0xffffffffL
       var j = 0
       while (j < 32) {
         counts(j) += ((h >> j) & 1L) * 2 - 1
@@ -124,8 +126,8 @@ object TextKernels {
       val hashes = new Array[Long](sh.length)
       var i = 0
       while (i < sh.length) {
-        hashes(i) =
-          java.lang.Long.parseLong(Dedup.md5Hex(md, sh(i)).substring(0, 15), 16)
+        // straight-from-bytes 60-bit hash; ≡ parseLong(hex.take(15), 16)
+        hashes(i) = Dedup.md5Long60(md, sh(i))
         i += 1
       }
       val sigs = Array.tabulate(numHashes) { h =>

@@ -153,11 +153,69 @@ object Dedup {
     new String(out)
   }
 
-  /** Distinct k-word shingles in first-occurrence order. */
+  /** First 60 bits of md5(s) as a long — bit-identical to
+    * `java.lang.Long.parseLong(md5Hex(md, s).substring(0, 15), 16)`
+    * (15 hex chars = digest bytes 0..6 plus the high nibble of byte 7),
+    * computed straight from the digest bytes so the per-shingle hot
+    * path allocates no 32-char hex string and runs no radix parse.
+    * KernelEquivalenceSpec pins the equality against the hex-parse
+    * formulation the DuckDB oracle replays. */
+  private[graft] def md5Long60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
+      ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** First 16 hex chars of md5(s) as two unsigned 32-bit halves packed
+    * (lo, hi) = (bytes 0..3, bytes 4..7) — bit-identical to parsing
+    * `md5Hex(s).substring(0, 8)` and `.substring(8, 16)` as unsigned hex
+    * (the simhash word-hash formulation the SQL oracle replays), without
+    * the hex-string allocation. Packed hi<<32|lo in one long to keep the
+    * per-word call allocation-free. */
+  private[graft] def md5Lo32Hi32(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val lo = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val hi = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    (hi << 32) | lo
+  }
+
+  /** Distinct k-word shingles in first-occurrence order.
+    *
+    * Allocation-lean: one reused StringBuilder per call instead of a
+    * per-window `slice + mkString`, and a HashSet membership probe
+    * instead of the generic `distinct` (which builds the whole
+    * non-distinct sequence first). This kernel runs once per window of
+    * every document in the minhash/Jaccard family — the profiled
+    * run≫cpu gap on the kernel jobs was allocation/GC stall, not
+    * compute (§4 constant factor). Output is provably identical: same
+    * windows in the same order, first occurrence kept. */
   private[graft] def shingle(words: Array[String], k: Int): Array[String] =
     if (words.length < k) Array.empty
-    else (0 to words.length - k).map(i => words.slice(i, i + k).mkString(" "))
-      .distinct.toArray
+    else {
+      val n = words.length - k + 1
+      val out = new scala.collection.mutable.ArrayBuffer[String](n)
+      val seen = new java.util.HashSet[String](n * 2)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        val s = sb.toString
+        if (seen.add(s)) out += s
+        i += 1
+      }
+      out.toArray
+    }
 
   /** Deterministic 60-bit permutation constants for minhash: one per hash
     * function, md5-derived so both engines (and the oracle SQL, which
