@@ -37,43 +37,51 @@ object CensusMerge {
     // Census_Category so WHICH donor wins is deterministic.
     val w = Window.partitionBy("Census_Demographic").orderBy("Census_Category")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // Each sequential reference block collapses into ONE batched
+    // withColumns (§5 driver-side analysis cost — every chained
+    // withColumn re-analyzes the whole survey plan beneath this merge;
+    // ConstructProbe measured this merge at ~0.34 s of pure driver
+    // construction). Within a block every expression reads only the
+    // PREVIOUS block's state, exactly as the chained form did.
     val censusOnly = col("Rollup_Demographic").isNull && col("Rollup_Category").isNull
-    df = df
-      .withColumn("Total Responses",
+    df = df.withColumns(Map(
+      "Total Responses" ->
         when(censusOnly, first(col("Total Responses"), ignoreNulls = true).over(w))
-          .otherwise(col("Total Responses")))
-      .withColumn("# of Survey Responses",
-        when(censusOnly, lit(0)).otherwise(col("# of Survey Responses")))
-      .withColumn("% of Survey Responses",
-        when(censusOnly, lit("0")).otherwise(col("% of Survey Responses")))
-      .withColumn("Rollup_Demographic",
+          .otherwise(col("Total Responses")),
+      "# of Survey Responses" ->
+        when(censusOnly, lit(0)).otherwise(col("# of Survey Responses")),
+      "% of Survey Responses" ->
+        when(censusOnly, lit("0")).otherwise(col("% of Survey Responses")),
+      "Rollup_Demographic" ->
         when(col("Rollup_Demographic").isNull, col("Census_Demographic"))
-          .otherwise(col("Rollup_Demographic")))
-      .withColumn("Rollup_Category",
+          .otherwise(col("Rollup_Demographic")),
+      "Rollup_Category" ->
         when(col("Rollup_Category").isNull, col("Census_Category"))
-          .otherwise(col("Rollup_Category")))
+          .otherwise(col("Rollup_Category"))))
 
-    // rollup-only rows: null census %, backfill census keys (46-54)
-    df = df
-      .withColumn("Census %",
+    // rollup-only rows: null census %, backfill census keys (46-54) —
+    // "Census %" reads the pre-backfill census keys, as the chained form
+    // did (its withColumn ran before the backfills)
+    df = df.withColumns(Map(
+      "Census %" ->
         when(col("Census_Demographic").isNull && col("Census_Category").isNull,
-          lit(null)).otherwise(col("Census %")))
-      .withColumn("Census_Demographic",
+          lit(null)).otherwise(col("Census %")),
+      "Census_Demographic" ->
         when(col("Census_Demographic").isNull, col("Rollup_Demographic"))
-          .otherwise(col("Census_Demographic")))
-      .withColumn("Census_Category",
+          .otherwise(col("Census_Demographic")),
+      "Census_Category" ->
         when(col("Census_Category").isNull, col("Rollup_Category"))
-          .otherwise(col("Census_Category")))
+          .otherwise(col("Census_Category"))))
 
     // census-known, rollup-missing rows (60-68)
     val knownCensusNoRollup = col("Census_Demographic").isNotNull &&
       col("Census_Category").isNotNull && col("Census %").isNotNull &&
       col("Rollup_Demographic").isNull && col("Rollup_Category").isNull
-    df = df
-      .withColumn("# of Survey Responses",
-        when(knownCensusNoRollup, lit(0)).otherwise(col("# of Survey Responses")))
-      .withColumn("% of Survey Responses",
-        when(knownCensusNoRollup, lit("0 %")).otherwise(col("% of Survey Responses")))
+    df = df.withColumns(Map(
+      "# of Survey Responses" ->
+        when(knownCensusNoRollup, lit(0)).otherwise(col("# of Survey Responses")),
+      "% of Survey Responses" ->
+        when(knownCensusNoRollup, lit("0 %")).otherwise(col("% of Survey Responses"))))
 
     // consolidate + drop (73-74)
     df = df.withColumnsRenamed(Map(
@@ -81,11 +89,11 @@ object CensusMerge {
       .drop("Rollup_Demographic", "Rollup_Category")
 
     // %-string strip + float cast (79-80); try_cast for ANSI safety
-    df = df
-      .withColumn("Census %",
-        expr("try_cast(regexp_replace(`Census %`, '%', '') AS float)"))
-      .withColumn("% of Survey Responses",
-        expr("try_cast(regexp_replace(`% of Survey Responses`, '%', '') AS float)"))
+    df = df.withColumns(Map(
+      "Census %" ->
+        expr("try_cast(regexp_replace(`Census %`, '%', '') AS float)"),
+      "% of Survey Responses" ->
+        expr("try_cast(regexp_replace(`% of Survey Responses`, '%', '') AS float)")))
 
     // % Difference (86-89)
     df = df.withColumn("% Difference",
@@ -103,25 +111,25 @@ object CensusMerge {
          |  ELSE NULL
          |END""".stripMargin))
 
-    // additional responses needed, rounded to nearest 10 (109-114)
-    df = df
-      .withColumn("Additional Responses Needed",
+    // additional responses needed, rounded to nearest 10 (109-114) —
+    // the chained second withColumn (nearest-10 rounding of the first)
+    // inlines into one expression: round(round(x/10)*10) of the same x
+    df = df.withColumn("Additional Responses Needed",
+      round(round(
         when(col("Representation Status") === "Under-Represented" ||
           col("Representation Status") === "Over-Represented",
           round(abs(col("% Difference") *
             expr("try_cast(`Total Responses` AS double)") / 100)))
-          .otherwise(lit(null)))
-      .withColumn("Additional Responses Needed",
-        round(round(col("Additional Responses Needed") / 10) * 10))
+          .otherwise(lit(null)) / 10) * 10))
 
     // re-format % strings (120-123)
-    df = df
-      .withColumn("Census %",
-        concat(round(col("Census %"), 1).cast("string"), lit("%")))
-      .withColumn("% of Survey Responses",
-        concat(round(col("% of Survey Responses"), 1).cast("string"), lit("%")))
-      .withColumn("% Difference",
-        concat(round(col("% Difference"), 1).cast("string"), lit("%")))
+    df = df.withColumns(Map(
+      "Census %" ->
+        concat(round(col("Census %"), 1).cast("string"), lit("%")),
+      "% of Survey Responses" ->
+        concat(round(col("% of Survey Responses"), 1).cast("string"), lit("%")),
+      "% Difference" ->
+        concat(round(col("% Difference"), 1).cast("string"), lit("%"))))
       .withColumnRenamed("Census %", "% of Population (Census)")
 
     // data-last-updated stamp from silver's max submit date (129-137).

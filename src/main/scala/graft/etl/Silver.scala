@@ -58,12 +58,18 @@ object Silver {
     * (ref transform_alchemer_data.py:28-33, utils.py:184-187). */
   private def nullPhraseScrub(df: DataFrame, cfg: SurveyConfig): DataFrame = {
     val present = cfg.openTextFields.filter(df.columns.contains)
-    present.foldLeft(df) { (acc, c) =>
+    if (present.isEmpty) return df
+    // ONE withColumns, not a per-column withColumn fold: every chained
+    // withColumn re-analyzes the whole plan beneath it, and this
+    // pipeline's construction cost was ~45% of etl_census_merge's wall
+    // at gate scale (ConstructProbe, §5 driver). The scrubs are
+    // independent per-column rewrites, so batching them is semantics-
+    // preserving by construction.
+    df.withColumns(present.map { c =>
       val normalized = trim(regexp_replace(lower(col(c)), "[^\\w\\s]", ""))
-      acc.withColumn(c,
-        when(normalized.isin(cfg.nullPhrases: _*), lit(null))
-          .otherwise(col(c)))
-    }
+      c -> when(normalized.isin(cfg.nullPhrases: _*), lit(null))
+        .otherwise(col(c))
+    }.toMap)
   }
 
   /** Literal "nan" → null over every column in one projection
@@ -94,16 +100,21 @@ object Silver {
   private def timestamps(df: DataFrame): DataFrame = {
     if (!df.columns.contains("Time Started") ||
       !df.columns.contains("Survey Date Submitted")) df
-    else df
-      .withColumn("Time Started",
-        expr(s"try_to_timestamp(`Time Started`, '$TimestampFmt')"))
-      .withColumn("Survey Date Submitted",
-        expr(s"try_to_timestamp(`Survey Date Submitted`, '$TimestampFmt')"))
-      .withColumn("Time Difference",
-        unix_timestamp(col("Survey Date Submitted")) -
-          unix_timestamp(col("Time Started")))
-      .withColumn("Time Difference (Minutes)",
-        round(col("Time Difference") / 60))
+    else {
+      // two batched projections instead of four chained withColumns
+      // (§5 driver-side analysis cost — see nullPhraseScrub): stage 1
+      // casts, stage 2 derives both difference columns from the casts
+      val diff = unix_timestamp(col("Survey Date Submitted")) -
+        unix_timestamp(col("Time Started"))
+      df.withColumns(Map(
+        "Time Started" ->
+          expr(s"try_to_timestamp(`Time Started`, '$TimestampFmt')"),
+        "Survey Date Submitted" ->
+          expr(s"try_to_timestamp(`Survey Date Submitted`, '$TimestampFmt')")))
+        .withColumns(Map(
+          "Time Difference" -> diff,
+          "Time Difference (Minutes)" -> round(diff / 60)))
+    }
   }
 
   /** Likert scoring as a native map lookup (replaces the Python UDF,
@@ -117,76 +128,84 @@ object Silver {
     val scored = df.withColumns(present.map { c =>
       c -> coalesce(element_at(mapLit, col(c)), lit(0))
     }.toMap)
-    // per-domain means (ref transform_alchemer_data.py:67-69)
-    val withDomains = cfg.likertColumnsDict
+    // per-domain means + grand mean in ONE batched projection (all read
+    // only the stage-1 scores — §5 driver-side analysis cost, see
+    // nullPhraseScrub; ref transform_alchemer_data.py:67-75)
+    val domains = cfg.likertColumnsDict
       .filter { case (_, cols) => cols.forall(scored.columns.contains) }
-      .foldLeft(scored) { case (acc, (scoreCol, cols)) =>
-        acc.withColumn(scoreCol,
-          round(cols.map(col).reduce(_ + _) / lit(cols.size), 2))
+      .map { case (scoreCol, cols) =>
+        scoreCol -> round(cols.map(col).reduce(_ + _) / lit(cols.size), 2)
       }
-    // grand mean over every likert column (ref transform_alchemer_data.py:72-75)
-    if (present.size == cfg.likertColumns.size)
-      withDomains.withColumn("5DW Score: Everything",
-        round(present.map(col).reduce(_ + _) / lit(present.size), 2))
-    else withDomains
+    val grand =
+      if (present.size == cfg.likertColumns.size)
+        Map("5DW Score: Everything" ->
+          round(present.map(col).reduce(_ + _) / lit(present.size), 2))
+      else Map.empty[String, org.apache.spark.sql.Column]
+    val all = domains ++ grand
+    if (all.isEmpty) scored else scored.withColumns(all.toMap)
   }
 
-  private def whenPresent(df: DataFrame, c: String)(
-      f: DataFrame => DataFrame): DataFrame =
-    if (df.columns.contains(c)) f(df) else df
-
-  /** Categorical recodes (ref transform_alchemer_data.py:80-196). */
+  /** Categorical recodes (ref transform_alchemer_data.py:80-196) as ONE
+    * batched projection (§5 driver-side analysis cost, see
+    * nullPhraseScrub). Every recode reads only PRE-recode columns — the
+    * single cross-column reader, Race/Ethnicity, reads the original
+    * "Hispanic or Latinx" value, which the sequential form also did
+    * (the Race recode ran before the prefer-not batch recoded it) — so
+    * batching preserves the chained semantics exactly. */
   private def recodes(df0: DataFrame): DataFrame = {
-    var df = df0
+    val has = df0.columns.toSet
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Column]
     // Race/Ethnicity with Hispanic override (80-90)
-    if (df.columns.contains("Race/Ethnicity") && df.columns.contains("Hispanic or Latinx"))
-      df = df.withColumn("Race/Ethnicity",
+    if (has("Race/Ethnicity") && has("Hispanic or Latinx"))
+      out("Race/Ethnicity") =
         when(col("Hispanic or Latinx") === "Yes", "Hispanic or Latinx")
           .otherwise(
             when(col("Race/Ethnicity") === "Some other race (please write it in here)", "Other race")
               .when(col("Race/Ethnicity") === "I prefer not to answer this question", "Unknown")
               .when(col("Race/Ethnicity").isNull, "Unknown")
-              .otherwise(col("Race/Ethnicity"))))
+              .otherwise(col("Race/Ethnicity")))
     // Gender (95-104)
-    df = whenPresent(df, "Gender")(_.withColumn("Gender",
-      when(col("Gender").isNull || col("Gender") === "Prefer not to say", "Unknown")
-        .when(col("Gender") === "Write In", "Other")
-        .otherwise(col("Gender"))))
+    if (has("Gender"))
+      out("Gender") =
+        when(col("Gender").isNull || col("Gender") === "Prefer not to say", "Unknown")
+          .when(col("Gender") === "Write In", "Other")
+          .otherwise(col("Gender"))
     // CM Name blank → Unknown (112-119)
-    df = whenPresent(df, "CM Name")(_.withColumn("CM Name",
-      when(col("CM Name").isNull || trim(col("CM Name")) === "", "Unknown")
-        .otherwise(col("CM Name"))))
+    if (has("CM Name"))
+      out("CM Name") =
+        when(col("CM Name").isNull || trim(col("CM Name")) === "", "Unknown")
+          .otherwise(col("CM Name"))
     // Current living situation (124-132)
-    df = whenPresent(df, "Current living situation")(
-      _.withColumn("Current living situation",
+    if (has("Current living situation"))
+      out("Current living situation") =
         when(col("Current living situation").isNull ||
           trim(col("Current living situation")) === "" ||
           col("Current living situation") === "Prefer not to say", "Unknown")
-          .otherwise(col("Current living situation"))))
+          .otherwise(col("Current living situation"))
     // prefer-not-to-answer batch (137-148)
     val preferNot = Seq(
       "How many years lived in Kingston",
       "Why are you interested in this project?",
       "In a typical month, how difficult is it for your household to pay for usual household expenses?",
       "Hispanic or Latinx")
-    preferNot.foreach { c =>
-      df = whenPresent(df, c)(_.withColumn(c,
+    preferNot.filter(has).foreach { c =>
+      out(c) =
         when(col(c).isNull || trim(col(c)) === "" ||
           col(c) === "I prefer not to answer this question", "Unknown")
-          .otherwise(col(c))))
+          .otherwise(col(c))
     }
     // zip truncation (153-162)
-    df = whenPresent(df, "IP Address - Zip Code")(
-      _.withColumn("IP Address - Zip Code",
+    if (has("IP Address - Zip Code"))
+      out("IP Address - Zip Code") =
         when(col("IP Address - Zip Code").isNull ||
           expr("try_cast(substring(`IP Address - Zip Code`, 1, 5) AS int)") === 0,
           "Unknown")
-          .otherwise(col("IP Address - Zip Code").substr(1, 5))))
+          .otherwise(col("IP Address - Zip Code").substr(1, 5))
     // Age bands (167-178); the reference compares the raw (string) column
     // numerically — non-ANSI casts junk to null, here made explicit
-    df = whenPresent(df, "Age")(df => {
+    if (has("Age")) {
       val age = expr("try_cast(`Age` AS double)")
-      df.withColumn("Age",
+      out("Age") =
         when(age <= 0, "Unknown")
           .when(age < 10, "Less than 10 years old")
           .when(age < 18, "10 to 17 years old")
@@ -195,16 +214,17 @@ object Silver {
           .when(age < 60, "45 to 59 years old")
           .when(age < 75, "60 to 74 years old")
           .when(age < 120, "75 years and older")
-          .otherwise("Unknown"))
-    })
+          .otherwise("Unknown")
+    }
     // Household Income collapse (183-196)
-    df = whenPresent(df, "Household Income")(_.withColumn("Household Income",
-      when(col("Household Income").isNull ||
-        col("Household Income") === "I prefer not to answer this question", "Unknown")
-        .when(col("Household Income") === "Less than $20,000" ||
-          col("Household Income") === "$20,000 to $49,999", "Less than $50,000")
-        .otherwise(col("Household Income"))))
-    df
+    if (has("Household Income"))
+      out("Household Income") =
+        when(col("Household Income").isNull ||
+          col("Household Income") === "I prefer not to answer this question", "Unknown")
+          .when(col("Household Income") === "Less than $20,000" ||
+            col("Household Income") === "$20,000 to $49,999", "Less than $50,000")
+          .otherwise(col("Household Income"))
+    if (out.isEmpty) df0 else df0.withColumns(out.toMap)
   }
 
   /** Is_Invalid 7-branch precedence chain (ref transform_alchemer_data

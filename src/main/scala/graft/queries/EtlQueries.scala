@@ -26,7 +26,20 @@ object EtlQueries {
   private def silver(s: SparkSession, d: String): DataFrame =
     Silver.transform(
       SurveyFixture.fromOrders(
-        orders(s, d).repartition(s.sparkContext.defaultParallelism)),
+        orders(s, d).repartition(s.sparkContext.defaultParallelism)
+          // pushdown BARRIER (always-true, nondeterministic): without it
+          // PushDownPredicates moves the Is_Invalid validity filter of
+          // validSplit through the round-robin exchange into the scan
+          // stage — and the local fixture scan is ONE split, so the
+          // whole validity CASE chain ran on one core (profiled 0.5 s
+          // single-task job under etl_rollup/etl_census_merge). A
+          // deterministic filter cannot be reordered below a
+          // nondeterministic one, so the validity filter stays above
+          // the exchange and evaluates at full width; the barrier
+          // itself is one long-compare per row. On a many-split cluster
+          // scan this is cost-neutral: the filter is equally parallel
+          // on either side of the exchange.
+          .filter(monotonically_increasing_id() >= 0)),
       SurveyConfig.kingston)
 
   /** The gold stages only read the 6 demographics + validity flag + submit
