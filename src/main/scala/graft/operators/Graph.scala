@@ -53,11 +53,23 @@ object Graph {
     // of the lazy form's iters × node-table.
     val nParts = Parallelism.forRows(edges.sparkSession, e.count())
     Parallelism.withShufflePartitions(edges.sparkSession, nParts) {
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .transform(Checkpointer.truncate(_))
+    // Out-degree is STATIC across iterations, and it is a NODE-sized
+    // attribute — so it rides the rank table instead of being joined to
+    // the corpus-sized edge frame every round (§2.4: only the node
+    // table moves per round). One map-side-combined aggregate + one
+    // node-sized join at setup, ~8 bytes/node through each round's rank
+    // checkpoint, and the per-round (edges ⋈ ranks) ⋈ deg second join
+    // disappears at every scale. (Folding deg into the EDGE table was
+    // measured worse at gate scale — a corpus-sized setup join — and a
+    // window count over src would buffer hub groups whole, the skew
+    // shape the minhash bucket cap rejected.) deg is null for nodes
+    // with no out-edges; such ids never match the contribs join, so the
+    // null never evaluates.
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .transform(Checkpointer.truncate(_))
+    val nodes = Checkpointer.truncate(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left"))
     // N and the teleport term are scalars of a bounded aggregate
     val n = nodes.count()
     val teleport = (15L * scale) / (100L * n)
@@ -65,16 +77,16 @@ object Graph {
     var prevCkpt: DataFrame = null
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, e("src") === ranks("id"))
-        .join(deg, "src")
         .select(col("dst").as("id"), expr("r div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("c"))
       // eager truncation: round N's plan reaches back only to round
       // N-1's materialized LogicalRDD, so analysis stays O(1) per round
       // at ANY iteration count (un-truncated, round N nested N copies
-      // of the join subtree)
+      // of the join subtree); deg rides along so every round's rank
+      // table keeps it without re-joining
       ranks = Checkpointer.truncate(
         nodes.join(contribs, Seq("id"), "left")
-          .select(col("id"),
+          .select(col("id"), col("deg"),
             (lit(teleport) +
               expr("85 * coalesce(c, cast(0 as bigint)) div 100")).as("r")),
         eager = true)
