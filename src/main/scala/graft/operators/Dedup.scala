@@ -324,8 +324,12 @@ object Dedup {
   private def jaccardVerify(
       df: DataFrame, idCol: String, textCol: String, k: Int,
       cands: DataFrame, thresholdNum: Int, thresholdDen: Int): DataFrame = {
-    val candIds = cands.select(col("a").as(idCol))
-      .union(cands.select(col("b").as(idCol))).distinct()
+    // both pair sides from ONE pass over the candidate table (the
+    // connectedComponents edge-build pattern, §2.3): the union form read
+    // the persisted cands twice and carried two scan branches into the
+    // distinct; explode emits a/b inside one codegen stage
+    val candIds = cands
+      .select(explode(array(col("a"), col("b"))).as(idCol)).distinct()
     val needed = df
       .select(col(idCol).cast("long").as(idCol), col(textCol))
       .join(candIds, Seq(idCol), "left_semi")
